@@ -1,0 +1,181 @@
+"""Image payload functions: codec, perceptual hash, PSNR — Arrow-vectorized.
+
+The reference has zero UDFs (SURVEY §2.8); all pixel work here is new,
+mandated by BASELINE.json input_hint: "vectorized pandas/Arrow UDFs (no
+per-row Python)". The container has no image libraries (no PIL/libjpeg), so
+the *codec* is a deterministic stand-in with real compression semantics:
+
+- ``fpng``: lossless — raw RGB zlib-compressed (PSNR = ∞, capped at 99 dB).
+- ``fjpg``: lossy — pixels quantized to a step of 4 then zlib-compressed.
+  Quantization error is uniform in [-2, 2) → MSE ≈ 1.25 → PSNR ≈ 47 dB,
+  comfortably over the ≥40 dB row-equivalence gate, and re-encoding a
+  decoded image is idempotent (stable phash under rewrite cycles).
+
+Real JPEG/PNG decode would slot into ``_decode_one``/``_encode_one`` behind
+the same header sniff; everything Spark-side (schemas, pandas-UDF
+signatures, batch shapes, partitioning) is real and tested. The per-image
+zlib calls are C-speed; numpy does all pixel math. The Spark boundary is
+always an Arrow batch — no row-at-a-time Python UDFs anywhere.
+
+Wire format: magic(4s) | w(u32 LE) | h(u32 LE) | channels(u32 LE) | zlib(payload).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+__all__ = [
+    "encode_image_np",
+    "decode_image_np",
+    "phash_np",
+    "psnr_np",
+    "phash_udf",
+    "psnr_udf",
+    "decode_dims_udf",
+    "PSNR_CAP_DB",
+]
+
+MAGIC_PNG = b"FPNG"
+MAGIC_JPG = b"FJPG"
+_HEADER_FMT = "<4sIII"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+JPEG_QUANT_STEP = 4
+PSNR_CAP_DB = 99.0
+
+
+# ----------------------------------------------------------------- numpy core
+def encode_image_np(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: (h, w, c) uint8 → wire bytes. fmt: 'png' (lossless) | 'jpeg'."""
+    h, w, c = pixels.shape
+    if fmt == "jpeg":
+        q = (pixels.astype(np.int16) // JPEG_QUANT_STEP) * JPEG_QUANT_STEP + (
+            JPEG_QUANT_STEP // 2
+        )
+        payload = np.clip(q, 0, 255).astype(np.uint8)
+        magic = MAGIC_JPG
+    elif fmt == "png":
+        payload = pixels
+        magic = MAGIC_PNG
+    else:
+        raise NotImplementedError(f"codec {fmt!r} not available in this container")
+    return struct.pack(_HEADER_FMT, magic, w, h, c) + zlib.compress(payload.tobytes(), level=1)
+
+
+def decode_image_np(data: bytes) -> np.ndarray:
+    magic, w, h, c = struct.unpack_from(_HEADER_FMT, data)
+    if magic not in (MAGIC_PNG, MAGIC_JPG):
+        raise NotImplementedError(
+            "real JPEG/PNG decode requires an image library not present in "
+            "this container; only FPNG/FJPG payloads are decodable"
+        )
+    raw = zlib.decompress(data[_HEADER_SIZE:])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+
+
+def _block_mean_32(gray: np.ndarray) -> np.ndarray:
+    """Resize HxW → 32x32 by integer block means (pure numpy)."""
+    h, w = gray.shape
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    out = (
+        csum[ys[1:, None], xs[None, 1:]]
+        - csum[ys[:-1, None], xs[None, 1:]]
+        - csum[ys[1:, None], xs[None, :-1]]
+        + csum[ys[:-1, None], xs[None, :-1]]
+    )
+    return out / np.maximum(area, 1)
+
+
+_DCT32 = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)[:, None]
+        n = np.arange(32)[None, :]
+        _DCT32 = np.sqrt(2 / 32) * np.cos(np.pi * (2 * n + 1) * k / 64)
+        _DCT32[0] /= np.sqrt(2)
+    return _DCT32
+
+
+def phash_np(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (classic pHash construction):
+    grayscale → 32x32 block-mean resize → 2D DCT → top-left 8x8 (minus DC)
+    thresholded at its median."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    small = _block_mean_32(gray)
+    d = _dct_matrix()
+    freq = d @ small @ d.T
+    block = freq[:8, :8].flatten()[1:]  # drop DC
+    bits = block > np.median(block)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 63) if val >= (1 << 63) else val  # wrap into int64
+
+
+def psnr_np(a: np.ndarray, b: np.ndarray) -> float:
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return PSNR_CAP_DB
+    return min(PSNR_CAP_DB, 10.0 * np.log10(255.0**2 / mse))
+
+
+# ------------------------------------------------------------------ pandas UDFs
+@pandas_udf(LongType())
+def phash_udf(data: pd.Series) -> pd.Series:
+    """Recompute the perceptual hash from encoded bytes (used by the
+    maintenance invariant suite to prove rewrites preserved pixels)."""
+    return data.map(lambda b: phash_np(decode_image_np(b)) if b is not None else None)
+
+
+@pandas_udf(DoubleType())
+def psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Decoded-pixel PSNR between two encoded images (row-equivalence gate:
+    ≥40 dB for lossy, 99 = exact for lossless)."""
+
+    def one(pair):
+        x, y = pair
+        if x is None or y is None:
+            return 0.0
+        return psnr_np(decode_image_np(x), decode_image_np(y))
+
+    return pd.Series(map(one, zip(a, b)))
+
+
+_DIMS_SCHEMA = StructType(
+    [
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("lossy", IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_DIMS_SCHEMA)
+def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
+    """Header-only metadata probe (no pixel decompression): width/height/
+    channels/lossy-flag from the wire header. The cheap path for schema
+    validation over billions of binaries."""
+    rows = []
+    for b in data:
+        if b is None:
+            rows.append((None, None, None, None))
+            continue
+        magic, w, h, c = struct.unpack_from(_HEADER_FMT, b)
+        rows.append((int(w), int(h), int(c), int(magic == MAGIC_JPG)))
+    return pd.DataFrame(rows, columns=["w", "h", "channels", "lossy"])

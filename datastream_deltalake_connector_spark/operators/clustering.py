@@ -1,0 +1,80 @@
+"""OPTIMIZE: Z-order / Hilbert clustering rewrite with stat recomputation.
+
+The reference points users at Databricks ``OPTIMIZE ZORDER BY`` (reference:
+README.md:144-160) but implements nothing. Here (north_rule): compute the
+cluster key — Morton interleave of ``(phash, xxhash64(image_id))`` as a pure
+codegen expression, or the Hilbert state-table variant as a vectorized
+pandas UDF — then ``repartitionByRange`` on it (one range shuffle; AQE skew
+handling applies) + ``sortWithinPartitions`` + rewrite, and recompute
+per-file min/max stats from the new parquet footers.
+
+After clustering, manifest pruning on either clustered dimension becomes
+effective: files hold tight [min,max] ranges of the interleaved key, so
+point/range lookups on ``phash`` or ``image_id`` hash prefixes skip most
+files — that is the whole point of the operation at 100 TB.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..functions.zorder import hilbert_value, z_value
+from ..table.icepack import IcepackTable
+from ..table.lineage import LineageJournal
+
+__all__ = ["cluster"]
+
+
+def cluster(
+    table: IcepackTable,
+    cols: tuple[str, str] = ("phash", "image_id"),
+    curve: str = "zorder",
+    num_files: int | None = None,
+    target_bytes: int = IcepackTable.DEFAULT_TARGET_FILE_BYTES,
+    job_id: str | None = None,
+) -> int:
+    """Rewrite the whole table clustered on the curve key; returns the new
+    version. ``cols[1]`` is hashed with xxhash64 first (north_rule) so an
+    arbitrary string id becomes a uniform dimension."""
+    job_id = job_id or f"cluster-{uuid.uuid4().hex[:12]}"
+    journal = LineageJournal(table.root, job_id)
+    parent = table.head_version()
+    entries = table.files(parent)
+    if not entries:
+        return parent
+
+    df = table.scan(version=parent)
+    a = F.col(cols[0]).cast("long")
+    b = F.xxhash64(F.col(cols[1]))
+    key = z_value(a, b) if curve == "zorder" else hilbert_value(a, b)
+    df = df.withColumn("__cluster_key", key)
+
+    if num_files is None:
+        total = sum(e.bytes for e in entries)
+        num_files = max(1, round(total / target_bytes))
+
+    clustered = (
+        df.repartitionByRange(num_files, F.col("__cluster_key"))
+        .sortWithinPartitions("__cluster_key")
+        .drop("__cluster_key")
+    )
+    added = table.write_data_files(clustered)
+    journal.log_task(
+        stage="cluster",
+        task_id="all",
+        files_in=[e.path for e in entries],
+        files_out=[e.path for e in added],
+        rows_in=sum(e.rows for e in entries),
+        rows_out=sum(e.rows for e in added),
+        curve=curve,
+    )
+    version = table.commit(
+        "cluster",
+        added=added,
+        removed_paths=[e.path for e in entries],
+        summary={"curve": curve, "cluster_cols": list(cols), "job_id": job_id},
+    )
+    journal.log_commit(version)
+    return version

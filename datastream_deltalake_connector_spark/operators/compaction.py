@@ -1,0 +1,126 @@
+"""Bin-packing compaction: first-fit-decreasing to a 512 MB file target.
+
+The reference delegates small-file mitigation to Databricks session confs
+(``spark.databricks.delta.autoCompact.*`` / ``targetFileSize``, reference:
+config/Config.scala:57-111) and documents small-file accumulation as its
+dominant failure mode (reference: README.md:146-158). This engine implements
+compaction itself (north_rule: "bin-packing compaction (first-fit-decreasing
+to a 512MB target)"):
+
+- Candidate selection and FFD binning run on the driver over *manifest
+  entries only* (a few bytes per file — at 100 TB / 512 MB files that is
+  ~200k entries, trivially driver-sized). No data is read to plan.
+- Each bin is rewritten by its own small Spark job (``read.parquet(bin) →
+  coalesce(1) → write``). Bins are independent, so they are submitted from a
+  driver thread pool and the Spark scheduler runs them concurrently across
+  the cluster — no global shuffle of the table, no barrier.
+- Every completed bin appends a lineage record (files-in → files-out + row
+  counts); a resumed job skips completed bins and reuses their staged output
+  (north_rule resumability).
+- The final snapshot swap is one CAS commit: scan-equivalence pre/post is an
+  invariant (tested), readers pinned on the old snapshot are unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+
+from ..table.icepack import FileEntry, IcepackTable
+from ..table.lineage import LineageJournal
+
+__all__ = ["plan_bins_ffd", "compact"]
+
+
+def plan_bins_ffd(
+    entries: list[FileEntry],
+    target_bytes: int = IcepackTable.DEFAULT_TARGET_FILE_BYTES,
+    min_input_files: int = 2,
+) -> list[list[FileEntry]]:
+    """First-fit-decreasing over undersized files.
+
+    Only files smaller than the target are compaction candidates; bins are
+    capped at ``target_bytes`` (a bin may hold a single large-ish file only
+    if nothing else fits — such singleton bins are dropped, rewriting one
+    file into one file is wasted work)."""
+    small = sorted(
+        (e for e in entries if e.bytes < target_bytes),
+        key=lambda e: e.bytes,
+        reverse=True,
+    )
+    bins: list[tuple[int, list[FileEntry]]] = []  # (used_bytes, entries)
+    for e in small:
+        for i, (used, members) in enumerate(bins):
+            if used + e.bytes <= target_bytes:
+                bins[i] = (used + e.bytes, members + [e])
+                break
+        else:
+            bins.append((e.bytes, [e]))
+    return [members for _, members in bins if len(members) >= min_input_files]
+
+
+def compact(
+    table: IcepackTable,
+    target_bytes: int = IcepackTable.DEFAULT_TARGET_FILE_BYTES,
+    max_concurrent_bins: int = 8,
+    job_id: str | None = None,
+) -> int | None:
+    """Rewrite undersized files into ~target-size files; returns the new
+    version, or None when there was nothing to compact."""
+    job_id = job_id or f"compact-{uuid.uuid4().hex[:12]}"
+    journal = LineageJournal(table.root, job_id)
+    parent = table.head_version()
+    entries = table.files(parent)
+    bins = plan_bins_ffd(entries, target_bytes)
+    if not bins:
+        return None
+
+    done = journal.completed("compact-bin")
+    schema = table.schema(parent)
+    results: dict[str, tuple[list[str], list[FileEntry]]] = {}
+
+    def rewrite_bin(bin_id: str, members: list[FileEntry]):
+        if bin_id in done:
+            rec = done[bin_id]
+            staged = [
+                table._footer_entry(
+                    os.path.join(table.root, p), p, set(table.stats_cols())
+                )
+                for p in rec["files_out"]
+                if os.path.exists(os.path.join(table.root, p))
+            ]
+            if len(staged) == len(rec["files_out"]):
+                return bin_id, rec["files_in"], staged  # resume: reuse staged output
+        paths = [os.path.join(table.root, e.path) for e in members]
+        df = table.spark.read.schema(schema).parquet(*paths).coalesce(1)
+        added = table.write_data_files(df)
+        journal.log_task(
+            stage="compact-bin",
+            task_id=bin_id,
+            files_in=[e.path for e in members],
+            files_out=[e.path for e in added],
+            rows_in=sum(e.rows for e in members),
+            rows_out=sum(e.rows for e in added),
+        )
+        return bin_id, [e.path for e in members], added
+
+    with ThreadPoolExecutor(max_workers=max_concurrent_bins) as pool:
+        futures = [
+            pool.submit(rewrite_bin, f"bin-{i:05d}", members)
+            for i, members in enumerate(bins)
+        ]
+        for fut in futures:
+            bin_id, files_in, added = fut.result()
+            results[bin_id] = (files_in, added)
+
+    removed = [p for files_in, _ in results.values() for p in files_in]
+    added_all = [e for _, added in results.values() for e in added]
+    version = table.commit(
+        "compact",
+        added=added_all,
+        removed_paths=removed,
+        summary={"bins": len(bins), "job_id": job_id},
+    )
+    journal.log_commit(version)
+    return version

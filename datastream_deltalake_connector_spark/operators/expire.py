@@ -1,0 +1,87 @@
+"""Reachability-based snapshot expiry over the manifest DAG.
+
+Delta's VACUUM analogue, owned by this engine (north_rule: "reachability-
+based snapshot expiry over the manifest DAG"). Walk
+snapshot → manifest → data files for every *retained* snapshot; every data
+file unreachable from any retained snapshot is deleted, along with the
+expired snapshots' metadata files.
+
+Retention is the snapshot-isolation guarantee: a reader pinned on any
+retained snapshot keeps reading exactly its files (they are immutable and
+reachable, hence never deleted). The walk is driver-side set arithmetic over
+manifest entries — ~bytes per file; at 10^12-image scale with 512 MB files
+this is still only millions of strings. A DataFrame anti-join variant would
+drop in if manifests ever outgrow the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ..table.icepack import IcepackTable
+
+__all__ = ["expire_snapshots"]
+
+
+def expire_snapshots(
+    table: IcepackTable,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Expire snapshots, keeping at least ``keep_last`` most recent plus any
+    newer than ``older_than_ms``. Returns a report of what was removed."""
+    snaps = table.snapshots()
+    head = table.head_version()
+    cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
+
+    retained, expired = [], []
+    for s in snaps:
+        keep = (
+            s.version == head
+            or s.version > head - keep_last
+            or s.timestamp_ms >= cutoff
+        )
+        (retained if keep else expired).append(s)
+
+    reachable: set[str] = set()
+    for s in retained:
+        for e in table.files(s.version):
+            reachable.add(e.path)
+
+    expired_files: set[str] = set()
+    for s in expired:
+        for e in table.files(s.version):
+            if e.path not in reachable:
+                expired_files.add(e.path)
+
+    report = {
+        "expired_snapshots": [s.version for s in expired],
+        "retained_snapshots": [s.version for s in retained],
+        "deleted_files": sorted(expired_files),
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        return report
+
+    for rel in expired_files:
+        p = os.path.join(table.root, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+        parent = os.path.dirname(p)
+        try:  # opportunistic cleanup of emptied staging dirs
+            os.rmdir(parent)
+        except OSError:
+            pass
+    for s in expired:
+        for name in (f"snap-{s.version}.json", s.manifest):
+            p = os.path.join(table.meta_dir, name)
+            if os.path.exists(p):
+                os.unlink(p)
+    # Journal the expiry itself for audit (not a table commit: HEAD unchanged).
+    audit = os.path.join(table.meta_dir, "expiry-log.jsonl")
+    with open(audit, "a") as f:
+        f.write(json.dumps({"ts_ms": int(time.time() * 1000), **report}) + "\n")
+    return report

@@ -1,0 +1,417 @@
+"""icepack — a minimal Iceberg-style table format owned by this engine.
+
+The reference rides on Delta Lake for ACID tables (reference: spark/src/main/
+scala/io/badal/databricks/datastream/DatastreamIO.scala:74 writes
+``format("delta")``; transactionality discussed in its README.md:9). This
+engine owns the format so it can implement the maintenance surface the
+reference only configures (compaction / optimize / file-size targeting,
+reference: config/Config.scala:57-111):
+
+Layout under a table root::
+
+    data/<commit-uuid>/part-*.parquet     immutable data files
+    metadata/manifest-<version>.json      file list + per-file min/max stats
+    metadata/snap-<version>.json          snapshot: schema, parent, summary
+    metadata/HEAD                         current version (atomic pointer)
+    metadata/lineage/<job>.jsonl          per-partition lineage journal
+
+Commit protocol: optimistic CAS. A writer stages data files, then takes the
+commit lock (O_CREAT|O_EXCL lock file), verifies HEAD still equals its
+expected parent version, writes manifest-(v+1) + snap-(v+1), and atomically
+replaces HEAD via os.replace of a temp file. Readers never lock: ``scan()``
+resolves HEAD once and pins that snapshot — data files are immutable and
+snapshot expiry retains every file reachable from a retained snapshot, so a
+reader pinned mid-compaction is isolated (north_star requirement).
+
+Per-file stats are read from parquet footers with pyarrow on the driver
+(exact, no extra Spark scan). At cluster scale the footer reads would be
+fanned out to executors via ``sc.parallelize(paths).map(read_footer)``; the
+protocol and manifest shape are unchanged.
+
+Scan pruning: ``scan(filters=...)`` drops every manifest entry whose
+[min, max] range proves the predicate unsatisfiable — the manual file-pruning
+analogue of Delta data skipping — then hands Catalyst a plain parquet scan of
+the surviving files (predicate pushdown and column pruning stay free).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any, Iterable
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError"]
+
+
+class ConflictError(RuntimeError):
+    """Another writer committed since this writer's snapshot was resolved."""
+
+
+def _json_safe(v: Any) -> Any:
+    """Stats values → JSON-storable, order-preserving representations.
+
+    Timestamps/dates become ISO strings (lexicographic order == chronological
+    order for a fixed format, so pruning comparisons still work)."""
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return None
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bytes: int
+    rows: int
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def may_match(self, col: str, op: str, value: Any) -> bool:
+        """Conservative: False only when stats PROVE no row can match."""
+        st = self.stats.get(col)
+        if not st:
+            return True
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            return True
+        if op != "between":
+            value = _json_safe(value)
+        try:
+            if op == "=":
+                return lo <= value <= hi
+            if op == "<":
+                return lo < value
+            if op == "<=":
+                return lo <= value
+            if op == ">":
+                return hi > value
+            if op == ">=":
+                return hi >= value
+            if op == "between":  # value = (lo_bound, hi_bound)
+                vlo, vhi = (_json_safe(value[0]), _json_safe(value[1]))
+                return not (hi < vlo or lo > vhi)
+        except TypeError:
+            return True  # incomparable types: never prune
+        return True
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    timestamp_ms: int
+    operation: str
+    schema_json: dict
+    manifest: str
+    summary: dict = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+
+class IcepackTable:
+    DEFAULT_TARGET_FILE_BYTES = 512 * 1024 * 1024  # north_rule: 512 MB target
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.meta_dir = os.path.join(self.root, "metadata")
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        stats_cols: list[str] | None = None,
+    ) -> "IcepackTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=False)
+        os.makedirs(os.path.join(t.root, "data"), exist_ok=True)
+        manifest_name = "manifest-0.json"
+        t._write_json(os.path.join(t.meta_dir, manifest_name), {"entries": []})
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            timestamp_ms=int(time.time() * 1000),
+            operation="create",
+            schema_json=schema.jsonValue(),
+            manifest=manifest_name,
+            summary={"stats_cols": stats_cols},
+        )
+        t._write_json(os.path.join(t.meta_dir, "snap-0.json"), asdict(snap))
+        t._atomic_write(os.path.join(t.meta_dir, "HEAD"), "0")
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "IcepackTable":
+        t = cls(spark, root)
+        if not os.path.exists(os.path.join(t.meta_dir, "HEAD")):
+            raise FileNotFoundError(f"not an icepack table: {root}")
+        return t
+
+    # ------------------------------------------------------------- metadata
+    def head_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "HEAD")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.head_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"snap-{v}.json")) as f:
+            return Snapshot(**json.load(f))
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self.meta_dir)):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    out.append(Snapshot(**json.load(f)))
+        return sorted(out, key=lambda s: s.version)
+
+    def files(self, version: int | None = None) -> list[FileEntry]:
+        snap = self.snapshot(version)
+        with open(os.path.join(self.meta_dir, snap.manifest)) as f:
+            return [FileEntry(**e) for e in json.load(f)["entries"]]
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return self.snapshot(version).schema
+
+    def stats_cols(self, schema: T.StructType | None = None) -> list[str]:
+        configured = self.snapshot().summary.get("stats_cols")
+        if configured:
+            return configured
+        schema = schema or self.schema()
+        skip = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+        return [f.name for f in schema.fields if not isinstance(f.dataType, skip)]
+
+    # ----------------------------------------------------------------- scan
+    def scan(
+        self,
+        version: int | None = None,
+        filters: list[tuple] | None = None,
+        columns: list[str] | None = None,
+        apply_filters: bool = True,
+    ) -> DataFrame:
+        """Read a pinned snapshot as a DataFrame with manifest-level pruning.
+
+        ``filters``: [(col, op, value)] with op in = < <= > >= between.
+        Files whose min/max stats cannot satisfy every filter are skipped
+        before Spark sees them; surviving files get the same predicates
+        pushed into the parquet scan by Catalyst.
+        """
+        snap = self.snapshot(version)
+        entries = self.files(snap.version)
+        if filters:
+            entries = [
+                e
+                for e in entries
+                if all(e.may_match(c, op, v) for (c, op, v) in filters)
+            ]
+        schema = snap.schema
+        if not entries:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, e.path) for e in entries]
+            # Explicit schema: files written before a schema evolution lack the
+            # new columns; the parquet reader null-fills them (mergeSchema
+            # read semantics, DeltaSchemaMigrationSpec parity).
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if filters and apply_filters:
+            from pyspark.sql import functions as F
+
+            for c, op, v in filters:
+                col = F.col(c)
+                expr = {
+                    "=": col == v,
+                    "<": col < v,
+                    "<=": col <= v,
+                    ">": col > v,
+                    ">=": col >= v,
+                    "between": col.between(v[0], v[1]) if op == "between" else None,
+                }[op]
+                df = df.where(expr)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    # ---------------------------------------------------------------- write
+    def write_data_files(
+        self,
+        df: DataFrame,
+        target_file_bytes: int | None = None,
+        sort_within_partitions: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> list[FileEntry]:
+        """Stage a DataFrame as immutable parquet data files; returns manifest
+        entries with footer-derived stats. Does NOT commit."""
+        stage = f"data/{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.root, stage)
+        if num_files is not None:
+            df = df.repartition(num_files) if num_files > 1 else df.coalesce(1)
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
+        df.write.mode("overwrite").parquet(out_dir)
+        entries = self.collect_file_entries(stage)
+        if not entries:
+            return []
+        return entries
+
+    def collect_file_entries(self, stage_rel: str) -> list[FileEntry]:
+        stats_cols = set(self.stats_cols())
+        entries: list[FileEntry] = []
+        stage_dir = os.path.join(self.root, stage_rel)
+        for name in sorted(os.listdir(stage_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(stage_dir, name)
+            entries.append(self._footer_entry(fpath, os.path.join(stage_rel, name), stats_cols))
+        return entries
+
+    def _footer_entry(self, abs_path: str, rel_path: str, stats_cols: set[str]) -> FileEntry:
+        md = pq.ParquetFile(abs_path).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in stats_cols or col.statistics is None:
+                    continue
+                st = col.statistics
+                if not st.has_min_max:
+                    continue
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is not None and (name not in mins or mn < mins[name]):
+                    mins[name] = mn
+                if mx is not None and (name not in maxs or mx > maxs[name]):
+                    maxs[name] = mx
+        stats = {
+            c: {"min": mins.get(c), "max": maxs.get(c)}
+            for c in set(mins) | set(maxs)
+        }
+        return FileEntry(
+            path=rel_path,
+            bytes=os.path.getsize(abs_path),
+            rows=md.num_rows,
+            stats=stats,
+        )
+
+    # --------------------------------------------------------------- commit
+    def commit(
+        self,
+        operation: str,
+        added: Iterable[FileEntry] = (),
+        removed_paths: Iterable[str] = (),
+        schema: T.StructType | None = None,
+        expected_parent: int | None = None,
+        summary: dict | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """CAS-commit a new snapshot; retries on benign conflicts only when
+        the caller did not pin ``expected_parent``."""
+        removed = set(removed_paths)
+        added = list(added)
+        for attempt in range(max_retries):
+            parent = self.head_version() if expected_parent is None else expected_parent
+            lock_path = os.path.join(self.meta_dir, "COMMIT.lock")
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                time.sleep(0.05 * (attempt + 1))
+                continue
+            try:
+                current = self.head_version()
+                if current != parent:
+                    if expected_parent is not None:
+                        raise ConflictError(
+                            f"expected parent {expected_parent}, HEAD is {current}"
+                        )
+                    continue  # re-resolve under next loop iteration
+                prev = self.snapshot(parent)
+                old_entries = self.files(parent)
+                entries = [e for e in old_entries if e.path not in removed] + added
+                version = parent + 1
+                manifest_name = f"manifest-{version}.json"
+                self._write_json(
+                    os.path.join(self.meta_dir, manifest_name),
+                    {"entries": [asdict(e) for e in entries]},
+                )
+                snap = Snapshot(
+                    version=version,
+                    parent=parent,
+                    timestamp_ms=int(time.time() * 1000),
+                    operation=operation,
+                    schema_json=(schema or prev.schema).jsonValue(),
+                    manifest=manifest_name,
+                    summary={
+                        **(prev.summary or {}),
+                        **(summary or {}),
+                        "added_files": len(added),
+                        "removed_files": len(removed),
+                        "total_files": len(entries),
+                        "total_rows": sum(e.rows for e in entries),
+                        "total_bytes": sum(e.bytes for e in entries),
+                    },
+                )
+                self._write_json(
+                    os.path.join(self.meta_dir, f"snap-{version}.json"), asdict(snap)
+                )
+                self._atomic_write(os.path.join(self.meta_dir, "HEAD"), str(version))
+                return version
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
+        raise ConflictError("could not acquire commit lock")
+
+    # ------------------------------------------------------- common actions
+    def append(self, df: DataFrame, num_files: int | None = None) -> int:
+        entries = self.write_data_files(df, num_files=num_files)
+        return self.commit("append", added=entries)
+
+    def overwrite_all(self, df: DataFrame, num_files: int | None = None) -> int:
+        old = [e.path for e in self.files()]
+        entries = self.write_data_files(df, num_files=num_files)
+        return self.commit("overwrite", added=entries, removed_paths=old)
+
+    def evolve_schema(self, batch_schema: T.StructType) -> int | None:
+        """mergeSchema semantics (reference: DeltaSchemaMigration.scala:51-67):
+        new columns appended nullable, removed columns retained. Metadata-only
+        commit; returns the new version, or None if no change needed."""
+        current = self.schema()
+        existing = {f.name for f in current.fields}
+        new_fields = [
+            T.StructField(f.name, f.dataType, True)
+            for f in batch_schema.fields
+            if f.name not in existing
+        ]
+        if not new_fields:
+            return None
+        merged = T.StructType(list(current.fields) + new_fields)
+        return self.commit("evolve-schema", schema=merged)
+
+    # ------------------------------------------------------------- internals
+    def _write_json(self, path: str, obj: dict) -> None:
+        self._atomic_write(path, json.dumps(obj, indent=1, default=_json_safe))
+
+    def _atomic_write(self, path: str, text: str) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)

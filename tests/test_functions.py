@@ -1,0 +1,181 @@
+"""Image codec / phash / PSNR and Z-order / Hilbert key functions."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.functions.image import (
+    PSNR_CAP_DB,
+    decode_dims_udf,
+    decode_image_np,
+    encode_image_np,
+    phash_np,
+    phash_udf,
+    psnr_np,
+    psnr_udf,
+)
+from datastream_deltalake_connector_spark.functions.zorder import (
+    hilbert_np,
+    hilbert_value,
+    z_value,
+    z_value_np,
+    z_value_sql,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def rand_img(w=48, h=36):
+    return RNG.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_lossless_roundtrip_exact():
+    px = rand_img()
+    data = encode_image_np(px, "png")
+    out = decode_image_np(data)
+    assert np.array_equal(px, out)
+    assert psnr_np(px, out) == PSNR_CAP_DB
+
+
+def test_lossy_roundtrip_psnr_over_40db():
+    px = rand_img()
+    out = decode_image_np(encode_image_np(px, "jpeg"))
+    p = psnr_np(px, out)
+    assert 40.0 <= p < PSNR_CAP_DB
+
+
+def test_lossy_reencode_idempotent():
+    # quantization is idempotent → stable bytes & phash across rewrite cycles
+    px = rand_img()
+    d1 = encode_image_np(px, "jpeg")
+    out1 = decode_image_np(d1)
+    d2 = encode_image_np(out1, "jpeg")
+    assert d1 == d2
+    assert phash_np(out1) == phash_np(decode_image_np(d2))
+
+
+def test_phash_properties():
+    px = rand_img(64, 64)
+    h1 = phash_np(px)
+    # small noise → small hamming distance; different image → large
+    noisy = np.clip(px.astype(int) + RNG.integers(-2, 3, px.shape), 0, 255).astype(
+        np.uint8
+    )
+    h2 = phash_np(noisy)
+    other = phash_np(rand_img(64, 64))
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(h1, h2) <= 12
+    assert ham(h1, other) >= 16
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(NotImplementedError):
+        encode_image_np(rand_img(), "webp")
+    with pytest.raises(NotImplementedError):
+        decode_image_np(b"REAL-JPEG-BYTES-WOULD-GO-HERE")
+
+
+def test_image_udfs_on_spark(spark):
+    rows = []
+    for i in range(20):
+        px = rand_img(32 + i, 24 + i)
+        fmt = "jpeg" if i % 2 else "png"
+        rows.append((f"img{i:03d}", encode_image_np(px, fmt), fmt, phash_np(
+            decode_image_np(encode_image_np(px, fmt))
+        )))
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "fmt", "phash"])
+    out = df.select(
+        "image_id",
+        "phash",
+        phash_udf("bytes").alias("phash2"),
+        psnr_udf("bytes", "bytes").alias("self_psnr"),
+        decode_dims_udf("bytes").alias("dims"),
+    ).collect()
+    for r in out:
+        assert r["phash"] == r["phash2"]
+        assert r["self_psnr"] == PSNR_CAP_DB
+        assert r["dims"]["w"] is not None
+
+
+def test_z_value_column_matches_numpy(spark):
+    a = RNG.integers(-(2**62), 2**62, 500, dtype=np.int64)
+    b = RNG.integers(-(2**62), 2**62, 500, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], ["a", "b"]
+    )
+    got = [r["z"] for r in df.select(z_value(F.col("a"), F.col("b")).alias("z")).collect()]
+    expect = z_value_np(a, b).tolist()
+    assert got == expect
+    assert all(z >= 0 for z in got)  # 62-bit result never overflows signed
+
+
+def test_z_value_sql_matches_numpy():
+    a = RNG.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    b = RNG.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(int(x), int(y)) for x, y in zip(a, b)])
+    got = [r[0] for r in con.execute(f"SELECT {z_value_sql('a', 'b')} FROM t").fetchall()]
+    assert got == z_value_np(a, b).tolist()
+
+
+def test_zorder_locality():
+    # nearby points interleave to nearby keys: sort by z and check neighbors
+    xs = np.repeat(np.arange(16), 16) << 35
+    ys = np.tile(np.arange(16), 16) << 35
+    z = z_value_np(xs, ys)
+    assert len(set(z.tolist())) == 256  # injective on the grid
+
+
+def hilbert_scalar(order, x, y):
+    """Straight transcription of the classic xy2d algorithm for cross-check."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_matches_scalar_reference():
+    pts = RNG.integers(0, 2**8, size=(200, 2))
+    # feed values already in the 31-bit domain by inverting the bias shift
+    a = ((pts[:, 0].astype(np.int64) - (1 << 30)) << 33).astype(np.int64)
+    b = ((pts[:, 1].astype(np.int64) - (1 << 30)) << 33).astype(np.int64)
+    got = hilbert_np(a, b)
+    for i in range(len(pts)):
+        assert got[i] == hilbert_scalar(31, int(pts[i, 0]), int(pts[i, 1]))
+
+
+def test_hilbert_adjacency():
+    # consecutive d along the curve are adjacent cells (order=4 full walk)
+    n = 4
+    coords = {}
+    for x in range(16):
+        for y in range(16):
+            coords[hilbert_scalar(n, x, y)] = (x, y)
+    assert len(coords) == 256
+    for d in range(255):
+        (x1, y1), (x2, y2) = coords[d], coords[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_udf_matches_numpy(spark):
+    a = RNG.integers(-(2**62), 2**62, 200, dtype=np.int64)
+    b = RNG.integers(-(2**62), 2**62, 200, dtype=np.int64)
+    df = spark.createDataFrame([(int(x), int(y)) for x, y in zip(a, b)], ["a", "b"])
+    got = [
+        r["h"] for r in df.select(hilbert_value(F.col("a"), F.col("b")).alias("h")).collect()
+    ]
+    assert got == hilbert_np(a, b).tolist()

