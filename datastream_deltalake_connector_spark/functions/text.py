@@ -1,0 +1,170 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Every function here has two mechanically-equivalent emitters: a Spark
+``Column`` (JVM-side, whole-stage codegen — no UDFs) and an ANSI-SQL string
+for the DuckDB oracle. Keeping the twins in one module is what makes the
+driver's value-hash correctness gate meaningful: both engines evaluate the
+*same* expression tree.
+
+Design rules for oracle safety:
+- integer-scaled scores (× 10000) instead of float ratios — no float-hash
+  flakiness between engines;
+- ASCII-only regex character classes (identical semantics in Java regex and
+  RE2);
+- token-filter counting (split on whitespace, strip punctuation, compare)
+  rather than substring matching — no overlapping-match ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "token_count_sql",
+    "quality_score_cols",
+    "quality_score_sql",
+    "lang_id",
+    "lang_id_sql",
+    "fingerprint_norm",
+    "fingerprint_norm_sql",
+]
+
+_PUNCT_CLASS = "[.,;:!?\"()]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "es": ["el", "los", "las", "por", "con"],
+}
+
+
+# ------------------------------------------------------------- token count
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text counts 0 tokens."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_sql(text: str) -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END"
+    )
+
+
+# ------------------------------------------------------------ quality score
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Integer-scaled quality signals: chars, tokens, punctuation density,
+    mean token length, English stopword density (all per-10k or x100)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    punct = n_chars - F.length(F.regexp_replace(text, _PUNCT_CLASS, ""))
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    stop_list = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stops = F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(stop_list, F.regexp_replace(t, _PUNCT_CLASS, "")),
+        )
+    )
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_per_10k": F.round(punct * 10000 / F.greatest(n_chars, F.lit(1))).cast("long"),
+        "mean_token_len_x100": F.round(
+            (F.length(F.regexp_replace(text, r"\s+", "")) * 100) / safe_tokens
+        ).cast("long"),
+        "stopword_per_10k": F.round(stops * 10000 / safe_tokens).cast("long"),
+    }
+
+
+def quality_score_sql(text: str) -> dict[str, str]:
+    n_tokens = token_count_sql(text)
+    toks = f"regexp_split_to_array(trim(lower({text})), '\\s+')"
+    stop_list = "['" + "','".join(STOPWORDS["en"]) + "']"
+    stops = (
+        f"len(list_filter({toks}, t -> list_contains({stop_list}, "
+        f"regexp_replace(t, '{_PUNCT_CLASS}', '', 'g'))))"
+    )
+    return {
+        "n_chars": f"CAST(length({text}) AS BIGINT)",
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "punct_per_10k": (
+            f"CAST(round((length({text}) - length(regexp_replace({text}, "
+            f"'{_PUNCT_CLASS}', '', 'g'))) * 10000.0 / greatest(length({text}), 1)) AS BIGINT)"
+        ),
+        "mean_token_len_x100": (
+            f"CAST(round(length(regexp_replace({text}, '\\s+', '', 'g')) * 100.0 "
+            f"/ greatest({n_tokens}, 1)) AS BIGINT)"
+        ),
+        "stopword_per_10k": (
+            f"CAST(round({stops} * 10000.0 / greatest({n_tokens}, 1)) AS BIGINT)"
+        ),
+    }
+
+
+# ------------------------------------------------------------------ lang id
+def _stop_count(toks: Column, words: list[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(wl, F.regexp_replace(t, _PUNCT_CLASS, "")),
+        )
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword language guess. CJK characters short-circuit to 'zh';
+    otherwise the language whose stopword set matches most tokens wins
+    (priority en > de > fr > es on ties); no match → 'und'."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    counts = {lang: _stop_count(toks, ws) for lang, ws in STOPWORDS.items()}
+    has_cjk = F.length(F.regexp_replace(text, "[^一-鿿]", "")) > 0
+    c_en, c_de, c_fr, c_es = (counts[l] for l in ("en", "de", "fr", "es"))
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((c_en > 0) & (c_en >= F.greatest(c_de, c_fr, c_es)), F.lit("en"))
+        .when((c_de > 0) & (c_de >= F.greatest(c_fr, c_es)), F.lit("de"))
+        .when((c_fr > 0) & (c_fr >= c_es), F.lit("fr"))
+        .when(c_es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def lang_id_sql(text: str) -> str:
+    toks = f"regexp_split_to_array(trim(lower({text})), '\\s+')"
+
+    def cnt(words: list[str]) -> str:
+        wl = "['" + "','".join(words) + "']"
+        return (
+            f"len(list_filter({toks}, t -> list_contains({wl}, "
+            f"regexp_replace(t, '{_PUNCT_CLASS}', '', 'g'))))"
+        )
+
+    c_en, c_de, c_fr, c_es = (cnt(STOPWORDS[l]) for l in ("en", "de", "fr", "es"))
+    has_cjk = f"length(regexp_replace({text}, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0"
+    return (
+        f"CASE WHEN {has_cjk} THEN 'zh' "
+        f"WHEN {c_en} > 0 AND {c_en} >= greatest({c_de}, {c_fr}, {c_es}) THEN 'en' "
+        f"WHEN {c_de} > 0 AND {c_de} >= greatest({c_fr}, {c_es}) THEN 'de' "
+        f"WHEN {c_fr} > 0 AND {c_fr} >= {c_es} THEN 'fr' "
+        f"WHEN {c_es} > 0 THEN 'es' ELSE 'und' END"
+    )
+
+
+# -------------------------------------------------------------- fingerprint
+def fingerprint_norm(text: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse whitespace, md5.
+    Catches trivially-reformatted duplicates that exact-hash dedup misses."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(F.encode(norm, "UTF-8"))
+
+
+def fingerprint_norm_sql(text: str) -> str:
+    return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"

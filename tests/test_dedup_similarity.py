@@ -1,0 +1,134 @@
+"""Sketch operators (MinHash-LSH, SimHash, LSH-ANN) pinned against exact
+brute-force references, plus entry-contract smoke checks at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+from datastream_deltalake_connector_spark.operators.text_dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_tokens,
+    simhash,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact and near duplicates so the dedup family has signal
+    dup = base.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra trailing words here")))
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup_finds_planted_dups(docs):
+    out = exact_dedup(docs)
+    dups = out.where(F.col("dup_count") >= 2)
+    assert dups.count() == 20
+    # keeper is the min doc_id (the original)
+    assert dups.where(F.col("keeper_id") >= 100000).count() == 0
+
+
+def test_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("  ",)], ["text"]
+    ).select(shingle_tokens(F.col("text"), 3).alias("sh"))
+    rows = [r["sh"] for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    # every pair with true jaccard >= 0.5 must be found by banded LSH
+    # (64 hashes / 16 bands → collision prob at j=0.5 is 1-(1-0.5^4)^16 ≈ 0.65
+    # per band set... so require the verified variant to find the planted
+    # near-dups, which have jaccard >> 0.7)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, min_jaccard_x10k=7000).collect()
+    }
+    assert len(exact) >= 20  # planted near-dups have high overlap
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, verify_min_jaccard_x10k=7000).collect()
+    }
+    missed = exact - lsh
+    assert len(missed) <= len(exact) * 0.05  # ≥95% recall on high-sim pairs
+    assert lsh <= exact  # verification: no false positives
+
+
+def test_simhash_near_dups(docs):
+    # planted near-dups (id + 200000) should mostly land within small hamming
+    sh = simhash(docs)
+    pairs = simhash_pairs(docs, max_hamming=16)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 200000) for i in range(20)}
+    hit = planted & found
+    assert len(hit) >= 10  # simhash is approximate; expect most planted pairs
+    # sanity: hamming reported matches recomputed xor popcount
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    for r in pairs.limit(50).collect():
+        ham = bin((vals[r["id_a"]] ^ vals[r["id_b"]]) & (2**64 - 1)).count("1")
+        assert ham == r["hamming"]
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cands = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(cands, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_ann_topk(cands, q, k=10).collect()]
+    # multiprobe LSH on 500 vecs: expect decent overlap with exact top-10
+    assert len(set(exact) & set(approx)) >= 3
+    # and the approx list must be a subset of candidates ranked correctly:
+    # every returned id's exact rank ≤ 50
+    exact50 = {r["vec_id"] for r in cosine_topk(cands, q, k=50).collect()}
+    assert set(approx) <= exact50
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 18
+
+
+def test_salted_strategies_on_real_skew(spark):
+    """Hot-prefix image ids: salted dedup equals plain window dedup."""
+    from datastream_deltalake_connector_spark.operators.dedup import latest_by_keys
+    from datastream_deltalake_connector_spark.sources.generator import (
+        generate_change_batch,
+    )
+
+    b = generate_change_batch(
+        spark, 50, batch_index=0, updates=60, inserts=10, deletes=10, num_partitions=4
+    ).cache()
+    w = latest_by_keys(b, ["image_id"], ["source_timestamp", "change_seq"], "window")
+    s = latest_by_keys(
+        b, ["image_id"], ["source_timestamp", "change_seq"], "salted", salt_buckets=8
+    )
+    cols = ["image_id", "caption", "phash", "change_seq"]
+    assert sorted(map(tuple, w.select(cols).collect())) == sorted(
+        map(tuple, s.select(cols).collect())
+    )
+    b.unpersist()
