@@ -33,6 +33,12 @@ def get_spark(
     would be ~2-3x total cores and AQE coalesces the rest.
     """
     cores = cores or default_parallelism()
+    # Python workers inherit this env (local mode): without it every worker
+    # spawns nproc BLAS threads for tiny numpy matmuls (phash DCT etc.) and
+    # N workers × nproc threads thrash the box — scan throughput INVERTS
+    # with core count. One BLAS thread per worker is strictly better here.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -47,6 +53,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
