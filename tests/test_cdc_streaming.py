@@ -1,0 +1,192 @@
+"""CDC source layer + Structured Streaming ingest, end-to-end.
+
+Ports the reference's fixture strategy (spark/src/test/resources/tables/
+<table>/<yyyy>/<MM>/<dd>/<HH>/<mm>/records*.json with the Datastream
+envelope of events/schema.json) with original fixture data, and drives the
+two-stream pipeline: file dumps → log table → merged icepack snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.sources.cdc import (
+    DatastreamTable,
+    TableMetadata,
+    discover_tables,
+    flatten_envelope,
+    read_table_batch,
+)
+from datastream_deltalake_connector_spark.streaming.ingest import run_connector_once
+from datastream_deltalake_connector_spark.table import IcepackTable
+
+
+def envelope(uid, ts, pk, name, city, change_type="INSERT", deleted=False,
+             log_file="mysql-bin.000001", log_position=100, read_method="mysql-cdc-binlog"):
+    return {
+        "uuid": f"test-uuid-{uid}",
+        "read_timestamp": ts,
+        "source_timestamp": ts,
+        "object": "demo.people",
+        "read_method": read_method,
+        "stream_name": "projects/0/locations/local/streams/test",
+        "schema_key": "k0",
+        "source_metadata": {
+            "table": "people",
+            "database": "demo",
+            "primary_keys": ["pid"],
+            "log_file": log_file,
+            "log_position": log_position,
+            "change_type": change_type,
+            "is_deleted": deleted,
+        },
+        "payload": {"pid": pk, "name": name, "city": city},
+    }
+
+
+@pytest.fixture(scope="module")
+def stream_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dumps")
+    d1 = root / "people" / "2024" / "01" / "01" / "10" / "00"
+    d2 = root / "people" / "2024" / "01" / "01" / "10" / "05"
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+    batch1 = [
+        envelope(1, "2024-01-01T10:00:01.000Z", "p1", "ada", "berlin", log_position=100),
+        envelope(2, "2024-01-01T10:00:02.000Z", "p2", "grace", "paris", log_position=110),
+        envelope(3, "2024-01-01T10:00:03.000Z", "p3", "alan", "london", log_position=120),
+        # same key twice in one dump: later log_position wins
+        envelope(4, "2024-01-01T10:00:03.000Z", "p3", "alan t", "cambridge", "UPDATE-INSERT", log_position=130),
+    ]
+    batch2 = [
+        # newer update for p1
+        envelope(5, "2024-01-01T10:05:01.000Z", "p1", "ada l", "zurich", "UPDATE-INSERT", log_position=200),
+        # stale event for p2 (older ts than the existing row) → discarded
+        envelope(6, "2024-01-01T09:59:00.000Z", "p2", "stale", "nowhere", "UPDATE-INSERT", log_position=90),
+        # delete p3
+        envelope(7, "2024-01-01T10:05:02.000Z", "p3", "alan t", "cambridge", "DELETE", True, log_position=210),
+        # delete of an absent key → no-op
+        envelope(8, "2024-01-01T10:05:03.000Z", "p9", "ghost", "x", "DELETE", True, log_position=220),
+    ]
+    (d1 / "records1.json").write_text(json.dumps(batch1))
+    (d2 / "records2.json").write_text(json.dumps(batch2))
+    return str(root)
+
+
+def test_discovery(stream_root):
+    tables = discover_tables(stream_root)
+    assert [t.table for t in tables] == ["people"]
+    assert tables[0].table_path == os.path.join(stream_root, "people")
+    assert discover_tables("/nonexistent-root") == []
+
+
+def test_batch_read_and_metadata(spark, stream_root):
+    t = DatastreamTable(stream_root, "people")
+    df = read_table_batch(spark, t, "json")
+    assert df.count() == 8
+    meta = TableMetadata.from_df(df)
+    assert meta.source_type == "mysql"
+    assert meta.table == "people"
+    assert meta.database == "demo"
+    assert meta.primary_keys == ["pid"]
+    assert meta.order_by[0] == "source_timestamp"
+    assert sorted(meta.payload_fields) == ["city", "name", "pid"]
+    # empty batch → None (ST6)
+    assert TableMetadata.from_df(df.where(F.lit(False))) is None
+
+
+def test_flatten_envelope_ordering(spark, stream_root):
+    t = DatastreamTable(stream_root, "people")
+    df = read_table_batch(spark, t, "json")
+    meta = TableMetadata.from_df(df)
+    flat = flatten_envelope(df, meta)
+    assert set(flat.columns) == {
+        "pid", "name", "city", "change_type", "is_deleted",
+        "source_timestamp", "change_seq",
+    }
+    rows = {(r["pid"], r["change_seq"]): r for r in flat.collect()}
+    # log_file suffix packed above log_position: file 1, pos 130
+    assert ((1 << 32) + 130) in [seq for (_, seq) in rows]
+    deleted = [r for r in rows.values() if r["is_deleted"]]
+    assert {r["pid"] for r in deleted} == {"p3", "p9"}
+
+
+def test_avro_gated(spark, stream_root):
+    with pytest.raises(NotImplementedError):
+        read_table_batch(spark, DatastreamTable(stream_root, "people"), "avro")
+
+
+def test_streaming_connector_end_to_end(spark, stream_root, tmp_path):
+    warehouse = str(tmp_path / "warehouse")
+    results = run_connector_once(spark, stream_root, warehouse, fmt="json")
+    assert "people" in results
+
+    merged = IcepackTable.load(spark, results["people"])
+    rows = {
+        r["pid"]: r
+        for r in merged.scan().select("pid", "name", "city").collect()
+    }
+    # golden outcome of the two dumps under reference merge semantics:
+    assert rows == {
+        "p1": rows["p1"],  # structure check below
+        "p2": rows["p2"],
+        # p3 deleted, p9 never inserted
+    }
+    assert set(rows) == {"p1", "p2"}
+    assert (rows["p1"]["name"], rows["p1"]["city"]) == ("ada l", "zurich")
+    assert (rows["p2"]["name"], rows["p2"]["city"]) == ("grace", "paris")
+
+    # log table holds the full append-only history
+    log = spark.read.parquet(os.path.join(warehouse, "people_log"))
+    assert log.count() == 8
+
+    # resumability: draining again with the same checkpoints is a no-op
+    # (no new files), and the merged table is unchanged
+    v_before = merged.head_version()
+    results2 = run_connector_once(spark, stream_root, warehouse, fmt="json")
+    merged2 = IcepackTable.load(spark, results2["people"])
+    assert {
+        (r["pid"], r["name"]) for r in merged2.scan().select("pid", "name").collect()
+    } == {("p1", "ada l"), ("p2", "grace")}
+
+
+def test_streaming_new_dump_incremental(spark, stream_root, tmp_path):
+    """A third dump arriving later is picked up incrementally by the same
+    checkpointed queries (the reference's resident-stream behavior, run here
+    as successive availableNow drains)."""
+    warehouse = str(tmp_path / "warehouse2")
+    run_connector_once(spark, stream_root, warehouse, fmt="json")
+
+    d3 = os.path.join(stream_root, "people", "2024", "01", "01", "10", "10")
+    os.makedirs(d3, exist_ok=True)
+    with open(os.path.join(d3, "records3.json"), "w") as f:
+        json.dump(
+            [
+                envelope(9, "2024-01-01T10:10:00.000Z", "p2", "grace h", "oslo",
+                         "UPDATE-INSERT", log_position=300),
+                envelope(10, "2024-01-01T10:10:01.000Z", "p4", "new kid", "rome",
+                         log_position=310),
+            ],
+            f,
+        )
+    try:
+        results = run_connector_once(spark, stream_root, warehouse, fmt="json")
+        merged = IcepackTable.load(spark, results["people"])
+        rows = {
+            r["pid"]: (r["name"], r["city"])
+            for r in merged.scan().select("pid", "name", "city").collect()
+        }
+        assert rows == {
+            "p1": ("ada l", "zurich"),
+            "p2": ("grace h", "oslo"),
+            "p4": ("new kid", "rome"),
+        }
+    finally:
+        # leave the module-scoped fixture as the earlier tests expect
+        import shutil
+
+        shutil.rmtree(d3, ignore_errors=True)
