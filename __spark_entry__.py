@@ -366,6 +366,108 @@ FROM scored ORDER BY s DESC, vec_id LIMIT 10
 """
 
 
+def _lww_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup on a composite key — the reference's multi-PK conjunction
+    (MergeQueries.scala:131-136) exercised as (user_id, event_type)."""
+    cdc = _events_cdc(spark, sf_dir)
+    return latest_by_keys(
+        cdc,
+        ["user_id", "event_type"],
+        ["source_timestamp", "change_seq"],
+        strategy="max_by",
+    ).select("user_id", "event_type", "value", "source_timestamp", "change_seq")
+
+
+_LWW_COMPOSITE_ORACLE = f"""
+WITH cdc AS ({_CDC_SQL})
+SELECT user_id, event_type, value, source_timestamp, change_seq
+FROM (
+  SELECT cdc.*, row_number() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY source_timestamp DESC, change_seq DESC) AS rn
+  FROM cdc
+) WHERE rn = 1
+"""
+
+
+def _windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (Structured Streaming's windowed-agg shape
+    run in batch): daily counts + value sums per event_type."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("day"), "event_type", "n", "total_value")
+    )
+
+
+_WINDOWED_ORACLE = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs, oracle-safe by construction:
+    embeddings are scaled to int64 (round(x*1e6)) so dot products and norms
+    are EXACT integer sums in both engines; the final cosine is the same
+    fixed float expression over identical integers → bit-identical."""
+    emb = _read(spark, sf_dir, "embeddings")
+    to_int = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    e = emb.select(F.col("vec_id"), to_int.alias("v")).withColumn(
+        "nn",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nn").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nn").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_x10k = F.round(dot / F.sqrt(F.col("na")) / F.sqrt(F.col("nb")) * 10000).cast("long")
+    return (
+        pairs.select("id_a", "id_b", cos_x10k.alias("cos_x10k"))
+        .where(F.col("cos_x10k") >= 2500)
+    )
+
+
+_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_x10k FROM (
+  SELECT id_a, id_b,
+         CAST(round(dot / sqrt(na) / sqrt(nb) * 10000) AS BIGINT) AS cos_x10k
+  FROM p
+) WHERE cos_x10k >= 2500
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -413,6 +515,43 @@ def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().select("image_id", "fmt", "w", "h", "phash", "caption")
 
 
+def _hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key (state-table pandas UDF) — rows-only: the
+    vectorized implementation is pinned against the classic scalar xy2d
+    algorithm in tests/test_functions.py."""
+    from datastream_deltalake_connector_spark.functions.zorder import hilbert_value
+
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        hilbert_value(F.col("l_partkey"), F.col("l_suppkey")).alias("hval"),
+    )
+
+
+def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over generated images (mapInPandas)."""
+    from datastream_deltalake_connector_spark.functions.multimodal import extract_features
+    from datastream_deltalake_connector_spark.sources.generator import generate_images
+
+    imgs = generate_images(spark, 100, num_partitions=4)
+    return extract_features(imgs)
+
+
+def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing over deterministic fake containers."""
+    from datastream_deltalake_connector_spark.functions.multimodal import (
+        make_fake_video,
+        sample_video_frames,
+    )
+
+    rows = [(f"v{i:02d}", make_fake_video(f"v{i:02d}", 30, seed=i)) for i in range(8)]
+    df = spark.createDataFrame(rows, ["video_id", "bytes"])
+    return sample_video_frames(df, every_nth=10).select(
+        "video_id", "frame_index", "w", "h"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the CDC merge core on sf0.001 events."""
     return _merge_upsert(spark, "/root/testdata/sf0.001")
@@ -436,12 +575,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _lang_id_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "ann_cosine_topk": _ann_cosine_topk,
+        "cdc_lww_composite_key": _lww_composite,
+        "events_windowed_agg": _windowed_agg,
+        "embedding_neardup_pairs": _embedding_neardup,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "minhash_lsh_pairs_docs": _minhash_lsh_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "lsh_ann_topk_docs": _lsh_ann_docs,
         "image_merge_pipeline": _image_pipeline,
+        "hilbert_key": _hilbert_key,
+        "image_features": _image_features,
+        "video_frame_sample": _video_frames,
     }
 
 
@@ -463,4 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_docs": _LANG_ID_ORACLE,
         "jaccard_pairs_docs": _JACCARD_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
+        "cdc_lww_composite_key": _LWW_COMPOSITE_ORACLE,
+        "events_windowed_agg": _WINDOWED_ORACLE,
+        "embedding_neardup_pairs": _NEARDUP_ORACLE,
     }

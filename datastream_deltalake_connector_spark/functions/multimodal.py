@@ -1,0 +1,232 @@
+"""Multimodal column operators: images/audio/video as opaque binary columns
+with typed metadata, processed in Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing here is real and tested — schemas, partitioning,
+UDF signatures, batch shapes. Where the container lacks media libraries the
+*codec step only* is stubbed behind ``NotImplementedError`` with a
+deterministic fake for test payloads (the same pattern as functions/image:
+FPNG/FJPG wire formats decode for real; true JPEG/PNG/MP4/WAV would slot
+into the decode functions without touching any Spark plumbing).
+
+Operators:
+- ``resize_images``      — decode → block-mean resize → re-encode (real math
+                           on the deterministic codec).
+- ``extract_features``   — per-image brightness/contrast/edge-energy/
+                           colorfulness floats (real numpy).
+- ``sample_video_frames``— one row per sampled frame from a (stubbed) video
+                           container; the frame-indexing/explosion plumbing
+                           is real, the bitstream decode is the stub.
+- ``audio_features``     — stub decode + real windowed-RMS feature shape.
+
+Everything is ``mapInPandas`` (iterator of pandas DataFrames): constant
+memory per batch, no row-at-a-time Python, output schemas declared up front
+so Catalyst can prune columns across the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .image import decode_image_np, encode_image_np
+
+__all__ = [
+    "resize_images",
+    "extract_features",
+    "sample_video_frames",
+    "audio_features",
+    "FAKE_VIDEO_MAGIC",
+    "make_fake_video",
+]
+
+
+def _block_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-mean resize to (out_h, out_w) — pure numpy, no image libs."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, c), dtype=np.uint8)
+    acc = px.astype(np.float64)
+    for ch in range(c):
+        csum = np.zeros((h + 1, w + 1))
+        csum[1:, 1:] = acc[:, :, ch].cumsum(0).cumsum(1)
+        area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+        s = (
+            csum[ys[1:, None], xs[None, 1:]]
+            - csum[ys[:-1, None], xs[None, 1:]]
+            - csum[ys[1:, None], xs[None, :-1]]
+            + csum[ys[:-1, None], xs[None, :-1]]
+        )
+        out[:, :, ch] = np.clip(s / np.maximum(area, 1), 0, 255).astype(np.uint8)
+    return out
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize every image to (out_w, out_h); expects (image_id, bytes, fmt)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for img_id, data, fmt in zip(b["image_id"], b["bytes"], b["fmt"]):
+                if data is None:
+                    rows.append((img_id, None, None, None, fmt))
+                    continue
+                px = _block_resize(decode_image_np(data), out_w, out_h)
+                rows.append((img_id, encode_image_np(px, fmt), out_w, out_h, fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"], dtype=object
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("contrast", T.DoubleType()),
+        T.StructField("edge_energy", T.DoubleType()),
+        T.StructField("colorfulness", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Cheap visual statistics per image — the feature-extraction stage of a
+    multimodal curation pipeline (quality filtering / stratified sampling)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for img_id, data in zip(b["image_id"], b["bytes"]):
+                if data is None:
+                    rows.append((img_id, None, None, None, None))
+                    continue
+                px = decode_image_np(data).astype(np.float64)
+                gray = px.mean(axis=2)
+                gx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+                gy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+                rg = px[:, :, 0] - px[:, :, 1]
+                yb = 0.5 * (px[:, :, 0] + px[:, :, 1]) - px[:, :, 2]
+                colorfulness = float(
+                    np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+                    + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+                )
+                rows.append(
+                    (img_id, float(gray.mean()), float(gray.std()), float(gx + gy), colorfulness)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "brightness", "contrast", "edge_energy", "colorfulness"],
+                dtype=object,
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------- video
+FAKE_VIDEO_MAGIC = b"FVID"
+
+
+def make_fake_video(video_id: str, n_frames: int, w: int = 16, h: int = 12, seed: int = 0) -> bytes:
+    """Deterministic fake container: magic | n_frames(u32) | frames of raw
+    RGB. Stands in for MP4 until a real decoder is available."""
+    import struct
+
+    rng = np.random.default_rng(seed ^ hash(video_id) & 0x7FFFFFFF)
+    frames = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+    return struct.pack("<4sIII", FAKE_VIDEO_MAGIC, n_frames, w, h) + frames.tobytes()
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),  # FPNG-encoded frame
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Explode each video row into one row per sampled frame. The container
+    parse for real MP4/WebM requires a media library this container lacks —
+    only the FVID fake decodes; anything else raises NotImplementedError.
+    The row-explosion plumbing (1→N rows inside mapInPandas, typed schema,
+    frame re-encode to the image codec) is the real, tested part."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for vid, data in zip(b["video_id"], b["bytes"]):
+                if data is None:
+                    continue
+                magic, n, w, h = struct.unpack_from("<4sIII", data)
+                if magic != FAKE_VIDEO_MAGIC:
+                    raise NotImplementedError(
+                        "real video decode requires a media library not in "
+                        "this container; only FVID fake containers decode"
+                    )
+                frames = np.frombuffer(data, dtype=np.uint8, offset=16).reshape(n, h, w, 3)
+                for i in range(0, n, every_nth):
+                    rows.append(
+                        (vid, i, encode_image_np(frames[i], "png"), int(w), int(h))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "frame_index", "frame_bytes", "w", "h"],
+                dtype=object,
+            )
+
+    return df.select("video_id", "bytes").mapInPandas(run, FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("rms", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def audio_features(df: DataFrame, window: int = 1024) -> DataFrame:
+    """Windowed RMS over PCM float32 payloads (raw little-endian; a real
+    WAV/FLAC/MP3 decode would go where the frombuffer is). Expects
+    (audio_id, bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, data in zip(b["audio_id"], b["bytes"]):
+                if data is None:
+                    rows.append((aid, None, None))
+                    continue
+                pcm = np.frombuffer(data, dtype=np.float32)
+                n = len(pcm) // window
+                if n == 0:
+                    rows.append((aid, 0, []))
+                    continue
+                chunks = pcm[: n * window].reshape(n, window).astype(np.float64)
+                rms = np.sqrt((chunks**2).mean(axis=1))
+                rows.append((aid, n, rms.tolist()))
+            yield pd.DataFrame(rows, columns=["audio_id", "n_windows", "rms"], dtype=object)
+
+    return df.select("audio_id", "bytes").mapInPandas(run, AUDIO_SCHEMA)
