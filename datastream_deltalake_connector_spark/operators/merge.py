@@ -108,21 +108,9 @@ def merge_batch(
     return apply_winners(target, winners, keys, broadcast_source=broadcast_source)
 
 
-def apply_winners(
-    target: DataFrame,
-    winners: DataFrame,
-    keys: list[str],
-    broadcast_source: bool = False,
-) -> DataFrame:
-    """Resolve deduped winner rows against the target via one full-outer join.
-
-    Produces exactly the reference's three-clause MERGE result. Column set of
-    the output = target columns ∪ new payload columns from the batch (schema
-    evolution: new columns appended nullable, removed columns retained —
-    DeltaSchemaMigrationSpec.scala:55-152).
-    """
-    # Merged-table projection of the winners, keeping the delete flag as a
-    # private resolution column (dropped from the output).
+def _source_projection(winners: DataFrame, keys: list[str]) -> tuple[DataFrame, list[str]]:
+    """Merged-table projection of the winners, keeping the delete flag as a
+    private resolution column (dropped from the output)."""
     payload = payload_columns(winners, keys)
     src = winners.select(
         *keys,
@@ -131,6 +119,35 @@ def apply_winners(
         F.col(SEQ_COL).alias(SEQ_META),
         F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("__deleted"),
     )
+    return src, payload
+
+
+def apply_winners(
+    target: DataFrame,
+    winners: DataFrame,
+    keys: list[str],
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """Resolve deduped winner rows against the target.
+
+    Produces exactly the reference's three-clause MERGE result. Column set of
+    the output = target columns ∪ new payload columns from the batch (schema
+    evolution: new columns appended nullable, removed columns retained —
+    DeltaSchemaMigrationSpec.scala:55-152).
+
+    Physical strategy:
+    - default: ONE full-outer sort-merge join (AQE handles skew). Spark
+      cannot broadcast a full-outer build side, so this always shuffles both
+      sides — correct at any size ratio.
+    - ``broadcast_source=True`` (small batch vs big target — the common CDC
+      case): decompose into broadcastable joins so the TARGET NEVER
+      SHUFFLES: a left-outer join target×broadcast(src) resolves updates/
+      deletes/keeps, a left-semi target×broadcast(src) finds matched keys,
+      and src anti-joined against the broadcast matched-key set yields
+      inserts. Two scans of the (manifest-pruned) target, zero exchanges of
+      the pixel-carrying rows.
+    """
+    src, _ = _source_projection(winners, keys)
 
     target_payload = [c for c in target.columns if c not in keys and c not in META_COLS]
     source_payload = [
@@ -139,9 +156,12 @@ def apply_winners(
     # Union preserving target order, new batch columns appended (mergeSchema).
     out_payload = target_payload + [c for c in source_payload if c not in target_payload]
 
-    s = src.select([F.col(c).alias(f"__s_{c}") for c in src.columns])
     if broadcast_source:
-        s = F.broadcast(s)
+        return _apply_winners_broadcast(
+            target, src, keys, out_payload, source_payload
+        )
+
+    s = src.select([F.col(c).alias(f"__s_{c}") for c in src.columns])
 
     cond = None
     for k in keys:
@@ -173,3 +193,63 @@ def apply_winners(
     out_cols += [pick(c) for c in out_payload + META_COLS]
 
     return joined.where(~drop_row).select(*out_cols)
+
+
+def _apply_winners_broadcast(
+    target: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    out_payload: list[str],
+    source_payload: list[str],
+) -> DataFrame:
+    """Broadcast decomposition of the MERGE (see apply_winners docstring)."""
+    s = src.select([F.col(c).alias(f"__s_{c}") for c in src.columns])
+
+    def key_cond(left: DataFrame, right: DataFrame):
+        cond = None
+        for k in keys:
+            c = left[k] == right[f"__s_{k}"]
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    # 1. updates / deletes / keeps: left-outer with the small side broadcast
+    joined = target.join(F.broadcast(s), key_cond(target, s), "left_outer")
+    s_key = F.col(f"__s_{keys[0]}")
+    take_source = s_key.isNotNull() & (F.col(TS_META) <= F.col(f"__s_{TS_META}"))
+    drop_row = take_source & F.col("__s___deleted")
+
+    def pick(col: str) -> F.Column:
+        s_col = (
+            F.col(f"__s_{col}")
+            if col in source_payload or col in META_COLS
+            else F.lit(None)
+        )
+        t_col = F.col(col) if col in target.columns else F.lit(None)
+        return F.when(take_source, s_col).otherwise(t_col).alias(col)
+
+    resolved = joined.where(~drop_row).select(
+        *[F.col(k) for k in keys], *[pick(c) for c in out_payload + META_COLS]
+    )
+
+    # 2. inserts: src keys not matched in the target. The matched-key set is
+    # ≤ |src| (semi join with src broadcast), so IT broadcasts too — the
+    # anti join never shuffles.
+    matched_keys = (
+        target.select(*keys)
+        .join(F.broadcast(s.select(*[f"__s_{k}" for k in keys])), key_cond(target, s), "left_semi")
+        .select(*[F.col(k).alias(f"__m_{k}") for k in keys])
+    )
+    anti_cond = None
+    for k in keys:
+        c = src[k] == F.col(f"__m_{k}")
+        anti_cond = c if anti_cond is None else (anti_cond & c)
+    inserts = src.join(F.broadcast(matched_keys), anti_cond, "left_anti").where(
+        ~F.col("__deleted")
+    )
+    insert_cols = [F.col(k) for k in keys]
+    insert_cols += [
+        (F.col(c) if c in source_payload else F.lit(None)).alias(c) for c in out_payload
+    ]
+    insert_cols += [F.col(m) for m in META_COLS]
+
+    return resolved.unionByName(inserts.select(*insert_cols))

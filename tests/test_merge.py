@@ -244,3 +244,47 @@ def test_winners_as_merged_shape(spark):
     b = batch(spark, [ev("1", "ann", "a st")])
     m = winners_as_merged(b, ["id"])
     assert m.columns == ["id", "name", "address", TS_META, SEQ_META]
+
+
+@pytest.mark.parametrize("scenario", ["mixed", "all_inserts", "all_deletes"])
+def test_broadcast_path_equals_default(spark, scenario):
+    """The broadcast decomposition (left-outer + semi + anti) must be
+    row-identical to the full-outer reference plan in every clause mix."""
+    t1 = merge_batch(
+        empty_target(spark),
+        batch(spark, [ev("1", "ann", "a st"), ev("2", "bob", "b st"), ev("3", "cy", "c st")]),
+        ["id"],
+    )
+    if scenario == "mixed":
+        rows = [
+            ev("1", "ann2", "new st", minutes=5, ct="UPDATE-INSERT"),      # update
+            ev("2", "bob", "b st", minutes=5, ct="DELETE", deleted=True),  # delete
+            ev("4", "dee", "d st", minutes=5),                             # insert
+            ev("5", "eve", "e st", minutes=5, ct="DELETE", deleted=True),  # absent delete
+            ev("3", "old", "x", minutes=-5, ct="UPDATE-INSERT"),           # stale
+        ]
+    elif scenario == "all_inserts":
+        rows = [ev(str(i), f"n{i}", "s", minutes=9) for i in range(10, 16)]
+    else:
+        rows = [ev(str(i), "x", "y", minutes=9, ct="DELETE", deleted=True) for i in ("1", "2", "3")]
+    b = batch(spark, rows)
+    default = merge_batch(t1, b, ["id"], broadcast_source=False)
+    bcast = merge_batch(t1, b, ["id"], broadcast_source=True)
+    assert snap(default) == snap(bcast)
+
+
+def test_broadcast_path_has_no_target_exchange(spark):
+    """Scale assertion: with broadcast_source=True, the target side never
+    shuffles — the physical plan contains only broadcast exchanges."""
+    t1 = merge_batch(
+        empty_target(spark), batch(spark, [ev("1", "ann", "a st")]), ["id"]
+    )
+    t1 = spark.createDataFrame(t1.collect(), t1.schema)  # pin as a leaf
+    b = batch(spark, [ev("2", "bob", "b st", minutes=1)])
+    out = merge_batch(t1, b, ["id"], broadcast_source=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Every join must be a broadcast join (target side streamed, never
+    # shuffled); the only hash exchanges allowed are the small batch's own
+    # dedup groupBy.
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
