@@ -80,12 +80,14 @@ def decode_image_np(data: bytes) -> np.ndarray:
 
 
 def _block_mean_32(gray: np.ndarray) -> np.ndarray:
-    """Resize HxW → 32x32 by integer block means (pure numpy)."""
+    """Resize HxW → 32x32 by integer block means (pure numpy). Integer
+    inputs use an exact int64 summed-area table (faster than float64)."""
     h, w = gray.shape
     ys = (np.arange(33) * h) // 32
     xs = (np.arange(33) * w) // 32
-    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = gray.cumsum(0).cumsum(1)
+    acc_t = np.int64 if np.issubdtype(gray.dtype, np.integer) else np.float64
+    csum = np.zeros((h + 1, w + 1), dtype=acc_t)
+    csum[1:, 1:] = gray.astype(acc_t).cumsum(0).cumsum(1)
     area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
     out = (
         csum[ys[1:, None], xs[None, 1:]]
@@ -112,16 +114,17 @@ def _dct_matrix() -> np.ndarray:
 def phash_np(pixels: np.ndarray) -> int:
     """64-bit DCT perceptual hash (classic pHash construction):
     grayscale → 32x32 block-mean resize → 2D DCT → top-left 8x8 (minus DC)
-    thresholded at its median."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    thresholded at its median. Grayscale is the integer channel SUM (not
+    mean): the DCT is linear and the median threshold is scale-invariant, so
+    the bits are unaffected while the float64 image conversion disappears."""
+    gray = pixels[:, :, 0].astype(np.int32) + pixels[:, :, 1] + pixels[:, :, 2]
     small = _block_mean_32(gray)
     d = _dct_matrix()
     freq = d @ small @ d.T
     block = freq[:8, :8].flatten()[1:]  # drop DC
     bits = block > np.median(block)
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    # packbits == the MSB-first fold of the 63 bits (1 pad bit at the end)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big") >> 1
     return val - (1 << 63) if val >= (1 << 63) else val  # wrap into int64
 
 

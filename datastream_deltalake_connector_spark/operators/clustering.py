@@ -45,6 +45,30 @@ def cluster(
     if not entries:
         return parent
 
+    # Resume: if this job already staged its rewrite (journal record with all
+    # outputs still on disk) but died before the commit, reuse the staged
+    # files verbatim instead of re-shuffling the table.
+    import os
+
+    done = journal.completed("cluster")
+    if "all" in done and not journal.committed():
+        rec = done["all"]
+        if all(os.path.exists(os.path.join(table.root, p)) for p in rec["files_out"]):
+            staged = [
+                table._footer_entry(
+                    os.path.join(table.root, p), p, set(table.stats_cols())
+                )
+                for p in rec["files_out"]
+            ]
+            version = table.commit(
+                "cluster",
+                added=staged,
+                removed_paths=rec["files_in"],
+                summary={"curve": curve, "cluster_cols": list(cols), "job_id": job_id, "resumed": True},
+            )
+            journal.log_commit(version)
+            return version
+
     df = table.scan(version=parent)
     a = F.col(cols[0]).cast("long")
     b = F.xxhash64(F.col(cols[1]))

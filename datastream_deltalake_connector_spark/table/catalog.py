@@ -1,0 +1,71 @@
+"""Warehouse catalog: named icepack tables under one root.
+
+The reference's catalog surface is ``CREATE DATABASE IF NOT EXISTS ...
+LOCATION path`` plus Delta's ``saveAsTable``/``DeltaTable.forName``
+(reference: delta/DeltaSchemaMigration.scala:17-22, datastream/
+DataStreamSchema.scala:9-10). icepack tables are directories, so the catalog
+is a directory of directories with the same if-not-exists semantics; names
+are sanitized the way the reference sanitizes Datastream table names
+(``replace('.', '_')``, reference: delta/DatastreamDeltaTable.scala:9-10).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .icepack import IcepackTable
+
+__all__ = ["Catalog", "sanitize_table_name"]
+
+
+def sanitize_table_name(name: str) -> str:
+    """Datastream table ids may contain dots (``inventory.voters``)."""
+    return name.replace(".", "_").replace("/", "_")
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, sanitize_table_name(name))
+
+    def table_names(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.warehouse)
+            if os.path.exists(os.path.join(self.warehouse, n, "metadata", "HEAD"))
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), "metadata", "HEAD"))
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        stats_cols: list[str] | None = None,
+        if_not_exists: bool = True,
+    ) -> IcepackTable:
+        """CREATE TABLE [IF NOT EXISTS] semantics (D1 analogue)."""
+        if self.exists(name):
+            if if_not_exists:
+                return self.load_table(name)
+            raise FileExistsError(f"table exists: {name}")
+        return IcepackTable.create(self.spark, self._path(name), schema, stats_cols)
+
+    def load_table(self, name: str) -> IcepackTable:
+        return IcepackTable.load(self.spark, self._path(name))
+
+    def drop_table(self, name: str) -> bool:
+        p = self._path(name)
+        if not os.path.exists(p):
+            return False
+        shutil.rmtree(p)
+        return True

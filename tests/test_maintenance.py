@@ -246,3 +246,73 @@ def test_compaction_resume_reuses_staged_output(spark, tmp_path):
 
 def scan_key_state_kv(t):
     return sorted((r["k"], r["v"]) for r in t.scan().collect())
+
+
+def test_cluster_resume_reuses_staged_rewrite(spark, tmp_path):
+    """A cluster job that staged its rewrite but died pre-commit resumes by
+    committing the staged files instead of re-shuffling."""
+    from datastream_deltalake_connector_spark.table.lineage import LineageJournal as LJ
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("phash", T.LongType()), T.StructField("image_id", T.StringType())]
+    )
+    t = IcepackTable.create(spark, str(tmp_path / "t"), schema)
+    t.append(
+        spark.range(500).select(
+            (F.col("id") * 7919).alias("phash"),
+            F.format_string("i%05d", "id").alias("image_id"),
+        ),
+        num_files=4,
+    )
+    before = sorted(map(tuple, t.scan().collect()))
+    v1 = cluster(t, curve="zorder", num_files=2, job_id="clu-resume")
+    # simulate "died before commit": roll HEAD back and strip the commit record
+    t._atomic_write(os.path.join(t.meta_dir, "HEAD"), str(v1 - 1))
+    j = LJ(t.root, "clu-resume")
+    recs = [r for r in j.records() if r["stage"] != "commit"]
+    with open(j.path, "w") as f:
+        import json as _json
+
+        for r in recs:
+            f.write(_json.dumps(r) + "\n")
+    v2 = cluster(t, curve="zorder", num_files=2, job_id="clu-resume")
+    assert t.snapshot(v2).summary.get("resumed") is True
+    assert sorted(map(tuple, t.scan().collect())) == before
+
+
+def test_expiry_by_age(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    t = IcepackTable.create(spark, str(tmp_path / "t"), schema)
+    for lo in (0, 10, 20):
+        t.append(spark.range(lo, lo + 10).select(F.col("id").alias("v")), num_files=1)
+    # cutoff in the future + big keep_last → nothing to expire except by age
+    rep = expire_snapshots(t, keep_last=1, older_than_ms=0, dry_run=True)
+    # cutoff 0: every snapshot is newer than the cutoff → all retained
+    assert rep["expired_snapshots"] == []
+    rep2 = expire_snapshots(t, keep_last=1)  # default cutoff = now → age check passes
+    assert rep2["expired_snapshots"] == [0, 1, 2]
+
+
+def test_catalog(spark, tmp_path):
+    from datastream_deltalake_connector_spark.table.catalog import Catalog
+    from pyspark.sql import types as T
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    t = cat.create_table("inventory.voters", schema)
+    assert cat.table_names() == ["inventory_voters"]
+    assert cat.exists("inventory.voters")
+    # if-not-exists returns the same table; strict create raises
+    t2 = cat.create_table("inventory.voters", schema)
+    assert t2.root == t.root
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        cat.create_table("inventory.voters", schema, if_not_exists=False)
+    t.append(spark.range(5).select(F.col("id").alias("v")))
+    assert cat.load_table("inventory.voters").scan().count() == 5
+    assert cat.drop_table("inventory.voters")
+    assert not cat.exists("inventory.voters")
