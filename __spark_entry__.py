@@ -468,6 +468,240 @@ SELECT id_a, id_b, cos_x10k FROM (
 """
 
 
+# ----------------------------------------- joins, windows, sessions, rollups
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join, agg, top-k. The customer dim is
+    explicitly broadcast (small side); lineitem×orders is the only shuffle."""
+    c = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def _region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with every dimension broadcast — the fact
+    table (lineitem) is the only shuffled relation, and only for the agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_REGION_NATION_ORACLE = """
+SELECT r_name, n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def _supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window over an aggregate: top-3 suppliers per nation by
+    lineitem revenue. Pre-aggregates to one row per supplier BEFORE the
+    window, so the rank sorts |suppliers| rows, not |lineitem|."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.col("s_suppkey"))
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("n_name", "rnk", "s_suppkey", "revenue")
+    )
+
+
+_SUPPLIER_RANK_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT n_name, rnk, s_suppkey, revenue FROM (
+  SELECT n_name, s_suppkey, revenue,
+         CAST(row_number() OVER (PARTITION BY n_name
+             ORDER BY revenue DESC, s_suppkey) AS INTEGER) AS rnk
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+) WHERE rnk <= 3
+"""
+
+
+def _orders_anti_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: orders none of whose lineitems shipped after the
+    cutoff (the reference's MERGE insert-detection anti-join surfaced as a
+    standalone operator, SURVEY §2.3)."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("2000-06-01")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_ORDERS_ANTI_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey NOT IN (
+  SELECT l_orderkey FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-06-01')
+GROUP BY o_orderstatus
+"""
+
+
+def _customers_semi_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one urgent open order (the
+    MERGE touched-file finder's join type, operators/table_merge.py)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_CUSTOMERS_SEMI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+GROUP BY c_mktsegment
+"""
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag window per user →
+    session starts → counts. The batch twin of the streaming session-window
+    operator in streaming/stateful.py."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+def _rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (returnflag, linestatus), per returnflag,
+    and grand total in one pass (partial-agg friendly — Spark expands to
+    grouping sets with a single shuffle)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + exact percentile per day. distinct expands to a
+    two-stage partial agg; percentile is the only full-sort-per-group op."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        )
+    )
+
+
+_DAILY_DISTINCT_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 4) AS median_value
+FROM events GROUP BY 1
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -482,6 +716,77 @@ def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     return lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10).select("rank", "vec_id")
+
+
+def _ivf_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (coarse-quantize → probe nearest cells → exact re-rank);
+    recall vs brute force pinned in tests/test_dedup_similarity.py."""
+    from datastream_deltalake_connector_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return ivf_ann_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=6).select(
+        "rank", "vec_id"
+    )
+
+
+def _icepack_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: build a table, apply a deleting/updating change
+    batch, then diff the pinned pre-merge snapshot against HEAD with an
+    anti-join — returns the deleted keys plus per-version row counts."""
+    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+    from datastream_deltalake_connector_spark.sources.generator import (
+        MERGED_IMAGE_SCHEMA,
+        generate_change_batch,
+        generate_images,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-tt-"), "images")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 100, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
+        F.lit(0).cast("long").alias(SEQ_META),
+    )
+    t.append(base, num_files=4)
+    v1 = t.head_version()
+    batch = generate_change_batch(
+        spark, 100, batch_index=0, updates=10, inserts=0, deletes=12, num_partitions=4
+    )
+    merge_into_table(t, batch)
+    old = t.scan(version=v1).select("image_id")
+    new = t.scan().select("image_id")
+    deleted = old.join(new, "image_id", "left_anti").select(
+        F.col("image_id"), F.lit("deleted").alias("status")
+    )
+    return deleted.orderBy("image_id")
+
+
+def _icepack_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max file pruning: write the table range-partitioned on
+    image_id, scan a narrow key range — the file list is pruned BEFORE Spark
+    plans the read (tests assert the skipped-file count)."""
+    from datastream_deltalake_connector_spark.sources.generator import (
+        MERGED_IMAGE_SCHEMA,
+        generate_images,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-prune-"), "images")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 200, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
+        F.lit(0).cast("long").alias(SEQ_META),
+    )
+    staged = base.repartitionByRange(8, F.col("image_id")).sortWithinPartitions("image_id")
+    added = t.write_data_files(staged)
+    t.commit("append", added=added, removed_paths=[], expected_parent=t.head_version())
+    return (
+        t.scan(filters=[("image_id", "between", ("10", "2f"))])
+        .select("image_id", "w", "h", "fmt")
+        .orderBy("image_id")
+    )
 
 
 def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,11 +883,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
         "embedding_neardup_pairs": _embedding_neardup,
+        "shipping_priority": _shipping_priority,
+        "region_nation_revenue": _region_nation_revenue,
+        "supplier_revenue_rank": _supplier_revenue_rank,
+        "orders_anti_recent": _orders_anti_recent,
+        "customers_semi_urgent": _customers_semi_urgent,
+        "events_sessionize": _events_sessionize,
+        "rollup_revenue": _rollup_revenue,
+        "daily_distinct_users": _daily_distinct_users,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "minhash_lsh_pairs_docs": _minhash_lsh_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "lsh_ann_topk_docs": _lsh_ann_docs,
+        "ivf_ann_topk_docs": _ivf_ann_docs,
+        "icepack_time_travel": _icepack_time_travel,
+        "icepack_pruned_scan": _icepack_pruned_scan,
         "image_merge_pipeline": _image_pipeline,
         "hilbert_key": _hilbert_key,
         "image_features": _image_features,
@@ -611,4 +927,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_composite_key": _LWW_COMPOSITE_ORACLE,
         "events_windowed_agg": _WINDOWED_ORACLE,
         "embedding_neardup_pairs": _NEARDUP_ORACLE,
+        "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
+        "region_nation_revenue": _REGION_NATION_ORACLE,
+        "supplier_revenue_rank": _SUPPLIER_RANK_ORACLE,
+        "orders_anti_recent": _ORDERS_ANTI_ORACLE,
+        "customers_semi_urgent": _CUSTOMERS_SEMI_ORACLE,
+        "events_sessionize": _SESSIONIZE_ORACLE,
+        "rollup_revenue": _ROLLUP_ORACLE,
+        "daily_distinct_users": _DAILY_DISTINCT_ORACLE,
     }

@@ -22,7 +22,16 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot_literal", "cosine_topk", "hyperplanes", "lsh_bucket", "lsh_ann_topk"]
+__all__ = [
+    "dot_literal",
+    "cosine_topk",
+    "hyperplanes",
+    "lsh_bucket",
+    "lsh_ann_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_ann_topk",
+]
 
 
 def dot_literal(vec_col: Column, query: list[float]) -> Column:
@@ -115,4 +124,46 @@ def lsh_ann_topk(
         }
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     cands = bucketed.where(F.col("__bucket").isin(*probes))
+    return cosine_topk(cands, query, k, vec_col, id_col)
+
+
+# --------------------------------------------------------------------- IVF
+def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm cell centroids (seeded random projections —
+    a stand-in for a trained k-means codebook; at production scale the
+    codebook would be fit once on a sample and broadcast, exactly like
+    these literals are)."""
+    c = np.random.default_rng(seed).standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id by cosine (vectors need not be normalized:
+    argmax of dot/|v| equals argmax of dot for a fixed v). JVM-side:
+    array of centroid dots → array_position of the max — no Python."""
+    dots = F.array(*[dot_literal(vec_col, c.tolist()) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid,
+    probe the ``nprobe`` cells nearest the query, re-rank candidates exactly.
+    Same output shape as cosine_topk. At 10^12 rows the cell id is the
+    table's write-time partition key, so probing touches only nprobe/n_cells
+    of the files via manifest pruning."""
+    cents = ivf_centroids(len(query), n_cells, seed)
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(-(cents @ q))
+    probe_cells = [int(c) for c in order[:nprobe]]
+    assigned = df.withColumn("__cell", ivf_assign(F.col(vec_col), cents))
+    cands = assigned.where(F.col("__cell").isin(*probe_cells))
     return cosine_topk(cands, query, k, vec_col, id_col)

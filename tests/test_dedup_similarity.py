@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from datastream_deltalake_connector_spark.operators.similarity import (
     cosine_topk,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_centroids,
     lsh_ann_topk,
 )
 from datastream_deltalake_connector_spark.operators.text_dedup import (
@@ -101,6 +104,37 @@ def test_lsh_ann_recall(spark):
     # every returned id's exact rank ≤ 50
     exact50 = {r["vec_id"] for r in cosine_topk(cands, q, k=50).collect()}
     assert set(approx) <= exact50
+
+
+def test_ivf_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cands = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(cands, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_ann_topk(cands, q, k=10, nprobe=6).collect()]
+    # probing 6/16 cells must keep most of the exact top-10 (near vectors
+    # share the query's coarse cell with high probability)
+    assert len(set(exact) & set(approx)) >= 5
+    # every returned id must be genuinely near: within exact top-50
+    exact50 = {r["vec_id"] for r in cosine_topk(cands, q, k=50).collect()}
+    assert set(approx) <= exact50
+
+
+def test_ivf_assign_matches_numpy(spark):
+    """Cell assignment (JVM argmax fold) equals numpy argmax exactly."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    rows = emb.select("vec_id", "embedding").collect()
+    dim = len(rows[0]["embedding"])
+    cents = ivf_centroids(dim, 16)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", ivf_assign(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert got[r["vec_id"]] == int(np.argmax(cents @ v))
 
 
 def test_entry_contract(spark):
