@@ -843,6 +843,76 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(imgs)
 
 
+def _audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing: windowed RMS over deterministic PCM float32
+    payloads via mapInPandas (real codec decode is stubbed per environment)."""
+    import numpy as np
+
+    from datastream_deltalake_connector_spark.functions.multimodal import audio_features
+
+    rows = []
+    for i in range(12):
+        rng = np.random.default_rng(100 + i)
+        pcm = (rng.standard_normal(4096) * 0.1).astype(np.float32)
+        rows.append((f"a{i:02d}", pcm.tobytes()))
+    df = spark.createDataFrame(rows, ["audio_id", "bytes"])
+    out = audio_features(df, window=1024)
+    return out.select(
+        "audio_id",
+        "n_windows",
+        F.round(F.element_at("rms", 1) * 1000000).cast("long").alias("rms0_x1e6"),
+    )
+
+
+def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean resize of generated images to 32x32 thumbnails
+    (mapInPandas over Arrow batches); output dims + thumbnail phash."""
+    from datastream_deltalake_connector_spark.functions.image import phash_udf
+    from datastream_deltalake_connector_spark.functions.multimodal import resize_images
+    from datastream_deltalake_connector_spark.sources.generator import generate_images
+
+    imgs = generate_images(spark, 80, num_partitions=4)
+    out = resize_images(imgs, 32, 32)
+    return out.select(
+        "image_id", "w", "h", phash_udf(F.col("bytes")).alias("thumb_phash")
+    )
+
+
+def _icepack_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachability-based snapshot expiry: after maintenance creates several
+    snapshots, expire all but the newest; returns the surviving snapshot
+    versions and their live file counts (orphan data files deleted)."""
+    from datastream_deltalake_connector_spark.operators.compaction import compact
+    from datastream_deltalake_connector_spark.operators.expire import expire_snapshots
+    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+    from datastream_deltalake_connector_spark.sources.generator import (
+        MERGED_IMAGE_SCHEMA,
+        generate_change_batch,
+        generate_images,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-exp-"), "images")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 80, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
+        F.lit(0).cast("long").alias(SEQ_META),
+    )
+    t.append(base, num_files=6)
+    merge_into_table(
+        t,
+        generate_change_batch(
+            spark, 80, batch_index=0, updates=10, inserts=5, deletes=5, num_partitions=4
+        ),
+    )
+    compact(t, target_bytes=4 * 1024 * 1024)
+    expire_snapshots(t, keep_last=1)
+    snaps = t.snapshots()
+    rows = [(s.version, len(t.files(s.version))) for s in snaps]
+    return spark.createDataFrame(rows, ["version", "n_files"]).orderBy("version")
+
+
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling plumbing over deterministic fake containers."""
     from datastream_deltalake_connector_spark.functions.multimodal import (
@@ -899,6 +969,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_docs": _ivf_ann_docs,
         "icepack_time_travel": _icepack_time_travel,
         "icepack_pruned_scan": _icepack_pruned_scan,
+        "icepack_expire": _icepack_expire,
+        "audio_rms_features": _audio_rms,
+        "image_resize_thumbs": _image_resize,
         "image_merge_pipeline": _image_pipeline,
         "hilbert_key": _hilbert_key,
         "image_features": _image_features,
