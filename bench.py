@@ -155,6 +155,10 @@ def maintenance_bench(spark, n_images: int) -> dict:
         "root": root,
         "merge_sec": merge_sec,
         "merge_changes_per_sec": n_changes / merge_sec,
+        # uniform-key batches defeat file pruning by construction (every file
+        # overlaps the batch), so the merge is a full-table rewrite — report
+        # the rewrite bandwidth, not just changes/sec
+        "merge_gb_per_min": gb / (merge_sec / 60),
         "compact_sec": compact_sec,
         "compact_gb_per_min": gb / (compact_sec / 60),
         "cluster_sec": cluster_sec,
@@ -240,7 +244,8 @@ def write_bench_md(payload: dict) -> None:
         "| stage | time (s) | throughput |",
         "|---|---|---|",
         f"| ingest (gen+append) | {m['ingest_sec']:.1f} | {m['ingest_images_per_sec']:.0f} images/sec |",
-        f"| CDC merge batch | {m['merge_sec']:.1f} | {m['merge_changes_per_sec']:.0f} changes/sec |",
+        f"| CDC merge batch (uniform keys → full rewrite) | {m['merge_sec']:.1f} | "
+        f"{m['merge_changes_per_sec']:.0f} changes/sec ({m['merge_gb_per_min']:.2f} GB/min rewrite) |",
         f"| compaction (FFD→512MB) | {m['compact_sec']:.1f} | {m['compact_gb_per_min']:.2f} GB/min |",
         f"| Z-order cluster | {m['cluster_sec']:.1f} | {m['cluster_gb_per_min']:.2f} GB/min |",
         f"| post-maintenance full scan (decode+phash) | {m['scan_sec']:.1f} | {m['scan_images_per_sec']:.0f} images/sec |",
@@ -262,6 +267,10 @@ def write_bench_md(payload: dict) -> None:
             "That is vCPU oversubscription/SMT on the shared VM, not engine",
             "behavior; real 4N executors bring their own cores and memory bus.",
             "The N→4N pair is therefore taken inside the host's linear region.",
+            "",
+            f"Best-level post-maintenance scan throughput (same job/table as the",
+            f"maintenance row above, host noise filtered by interleaved best-of):",
+            f"**{max(s['low_images_per_sec'], s['high_images_per_sec']):.0f} images/sec**.",
             "",
         ]
     lines += [
