@@ -64,6 +64,7 @@ __all__ = [
     "winners_as_merged",
     "merge_batch",
     "apply_winners",
+    "apply_winners_split",
 ]
 
 
@@ -203,6 +204,43 @@ def _apply_winners_broadcast(
     source_payload: list[str],
 ) -> DataFrame:
     """Broadcast decomposition of the MERGE (see apply_winners docstring)."""
+    resolved, inserts = _resolve_and_inserts_broadcast(
+        target, src, keys, out_payload, source_payload
+    )
+    return resolved.unionByName(inserts)
+
+
+def apply_winners_split(
+    target: DataFrame,
+    winners: DataFrame,
+    keys: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcast MERGE decomposition returning ``(resolved, inserts)``
+    separately (identical schemas) instead of their union.
+
+    This is the zero-shuffle rewrite contract: ``resolved`` (updates /
+    deletes / keeps) is partition-preserving over the target scan — the
+    caller can write one output file per input split with NO exchange of the
+    pixel-carrying rows — while the (small) ``inserts`` side gets its own
+    range-partitioned layout. Updates never change the key, so each output
+    file's [min,max] key range stays a subset of its input's and manifest
+    pruning keeps working."""
+    src, _ = _source_projection(winners, keys)
+    target_payload = [c for c in target.columns if c not in keys and c not in META_COLS]
+    source_payload = [
+        c for c in src.columns if c not in keys and c not in META_COLS and c != "__deleted"
+    ]
+    out_payload = target_payload + [c for c in source_payload if c not in target_payload]
+    return _resolve_and_inserts_broadcast(target, src, keys, out_payload, source_payload)
+
+
+def _resolve_and_inserts_broadcast(
+    target: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    out_payload: list[str],
+    source_payload: list[str],
+) -> tuple[DataFrame, DataFrame]:
     s = src.select([F.col(c).alias(f"__s_{c}") for c in src.columns])
 
     def key_cond(left: DataFrame, right: DataFrame):
@@ -233,7 +271,8 @@ def _apply_winners_broadcast(
 
     # 2. inserts: src keys not matched in the target. The matched-key set is
     # ≤ |src| (semi join with src broadcast), so IT broadcasts too — the
-    # anti join never shuffles.
+    # anti join never shuffles. The target side reads only the key columns
+    # (column-pruned parquet scan: the pixel bytes never move).
     matched_keys = (
         target.select(*keys)
         .join(F.broadcast(s.select(*[f"__s_{k}" for k in keys])), key_cond(target, s), "left_semi")
@@ -252,4 +291,4 @@ def _apply_winners_broadcast(
     ]
     insert_cols += [F.col(m) for m in META_COLS]
 
-    return resolved.unionByName(inserts.select(*insert_cols))
+    return resolved, inserts.select(*insert_cols)

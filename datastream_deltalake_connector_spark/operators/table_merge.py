@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..table.icepack import IcepackTable
 from ..table.lineage import LineageJournal
 from .dedup import latest_by_keys
-from .merge import SEQ_COL, TS_COL, apply_winners
+from .merge import SEQ_COL, TS_COL, apply_winners, apply_winners_split
 from pyspark.sql import DataFrame
 
 
@@ -48,6 +48,7 @@ def merge_into_table(
     broadcast_row_threshold: int = 2_000_000,
     target_rows_per_file: int | None = None,
     job_id: str | None = None,
+    rewrite_mode: str = "auto",
 ) -> int | None:
     """Apply one CDC change batch; returns the committed version (None if
     the batch was empty)."""
@@ -102,22 +103,45 @@ def merge_into_table(
     else:
         target = table.spark.createDataFrame([], table.schema())
 
-    merged = apply_winners(
-        target, winners, [key], broadcast_source=n_winners <= broadcast_row_threshold
-    )
+    small_batch = n_winners <= broadcast_row_threshold
+    if rewrite_mode == "auto":
+        rewrite_mode = "split" if small_batch else "range"
 
-    # Range-partition the rewrite on the key and sort within partitions:
-    # each output file then covers a tight, disjoint [min,max] key range, so
-    # the NEXT merge's manifest pruning touches only the files a batch's keys
-    # actually land in. A plain hash write would give every file the full key
-    # range and defeat pruning forever.
-    if target_rows_per_file:
-        num_files = max(1, math.ceil(n_winners / target_rows_per_file))
+    if rewrite_mode == "split":
+        # Zero-shuffle rewrite (the common CDC case: small batch, big table):
+        # one job reads every touched file at its natural splits, resolves
+        # updates/deletes against ONE broadcast of the winners, and writes
+        # one output file per split — the pixel bytes NEVER cross an
+        # exchange. Updates keep their key, so each output file's key range
+        # is a subset of its input's and future pruning still works. Inserts
+        # (small) get their own range-partitioned, sorted files. Output
+        # splits track spark.sql.files.maxPartitionBytes; small outputs are
+        # compaction's job (and the reference's own dominant failure mode —
+        # which this engine compacts natively).
+        resolved, inserts = apply_winners_split(target, winners, [key])
+        added = [e for e in table.write_data_files(resolved) if e.rows > 0]
+        if target_rows_per_file:
+            n_ins_files = max(1, math.ceil(n_winners / target_rows_per_file))
+        else:
+            n_ins_files = max(
+                1, round(n_winners / max(broadcast_row_threshold, 1))
+            )
+        ins_df = inserts.repartitionByRange(n_ins_files, F.col(key)).sortWithinPartitions(key)
+        added += [e for e in table.write_data_files(ins_df) if e.rows > 0]
     else:
-        rewritten_bytes = sum(e.bytes for e in entries if e.path in set(touched_paths))
-        num_files = max(1, round(rewritten_bytes / table.DEFAULT_TARGET_FILE_BYTES)) or 1
-    merged = merged.repartitionByRange(num_files, F.col(key)).sortWithinPartitions(key)
-    added = table.write_data_files(merged)
+        merged = apply_winners(target, winners, [key], broadcast_source=small_batch)
+        # Range-partition the rewrite on the key and sort within partitions:
+        # each output file then covers a tight, disjoint [min,max] key range,
+        # so the NEXT merge's manifest pruning touches only the files a
+        # batch's keys actually land in. A plain hash write would give every
+        # file the full key range and defeat pruning forever.
+        if target_rows_per_file:
+            num_files = max(1, math.ceil(n_winners / target_rows_per_file))
+        else:
+            rewritten_bytes = sum(e.bytes for e in entries if e.path in set(touched_paths))
+            num_files = max(1, round(rewritten_bytes / table.DEFAULT_TARGET_FILE_BYTES)) or 1
+        merged = merged.repartitionByRange(num_files, F.col(key)).sortWithinPartitions(key)
+        added = table.write_data_files(merged)
     journal.log_task(
         stage="merge",
         task_id="batch",

@@ -114,6 +114,34 @@ def test_merge_idempotent_replay(spark, image_table):
     assert scan_key_state(t) == state1
 
 
+def test_split_and_range_rewrites_agree(spark, tmp_path):
+    """rewrite_mode='split' (zero-shuffle per-split rewrite) must produce the
+    exact same table state as rewrite_mode='range', and its output files must
+    keep key ranges inside their inputs' (pruning stays sound)."""
+    states = {}
+    for mode in ("split", "range"):
+        root = str(tmp_path / f"t-{mode}" / "images")
+        t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+        base = generate_images(spark, 80, num_partitions=4).select(
+            "*",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+                "datastream_metadata_source_timestamp"
+            ),
+            F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+        )
+        # range-partitioned base files → real [min,max] pruning in the merge
+        staged = base.repartitionByRange(4, F.col("image_id")).sortWithinPartitions(
+            "image_id"
+        )
+        t.commit("append", added=t.write_data_files(staged), removed_paths=[])
+        batch = generate_change_batch(
+            spark, 80, batch_index=0, updates=20, inserts=8, deletes=6, num_partitions=4
+        )
+        merge_into_table(t, batch, rewrite_mode=mode)
+        states[mode] = scan_key_state(t)
+    assert states["split"] == states["range"]
+
+
 def test_compaction_scan_equivalent_and_fewer_files(spark, image_table):
     t = image_table
     # small-file fodder: four independent appends (e.g. micro-batch ingests)
