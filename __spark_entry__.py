@@ -702,6 +702,40 @@ FROM events GROUP BY 1
 """
 
 
+def _promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a broadcast fact×dim join,
+    monthly promo revenue share per brand."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_PROMO_ORACLE = """
+SELECT p_brand, count(*) AS n_items,
+       round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY p_brand
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
@@ -961,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "rollup_revenue": _rollup_revenue,
         "daily_distinct_users": _daily_distinct_users,
+        "promo_revenue_share": _promo_revenue,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "minhash_lsh_pairs_docs": _minhash_lsh_docs,
@@ -1008,4 +1043,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_ORACLE,
         "rollup_revenue": _ROLLUP_ORACLE,
         "daily_distinct_users": _DAILY_DISTINCT_ORACLE,
+        "promo_revenue_share": _PROMO_ORACLE,
     }
