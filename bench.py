@@ -55,10 +55,12 @@ def _scan_job(spark, root: str) -> dict:
         ).collect()[0]
         return row, time.time() - t0
 
-    # Three full runs, keep the fastest: run 1 absorbs python-worker spawn /
+    # Several full runs, keep the fastest: run 1 absorbs python-worker spawn /
     # JIT / codegen cold-start on EVERY executor thread (a partial warm-up
-    # leaves most workers cold and pollutes the scaling ratio).
-    runs = [run() for _ in range(3)]
+    # leaves most workers cold and pollutes the scaling ratio), and the
+    # shared-VM host's throughput swings by 2-4x between minutes — best-of-N
+    # is the only estimator of uncontended speed that converges here.
+    runs = [run() for _ in range(4)]
     row = runs[0][0]
     elapsed = min(e for _, e in runs)
     return {"images": row["n"], "bytes": row["total_bytes"], "elapsed_sec": elapsed}
@@ -194,7 +196,7 @@ def query_bench(spark, sf_dir: str) -> dict:
     return out
 
 
-def run_scaling(root: str, low: int, high: int, rounds: int = 2) -> dict:
+def run_scaling(root: str, low: int, high: int, rounds: int = 3) -> dict:
     """Same scan job, fresh JVM per level; each subprocess already takes the
     best of three full in-JVM runs (run 1 absorbs worker cold-start), which
     filters host noise out of the efficiency ratio."""
