@@ -196,6 +196,41 @@ def query_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def _probe_work(n: int) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(200_000)
+    t0 = time.time()
+    s = 0.0
+    for _ in range(n):
+        s += float(np.sin(a).sum())
+    return time.time() - t0
+
+
+def host_probe(procs_levels=(1, 4), per: int = 150) -> dict:
+    """Constant per-process numpy work at each concurrency level (ideal:
+    flat wall time). Captures what the shared-VM host is granting RIGHT NOW,
+    so the engine's measured scaling efficiency can be read against the
+    host's own ceiling at measurement time."""
+    import multiprocessing as mp
+
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+    out = {}
+    for procs in procs_levels:
+        with mp.get_context("spawn").Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_probe_work, [per] * procs)
+            out[procs] = time.time() - t0
+    lo, hi = procs_levels
+    return {
+        f"probe_{lo}p_sec": round(out[lo], 2),
+        f"probe_{hi}p_sec": round(out[hi], 2),
+        "probe_host_eff": round(out[lo] / out[hi], 3),
+    }
+
+
 def run_scaling(root: str, low: int, high: int, rounds: int = 3) -> dict:
     """Same scan job, fresh JVM per level; each subprocess already takes the
     best of three full in-JVM runs (run 1 absorbs worker cold-start), which
@@ -222,6 +257,8 @@ def run_scaling(root: str, low: int, high: int, rounds: int = 3) -> dict:
                 )
     thr = {c: r["images"] / r["elapsed_sec"] for c, r in results.items()}
     eff = (thr[high] / thr[low]) / (high / low)
+    probe = host_probe((low, high))
+    host_eff = probe["probe_host_eff"]
     return {
         "low_cores": low,
         "high_cores": high,
@@ -230,6 +267,9 @@ def run_scaling(root: str, low: int, high: int, rounds: int = 3) -> dict:
         "low_sec": round(results[low]["elapsed_sec"], 2),
         "high_sec": round(results[high]["elapsed_sec"], 2),
         "efficiency": round(eff, 3),
+        **probe,
+        # what the engine achieved of what the host was granting at the time
+        "efficiency_vs_host": round(min(eff / host_eff, 1.0), 3) if host_eff else None,
     }
 
 
@@ -261,6 +301,9 @@ def write_bench_md(payload: dict) -> None:
             f"- local[{s['high_cores']}]: {s['high_images_per_sec']:.0f} images/sec ({s['high_sec']} s)",
             f"- **scaling efficiency {s['low_cores']}→{s['high_cores']} cores: "
             f"{s['efficiency']:.2f}** (target ≥ 0.8)",
+            f"- host grant at measurement time (same-work numpy probe, ideal 1.0): "
+            f"{s['probe_host_eff']:.2f} — engine efficiency vs host grant: "
+            f"**{s['efficiency_vs_host']:.2f}**",
             "",
             "Why this core pair: a raw-CPU probe (constant per-process numpy work,",
             "single-threaded BLAS, no Spark) shows the sandbox host ITSELF stops",

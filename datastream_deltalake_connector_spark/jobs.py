@@ -1,0 +1,147 @@
+"""Job entrypoints for ``spark-submit`` (north_rule: "run via spark-submit
+--py-files on a multi-executor cluster").
+
+The reference boots one resident streaming driver (reference: jobs/
+DatastreamDeltaStreamingJob.scala:19-36 — config load → SparkSession →
+connector → awaitAnyTermination). This engine is maintenance-job oriented:
+each invocation runs one stage against an icepack table and exits, so a
+scheduler (Airflow/cron/NOMAD) owns the cadence and two cluster sizes are a
+matter of the submit command, not the code:
+
+    zip -r engine.zip datastream_deltalake_connector_spark
+    spark-submit --master <cluster> --py-files engine.zip \
+        -- jobs.py merge --table /warehouse/images --batch /dumps/batch42.parquet
+
+    subcommands:
+      init     --table PATH                      create an empty image table
+      ingest   --table PATH --batch PARQUET      append a generated/base batch
+      merge    --table PATH --batch PARQUET      CDC merge a change batch
+      compact  --table PATH [--target-mb N]      FFD bin-pack small files
+      cluster  --table PATH [--curve zorder|hilbert]
+      expire   --table PATH [--keep-last N]
+      scan     --table PATH [--out PARQUET]      full scan (+ optional export)
+      connector --root PATH --warehouse PATH     reference-style CDC pipeline
+                                                 (discover → log → merge)
+
+On a cluster, ``master`` comes from spark-submit and executors bring their
+own cores; locally the SPARK_GRAFT_CPUS env picks local[k]. Every stage
+journals per-partition lineage and resumes from it (see table/lineage.py),
+so a preempted job is re-submitted with the same --job-id and skips
+completed work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark(app_name="icepack-job")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="icepack-job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--table", required=True)
+        p.add_argument("--job-id", default=None)
+
+    p = sub.add_parser("init")
+    common(p)
+    p = sub.add_parser("ingest")
+    common(p)
+    p.add_argument("--batch", required=True)
+    p.add_argument("--num-files", type=int, default=None)
+    p = sub.add_parser("merge")
+    common(p)
+    p.add_argument("--batch", required=True)
+    p.add_argument("--rewrite-mode", default="auto", choices=["auto", "split", "range"])
+    p = sub.add_parser("compact")
+    common(p)
+    p.add_argument("--target-mb", type=int, default=512)
+    p = sub.add_parser("cluster")
+    common(p)
+    p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument("--num-files", type=int, default=None)
+    p = sub.add_parser("expire")
+    common(p)
+    p.add_argument("--keep-last", type=int, default=2)
+    p = sub.add_parser("scan")
+    common(p)
+    p.add_argument("--out", default=None)
+    p = sub.add_parser("connector")
+    p.add_argument("--root", required=True)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--format", default="json")
+    args = ap.parse_args(argv)
+
+    spark = _spark()
+    out: dict = {"cmd": args.cmd}
+    if args.cmd == "connector":
+        from .streaming.ingest import run_connector_once
+
+        out["tables"] = run_connector_once(
+            spark, args.root, args.warehouse, fmt=args.format
+        )
+        print(json.dumps(out))
+        return 0
+
+    from .table import IcepackTable
+
+    if args.cmd == "init":
+        from .sources.generator import MERGED_IMAGE_SCHEMA
+
+        t = IcepackTable.create(spark, args.table, MERGED_IMAGE_SCHEMA)
+        out["version"] = t.head_version()
+    elif args.cmd == "ingest":
+        t = IcepackTable.load(spark, args.table)
+        df = spark.read.parquet(args.batch)
+        out["version"] = t.append(df, num_files=args.num_files)
+    elif args.cmd == "merge":
+        from .operators.table_merge import merge_into_table
+
+        t = IcepackTable.load(spark, args.table)
+        batch = spark.read.parquet(args.batch)
+        out["version"] = merge_into_table(
+            t, batch, job_id=args.job_id, rewrite_mode=args.rewrite_mode
+        )
+    elif args.cmd == "compact":
+        from .operators.compaction import compact
+
+        t = IcepackTable.load(spark, args.table)
+        out["version"] = compact(
+            t, target_bytes=args.target_mb * 1024 * 1024, job_id=args.job_id
+        )
+    elif args.cmd == "cluster":
+        from .operators.clustering import cluster
+
+        t = IcepackTable.load(spark, args.table)
+        out["version"] = cluster(
+            t, curve=args.curve, num_files=args.num_files, job_id=args.job_id
+        )
+    elif args.cmd == "expire":
+        from .operators.expire import expire_snapshots
+
+        t = IcepackTable.load(spark, args.table)
+        report = expire_snapshots(t, keep_last=args.keep_last)
+        out["expired"] = report["expired_snapshots"]
+        out["deleted_files"] = len(report["deleted_files"])
+    elif args.cmd == "scan":
+        t = IcepackTable.load(spark, args.table)
+        df = t.scan()
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+        out["rows"] = df.count()
+        out["files"] = len(t.files())
+        out["version"] = t.head_version()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,52 @@
+"""spark-submit job entrypoint: every subcommand drives a real table
+end-to-end through jobs.main() (the reference's DatastreamDeltaStreamingJob
+analogue, jobs/DatastreamDeltaStreamingJob.scala:19-36)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.jobs import main
+from datastream_deltalake_connector_spark.sources.generator import (
+    generate_change_batch,
+    generate_images,
+)
+from datastream_deltalake_connector_spark.table import IcepackTable
+
+
+def run(capsys, *argv) -> dict:
+    assert main(list(argv)) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_job_lifecycle(spark, tmp_path, capsys):
+    table = str(tmp_path / "images")
+    base_pq = str(tmp_path / "base.parquet")
+    batch_pq = str(tmp_path / "batch.parquet")
+
+    generate_images(spark, 60, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    ).write.parquet(base_pq)
+    generate_change_batch(
+        spark, 60, batch_index=0, updates=10, inserts=5, deletes=5, num_partitions=4
+    ).write.parquet(batch_pq)
+
+    assert run(capsys, "init", "--table", table)["version"] == 0
+    assert run(capsys, "ingest", "--table", table, "--batch", base_pq, "--num-files", "5")[
+        "version"
+    ] == 1
+    assert run(capsys, "merge", "--table", table, "--batch", batch_pq)["version"] == 2
+    run(capsys, "compact", "--table", table, "--target-mb", "4")
+    run(capsys, "cluster", "--table", table, "--curve", "zorder", "--num-files", "2")
+    exp = run(capsys, "expire", "--table", table, "--keep-last", "1")
+    assert exp["expired"]
+    scan = run(capsys, "scan", "--table", table)
+    assert scan["rows"] == 60  # 60 base + 5 inserts - 5 deletes
+    t = IcepackTable.load(spark, table)
+    assert t.head_version() == scan["version"]
