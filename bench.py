@@ -219,7 +219,9 @@ def host_probe(procs_levels=(1, 4), per: int = 150) -> dict:
         os.environ[var] = "1"
     out = {}
     for procs in procs_levels:
-        with mp.get_context("spawn").Pool(procs) as pool:
+        # fork, not spawn: inherits the pinned single-thread BLAS env and
+        # works no matter how the caller's __main__ was launched
+        with mp.get_context("fork").Pool(procs) as pool:
             t0 = time.time()
             pool.map(_probe_work, [per] * procs)
             out[procs] = time.time() - t0
