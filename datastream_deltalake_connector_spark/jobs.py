@@ -144,4 +144,15 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    if not __package__:
+        # spark-submit runs this file as a top-level script with no package
+        # context; bootstrap the package (shipped via --py-files or present
+        # next to the repo root) and re-enter through it so the relative
+        # imports above resolve.
+        import os as _os
+
+        sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        from datastream_deltalake_connector_spark.jobs import main as _main
+
+        sys.exit(_main())
     sys.exit(main())
