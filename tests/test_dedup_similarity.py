@@ -80,7 +80,10 @@ def test_minhash_lsh_recall_vs_exact(docs):
 def test_simhash_near_dups(docs):
     # planted near-dups (id + 200000) should mostly land within small hamming
     sh = simhash(docs)
-    pairs = simhash_pairs(docs, max_hamming=16)
+    import pytest
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=16)  # >=16 voids the pigeonhole guarantee
+    pairs = simhash_pairs(docs, max_hamming=15)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     planted = {(i, i + 200000) for i in range(20)}
     hit = planted & found
