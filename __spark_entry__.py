@@ -658,7 +658,11 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator in streaming/stateful.py."""
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # sub-second-exact gap (cast to fractional epoch seconds): unix_timestamp
+    # truncates to whole seconds, which can disagree with the oracle's exact
+    # interval comparison for gaps inside (1800.0, 1801.0) s
+    ts_s = F.col("ts").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     return (
         e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
         .groupBy("user_id")

@@ -215,16 +215,32 @@ def host_probe(procs_levels=(1, 4), per: int = 150) -> dict:
     host's own ceiling at measurement time."""
     import multiprocessing as mp
 
-    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
-        os.environ[var] = "1"
-    out = {}
-    for procs in procs_levels:
-        # fork, not spawn: inherits the pinned single-thread BLAS env and
-        # works no matter how the caller's __main__ was launched
-        with mp.get_context("fork").Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(_probe_work, [per] * procs)
-            out[procs] = time.time() - t0
+    saved = {
+        var: os.environ.get(var)
+        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+    }
+    try:
+        for var in saved:
+            os.environ[var] = "1"
+        out = {}
+        for procs in procs_levels:
+            # fork, not spawn: inherits the pinned single-thread BLAS env and
+            # works no matter how the caller's __main__ was launched
+            with mp.get_context("fork").Pool(procs) as pool:
+                t0 = time.time()
+                pool.map(_probe_work, [per] * procs)
+                out[procs] = time.time() - t0
+    finally:
+        # restore the caller's env — the pin must not leak into the rest of
+        # the run (get_spark elsewhere deliberately uses setdefault)
+        for var, val in saved.items():
+            if val is None:
+                os.environ.pop(var, None)
+            else:
+                os.environ[var] = val
+    if len(procs_levels) == 1:
+        (p,) = procs_levels
+        return {f"probe_{p}p_sec": round(out[p], 2)}
     lo, hi = procs_levels
     return {
         f"probe_{lo}p_sec": round(out[lo], 2),
@@ -235,7 +251,7 @@ def host_probe(procs_levels=(1, 4), per: int = 150) -> dict:
 
 def run_scaling(root: str, low: int, high: int, rounds: int = 3) -> dict:
     """Same scan job, fresh JVM per level; each subprocess already takes the
-    best of three full in-JVM runs (run 1 absorbs worker cold-start), which
+    best of four full in-JVM runs (run 1 absorbs worker cold-start), which
     filters host noise out of the efficiency ratio."""
     results: dict[int, dict] = {}
     for _ in range(rounds):

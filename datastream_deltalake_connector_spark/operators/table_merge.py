@@ -39,19 +39,47 @@ from .merge import SEQ_COL, TS_COL, apply_winners, apply_winners_split
 from pyspark.sql import DataFrame
 
 
+def _estimate_row_bytes(df: DataFrame) -> float:
+    """Average serialized row size of a (cached) DataFrame: measured lengths
+    of the variable-width columns plus a fixed per-column overhead. One cheap
+    agg over the cache — no sampling bias, no collect of payload rows."""
+    from pyspark.sql import types as T
+
+    var_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.BinaryType, T.StringType))
+    ]
+    fixed = 16.0 * len(df.schema.fields)
+    if not var_cols:
+        return fixed
+    total = None
+    for c in var_cols:
+        term = F.coalesce(F.length(F.col(c)).cast("double"), F.lit(0.0))
+        total = term if total is None else total + term
+    row = df.select(F.avg(total).alias("b")).collect()[0]
+    return float(row["b"] or 0.0) + fixed
+
+
 def merge_into_table(
     table: IcepackTable,
     batch: DataFrame,
     key: str = "image_id",
     dedup_strategy: str = "salted",
     salt_buckets: int = 32,
-    broadcast_row_threshold: int = 2_000_000,
+    broadcast_bytes_threshold: int = 256 * 1024 * 1024,
     target_rows_per_file: int | None = None,
     job_id: str | None = None,
     rewrite_mode: str = "auto",
 ) -> int | None:
     """Apply one CDC change batch; returns the committed version (None if
-    the batch was empty)."""
+    the batch was empty).
+
+    The broadcast-vs-sort-merge decision is BYTE-based: deduped-winner count
+    times the measured average row size against ``broadcast_bytes_threshold``
+    (default 256 MB — what every executor must hold). A row-count threshold
+    (round 1 used 2M rows) is wrong for wide payloads: 2M image rows at
+    ~12 KB each would be a ~24 GB broadcast."""
     parent = table.head_version()
     journal = LineageJournal(table.root, job_id or f"merge-{uuid.uuid4().hex[:12]}")
 
@@ -103,7 +131,8 @@ def merge_into_table(
     else:
         target = table.spark.createDataFrame([], table.schema())
 
-    small_batch = n_winners <= broadcast_row_threshold
+    batch_bytes = n_winners * _estimate_row_bytes(winners)
+    small_batch = batch_bytes <= broadcast_bytes_threshold
     if rewrite_mode == "auto":
         rewrite_mode = "split" if small_batch else "range"
 
@@ -119,15 +148,13 @@ def merge_into_table(
         # compaction's job (and the reference's own dominant failure mode —
         # which this engine compacts natively).
         resolved, inserts = apply_winners_split(target, winners, [key])
-        added = [e for e in table.write_data_files(resolved) if e.rows > 0]
+        added = table.write_data_files(resolved)  # zero-row splits dropped+unlinked
         if target_rows_per_file:
             n_ins_files = max(1, math.ceil(n_winners / target_rows_per_file))
         else:
-            n_ins_files = max(
-                1, round(n_winners / max(broadcast_row_threshold, 1))
-            )
+            n_ins_files = max(1, round(batch_bytes / table.DEFAULT_TARGET_FILE_BYTES))
         ins_df = inserts.repartitionByRange(n_ins_files, F.col(key)).sortWithinPartitions(key)
-        added += [e for e in table.write_data_files(ins_df) if e.rows > 0]
+        added += table.write_data_files(ins_df)
     else:
         merged = apply_winners(target, winners, [key], broadcast_source=small_batch)
         # Range-partition the rewrite on the key and sort within partitions:
@@ -155,7 +182,12 @@ def merge_into_table(
         added=added,
         removed_paths=touched_paths,
         expected_parent=table.head_version(),
-        summary={"batch_winners": n_winners, "touched_files": len(touched_paths)},
+        summary={
+            "batch_winners": n_winners,
+            "touched_files": len(touched_paths),
+            "rewrite_mode": rewrite_mode,
+            "batch_bytes_est": int(batch_bytes),
+        },
     )
     journal.log_commit(version)
     winners.unpersist()

@@ -257,7 +257,12 @@ class IcepackTable:
         num_files: int | None = None,
     ) -> list[FileEntry]:
         """Stage a DataFrame as immutable parquet data files; returns manifest
-        entries with footer-derived stats. Does NOT commit."""
+        entries with footer-derived stats. Does NOT commit.
+
+        Zero-row part files (an empty repartition bucket, an insert-free
+        merge split) are deleted on the spot: they would never join a
+        manifest, and snapshot expiry only removes files reachable from
+        expired snapshots — left in place they leak forever."""
         stage = f"data/{uuid.uuid4().hex}"
         out_dir = os.path.join(self.root, stage)
         if num_files is not None:
@@ -266,9 +271,18 @@ class IcepackTable:
             df = df.sortWithinPartitions(*sort_within_partitions)
         df.write.mode("overwrite").parquet(out_dir)
         entries = self.collect_file_entries(stage)
-        if not entries:
-            return []
-        return entries
+        kept = []
+        for e in entries:
+            if e.rows > 0:
+                kept.append(e)
+            else:
+                os.unlink(os.path.join(self.root, e.path))
+        if not kept:
+            # nothing staged: remove the empty staging dir too
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+        return kept
 
     def collect_file_entries(self, stage_rel: str) -> list[FileEntry]:
         stats_cols = set(self.stats_cols())
