@@ -71,6 +71,7 @@ def merge_into_table(
     target_rows_per_file: int | None = None,
     job_id: str | None = None,
     rewrite_mode: str = "auto",
+    schema_evolution: str = "merge",
 ) -> int | None:
     """Apply one CDC change batch; returns the committed version (None if
     the batch was empty).
@@ -92,7 +93,7 @@ def merge_into_table(
 
     # Schema evolution before resolution, so the rewrite carries new columns.
     payload_schema = batch.drop("change_type", "is_deleted", TS_COL, SEQ_COL).schema
-    table.evolve_schema(payload_schema)
+    table.evolve_schema(payload_schema, strategy=schema_evolution)
 
     # ---- manifest pruning: winner keys × per-file key ranges -------------
     entries = table.files(parent)

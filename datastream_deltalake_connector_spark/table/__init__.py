@@ -1,3 +1,3 @@
-from .icepack import ConflictError, FileEntry, IcepackTable, Snapshot
+from .icepack import ConflictError, FileEntry, IcepackTable, SchemaEvolutionError, Snapshot
 
-__all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError"]
+__all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError", "SchemaEvolutionError"]

@@ -23,10 +23,13 @@ resolves HEAD once and pins that snapshot — data files are immutable and
 snapshot expiry retains every file reachable from a retained snapshot, so a
 reader pinned mid-compaction is isolated (north_star requirement).
 
-Per-file stats are read from parquet footers with pyarrow on the driver
-(exact, no extra Spark scan). At cluster scale the footer reads would be
-fanned out to executors via ``sc.parallelize(paths).map(read_footer)``; the
-protocol and manifest shape are unchanged.
+Per-file stats are read from parquet footers with pyarrow (exact, no extra
+Spark scan). Small commits read footers on the driver; commits staging
+``EXECUTOR_STATS_MIN_FILES`` or more files fan the reads out to executors
+via ``sc.parallelize(paths).map(footer_stats)`` — both paths produce
+byte-identical manifest entries (pinned by test). On a real cluster the
+executor path requires the data paths to be on shared storage, which they
+are by construction (the table root).
 
 Scan pruning: ``scan(filters=...)`` drops every manifest entry whose
 [min, max] range proves the predicate unsatisfiable — the manual file-pruning
@@ -44,15 +47,19 @@ import uuid
 from dataclasses import asdict, dataclass, field
 from typing import Any, Iterable
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError"]
+__all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError", "SchemaEvolutionError"]
 
 
 class ConflictError(RuntimeError):
     """Another writer committed since this writer's snapshot was resolved."""
+
+
+class SchemaEvolutionError(RuntimeError):
+    """Batch schema changed while the evolution strategy forbids it
+    (reference: SchemaEvolutionStrategy 'none', SchemaEvolutionStrategy.scala:15-26)."""
 
 
 def _json_safe(v: Any) -> Any:
@@ -69,6 +76,39 @@ def _json_safe(v: Any) -> Any:
     if isinstance(v, (int, float, str, bool)) or v is None:
         return v
     return str(v)
+
+
+def _footer_stats(abs_path: str, rel_path: str, stats_cols: tuple) -> dict:
+    """Pure footer→manifest-entry function, safe to run on executors
+    (stdlib + pyarrow only, no SparkSession)."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(abs_path).metadata
+    cols = set(stats_cols)
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in cols or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            if mn is not None and (name not in mins or mn < mins[name]):
+                mins[name] = mn
+            if mx is not None and (name not in maxs or mx > maxs[name]):
+                maxs[name] = mx
+    stats = {c: {"min": mins.get(c), "max": maxs.get(c)} for c in set(mins) | set(maxs)}
+    return {
+        "path": rel_path,
+        "bytes": os.path.getsize(abs_path),
+        "rows": md.num_rows,
+        "stats": stats,
+    }
 
 
 @dataclass
@@ -284,46 +324,39 @@ class IcepackTable:
             shutil.rmtree(out_dir, ignore_errors=True)
         return kept
 
-    def collect_file_entries(self, stage_rel: str) -> list[FileEntry]:
-        stats_cols = set(self.stats_cols())
-        entries: list[FileEntry] = []
+    EXECUTOR_STATS_MIN_FILES = 16
+
+    def collect_file_entries(
+        self, stage_rel: str, use_executors: bool | None = None
+    ) -> list[FileEntry]:
+        """Manifest entries (footer stats) for every parquet file under a
+        staging dir. ``use_executors=None`` auto-selects: big stagings fan
+        the pyarrow footer reads out via ``sc.parallelize`` (at 100 TB a
+        commit can stage thousands of files — serial driver reads would
+        become the commit's critical path); small ones stay on the driver."""
+        stats_cols = tuple(sorted(self.stats_cols()))
         stage_dir = os.path.join(self.root, stage_rel)
-        for name in sorted(os.listdir(stage_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            fpath = os.path.join(stage_dir, name)
-            entries.append(self._footer_entry(fpath, os.path.join(stage_rel, name), stats_cols))
-        return entries
+        names = [n for n in sorted(os.listdir(stage_dir)) if n.endswith(".parquet")]
+        pairs = [
+            (os.path.join(stage_dir, n), os.path.join(stage_rel, n)) for n in names
+        ]
+        if use_executors is None:
+            use_executors = len(pairs) >= self.EXECUTOR_STATS_MIN_FILES
+        if use_executors and pairs:
+            sc = self.spark.sparkContext
+            slices = min(len(pairs), sc.defaultParallelism)
+            dicts = (
+                sc.parallelize(pairs, slices)
+                .map(lambda pr: _footer_stats(pr[0], pr[1], stats_cols))
+                .collect()
+            )
+            dicts.sort(key=lambda d: d["path"])
+        else:
+            dicts = [_footer_stats(a, r, stats_cols) for a, r in pairs]
+        return [FileEntry(**d) for d in dicts]
 
     def _footer_entry(self, abs_path: str, rel_path: str, stats_cols: set[str]) -> FileEntry:
-        md = pq.ParquetFile(abs_path).metadata
-        mins: dict[str, Any] = {}
-        maxs: dict[str, Any] = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                col = g.column(ci)
-                name = col.path_in_schema
-                if name not in stats_cols or col.statistics is None:
-                    continue
-                st = col.statistics
-                if not st.has_min_max:
-                    continue
-                mn, mx = _json_safe(st.min), _json_safe(st.max)
-                if mn is not None and (name not in mins or mn < mins[name]):
-                    mins[name] = mn
-                if mx is not None and (name not in maxs or mx > maxs[name]):
-                    maxs[name] = mx
-        stats = {
-            c: {"min": mins.get(c), "max": maxs.get(c)}
-            for c in set(mins) | set(maxs)
-        }
-        return FileEntry(
-            path=rel_path,
-            bytes=os.path.getsize(abs_path),
-            rows=md.num_rows,
-            stats=stats,
-        )
+        return FileEntry(**_footer_stats(abs_path, rel_path, tuple(sorted(stats_cols))))
 
     # --------------------------------------------------------------- commit
     def commit(
@@ -402,10 +435,23 @@ class IcepackTable:
         entries = self.write_data_files(df, num_files=num_files)
         return self.commit("overwrite", added=entries, removed_paths=old)
 
-    def evolve_schema(self, batch_schema: T.StructType) -> int | None:
-        """mergeSchema semantics (reference: DeltaSchemaMigration.scala:51-67):
-        new columns appended nullable, removed columns retained. Metadata-only
-        commit; returns the new version, or None if no change needed."""
+    def evolve_schema(
+        self, batch_schema: T.StructType, strategy: str = "merge"
+    ) -> int | None:
+        """Schema evolution with the reference's three strategies
+        (SchemaEvolutionStrategy.scala:15-26, applied as a writer option in
+        DeltaSchemaMigration.scala:51-67). Metadata-only commit; returns the
+        new version, or None if no change was needed.
+
+        - ``merge``: new columns appended nullable, removed columns retained.
+        - ``overwrite``: target schema replaced by the batch schema; engine
+          metadata columns (``datastream_metadata_*``) are retained, matching
+          the reference's buildTargetSchema = payload ⊕ flattened metadata
+          (DeltaSchemaMigration.scala:70-73). Files written under the old
+          schema keep their bytes; dropped columns simply stop being read.
+        - ``none``: any batch column missing from the target raises
+          SchemaEvolutionError — evolution is forbidden.
+        """
         current = self.schema()
         existing = {f.name for f in current.fields}
         new_fields = [
@@ -413,10 +459,35 @@ class IcepackTable:
             for f in batch_schema.fields
             if f.name not in existing
         ]
-        if not new_fields:
+        if strategy == "none":
+            if new_fields:
+                raise SchemaEvolutionError(
+                    "schema evolution disabled but batch adds columns: "
+                    + ", ".join(f.name for f in new_fields)
+                )
             return None
-        merged = T.StructType(list(current.fields) + new_fields)
-        return self.commit("evolve-schema", schema=merged)
+        if strategy == "merge":
+            if not new_fields:
+                return None
+            merged = T.StructType(list(current.fields) + new_fields)
+            return self.commit("evolve-schema", schema=merged)
+        if strategy == "overwrite":
+            batch_names = {f.name for f in batch_schema.fields}
+            meta_keep = [
+                f
+                for f in current.fields
+                if f.name.startswith("datastream_metadata_")
+                and f.name not in batch_names
+            ]
+            target = T.StructType(list(batch_schema.fields) + meta_keep)
+            if [ (f.name, f.dataType) for f in target.fields ] == [
+                (f.name, f.dataType) for f in current.fields
+            ]:
+                return None
+            return self.commit(
+                "evolve-schema", schema=target, summary={"evolution": "overwrite"}
+            )
+        raise ValueError(f"unknown schema evolution strategy: {strategy!r}")
 
     # ------------------------------------------------------------- internals
     def _write_json(self, path: str, obj: dict) -> None:

@@ -82,6 +82,47 @@ def test_schema_evolution_metadata_only(spark, tmp_path):
     assert [f.name for f in t.schema().fields] == ["k", "v", "extra"]
 
 
+def test_schema_evolution_none_strategy(spark, tmp_path):
+    """'none' (reference: SchemaEvolutionStrategy.scala:15-26): evolution is
+    forbidden — a batch adding columns fails loudly, a subset batch is fine."""
+    from datastream_deltalake_connector_spark.table import SchemaEvolutionError
+
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(make_df(spark, 0, 5), num_files=1)
+    wider = T.StructType(list(SCHEMA.fields) + [T.StructField("extra", T.StringType())])
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(wider, strategy="none")
+    assert t.evolve_schema(SCHEMA, strategy="none") is None
+    assert t.evolve_schema(T.StructType([SCHEMA.fields[0]]), strategy="none") is None
+    assert [f.name for f in t.schema().fields] == ["k", "v"]
+
+
+def test_schema_evolution_overwrite_strategy(spark, tmp_path):
+    """'overwrite': target schema replaced by the batch's — dropped columns
+    disappear from scans, engine metadata columns are retained."""
+    meta = T.StructField("datastream_metadata_source_timestamp", T.TimestampType())
+    schema = T.StructType(list(SCHEMA.fields) + [meta])
+    t = IcepackTable.create(spark, str(tmp_path / "t"), schema)
+    df = make_df(spark, 0, 10).withColumn(
+        "datastream_metadata_source_timestamp",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+    )
+    t.append(df, num_files=1)
+    narrow = T.StructType([SCHEMA.fields[0], T.StructField("nv", T.LongType())])
+    v = t.evolve_schema(narrow, strategy="overwrite")
+    assert v is not None
+    names = [f.name for f in t.schema().fields]
+    assert names == ["k", "nv", "datastream_metadata_source_timestamp"]
+    back = t.scan()
+    assert "v" not in back.columns  # dropped column no longer read
+    assert back.where(F.col("nv").isNull()).count() == 10  # old files null-fill
+    assert back.select("k").distinct().count() == 10
+    # same schema again is a no-op
+    assert t.evolve_schema(narrow, strategy="overwrite") is None
+    with pytest.raises(ValueError):
+        t.evolve_schema(narrow, strategy="bogus")
+
+
 def test_cas_conflict_detection(spark, tmp_path):
     t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
     t.append(make_df(spark, 0, 10))
@@ -113,3 +154,33 @@ def test_file_entry_may_match_edge_cases():
     assert e.may_match("missing_col", "=", 5)  # no stats → conservative
     assert e.may_match("k", "between", ("a", "b"))
     assert not e.may_match("k", "between", ("e", "f"))
+
+
+def test_executor_footer_stats_match_driver(spark, tmp_path):
+    """The executor fan-out path must produce byte-identical manifest entries
+    to the serial driver path (same order, same stats, same rounding)."""
+    import os
+    from dataclasses import asdict
+
+    from datastream_deltalake_connector_spark.sources.generator import (
+        MERGED_IMAGE_SCHEMA,
+        generate_images,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "exec-stats" / "images")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    df = generate_images(spark, 120, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    # stage enough files to cross the auto threshold
+    entries = t.write_data_files(df, num_files=t.EXECUTOR_STATS_MIN_FILES + 4)
+    stage_rel = os.path.dirname(entries[0].path)
+    via_driver = t.collect_file_entries(stage_rel, use_executors=False)
+    via_exec = t.collect_file_entries(stage_rel, use_executors=True)
+    assert [asdict(e) for e in via_driver] == [asdict(e) for e in via_exec]
+    assert len(via_driver) == t.EXECUTOR_STATS_MIN_FILES + 4
