@@ -658,10 +658,12 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator in streaming/stateful.py."""
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # sub-second-exact gap (cast to fractional epoch seconds): unix_timestamp
+    # sub-second-exact gap (fractional epoch seconds): unix_timestamp
     # truncates to whole seconds, which can disagree with the oracle's exact
-    # interval comparison for gaps inside (1800.0, 1801.0) s
-    ts_s = F.col("ts").cast("double")
+    # interval comparison for gaps inside (1800.0, 1801.0) s. NTZ cannot cast
+    # to double directly; go through LTZ — only differences are used, so the
+    # session-timezone offset cancels.
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("double")
     gap = ts_s - F.lag(ts_s).over(w)
     return (
         e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
@@ -764,6 +766,105 @@ GROUP BY p_brand
 
 
 # -------------------------------------------- rows-only (non-SQL-expressible)
+def _avro_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF CDC dumps (the reference's DEFAULT read format,
+    application.conf:10, DatastreamIO.scala:30-34) read WITHOUT the
+    spark-avro jar: binaryFile scan + executor-side pure-Python OCF decode
+    (sources/avro.py), flattened to the engine change-batch shape.
+    Deterministic fixture built on the fly; rows-only (DuckDB has no OCF
+    reader here) — container round-trip is pinned in tests/test_avro.py."""
+    import datetime as dt
+
+    from datastream_deltalake_connector_spark.sources.avro import write_ocf
+    from datastream_deltalake_connector_spark.sources.cdc import (
+        DatastreamTable,
+        TableMetadata,
+        flatten_envelope,
+        read_table_batch,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "DatastreamEvent",
+        "fields": [
+            {"name": "uuid", "type": "string"},
+            {"name": "read_timestamp", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "source_timestamp", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "object", "type": "string"},
+            {"name": "read_method", "type": "string"},
+            {"name": "stream_name", "type": "string"},
+            {"name": "schema_key", "type": "string"},
+            {
+                "name": "source_metadata",
+                "type": {
+                    "type": "record",
+                    "name": "SourceMetadata",
+                    "fields": [
+                        {"name": "table", "type": "string"},
+                        {"name": "database", "type": "string"},
+                        {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
+                        {"name": "log_file", "type": ["null", "string"]},
+                        {"name": "log_position", "type": ["null", "long"]},
+                        {"name": "change_type", "type": "string"},
+                        {"name": "is_deleted", "type": "boolean"},
+                    ],
+                },
+            },
+            {
+                "name": "payload",
+                "type": {
+                    "type": "record",
+                    "name": "Payload",
+                    "fields": [
+                        {"name": "pid", "type": "string"},
+                        {"name": "balance", "type": ["null", "long"]},
+                    ],
+                },
+            },
+        ],
+    }
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    records = [
+        {
+            "uuid": f"u{i}",
+            "read_timestamp": t0 + dt.timedelta(seconds=i),
+            "source_timestamp": t0 + dt.timedelta(seconds=i),
+            "object": "demo.accounts",
+            "read_method": "oracle-cdc-logminer",
+            "stream_name": "s",
+            "schema_key": "k",
+            "source_metadata": {
+                "table": "accounts",
+                "database": "demo",
+                "primary_keys": ["pid"],
+                "log_file": None,
+                "log_position": None,
+                "change_type": "DELETE" if i % 7 == 0 else "UPSERT",
+                "is_deleted": i % 7 == 0,
+                "scn": 1000 + i,
+            },
+            "payload": {"pid": f"a{i % 40:03d}", "balance": 100 * i},
+        }
+        for i in range(120)
+    ]
+    # scn rides in source_metadata for oracle ordering — add it to the schema
+    schema["fields"][7]["type"]["fields"].append({"name": "scn", "type": ["null", "long"]})
+    root = tempfile.mkdtemp(prefix="avro-cdc-")
+    for half, minute in ((records[:60], "00"), (records[60:], "01")):
+        write_ocf(
+            os.path.join(root, "accounts", "2024", "03", "01", "12", minute, "r.avro"),
+            schema,
+            half,
+            codec="deflate",
+        )
+    df = read_table_batch(spark, DatastreamTable(root, "accounts"), "avro")
+    meta = TableMetadata.from_df(df)
+    flat = flatten_envelope(df, meta)
+    return flat.orderBy("pid", "change_seq").select(
+        "pid", "balance", "change_type", "is_deleted", "change_seq"
+    )
+
+
 def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _read(spark, sf_dir, "documents"), k=3, verify_min_jaccard_x10k=200
@@ -1026,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": _promo_revenue,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
+        "avro_cdc_ingest": _avro_cdc_ingest,
         "minhash_lsh_pairs_docs": _minhash_lsh_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "lsh_ann_topk_docs": _lsh_ann_docs,

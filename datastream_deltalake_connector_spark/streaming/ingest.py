@@ -59,16 +59,23 @@ def ingest_table_to_log(
     pins the schema per query)."""
     probe = read_table_batch(spark, table, fmt)
     glob = os.path.join(table.table_path, "*/*/*/*/*")
-    reader = (
-        spark.readStream.format(fmt)
-        .schema(probe.schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-    )
-    if fmt == "json":
-        reader = reader.option("multiline", "true").option(
-            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    if fmt == "avro":
+        # binaryFile stream + executor-side OCF decode (sources/avro.py);
+        # maxFilesPerTrigger throttles identically to the jar-based source
+        from ..sources.avro import avro_stream
+
+        stream = avro_stream(spark, glob, max_files_per_trigger)
+    else:
+        reader = (
+            spark.readStream.format(fmt)
+            .schema(probe.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
         )
-    stream = reader.load(glob)
+        if fmt == "json":
+            reader = reader.option("multiline", "true").option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+            )
+        stream = reader.load(glob)
     for c in ("read_timestamp", "source_timestamp"):
         if c in stream.columns:
             stream = stream.withColumn(c, F.to_timestamp(c))

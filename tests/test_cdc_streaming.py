@@ -115,9 +115,13 @@ def test_flatten_envelope_ordering(spark, stream_root):
     assert {r["pid"] for r in deleted} == {"p3", "p9"}
 
 
-def test_avro_gated(spark, stream_root):
-    with pytest.raises(NotImplementedError):
+def test_format_dispatch_errors(spark, stream_root):
+    # avro now works (tests/test_avro.py); pointing it at JSON dumps must
+    # fail loudly on the container magic, and unknown formats are rejected
+    with pytest.raises(ValueError):
         read_table_batch(spark, DatastreamTable(stream_root, "people"), "avro")
+    with pytest.raises(ValueError):
+        read_table_batch(spark, DatastreamTable(stream_root, "people"), "orc2")
 
 
 def test_streaming_connector_end_to_end(spark, stream_root, tmp_path):
