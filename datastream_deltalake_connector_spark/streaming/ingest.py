@@ -51,12 +51,21 @@ def ingest_table_to_log(
     fmt: str = "json",
     max_files_per_trigger: int = 2,
     available_now: bool = True,
+    microbatch_partitions: int | None = None,
 ):
     """Stream 1: file source → append-only parquet log table. Returns the
     started StreamingQuery. Schema comes from a one-record batch probe (the
     reference flips on global streaming schema inference instead,
     DatastreamDeltaStreamingJob.scala:27 — an explicit probe is cheaper and
-    pins the schema per query)."""
+    pins the schema per query).
+
+    ``microbatch_partitions`` is the reference's DELTA_MICROBATCH_PARTITIONS
+    → ``coalesce(n)`` small-file control (Config.scala:51-54, applied at
+    DatastreamIO.scala:97): without it each micro-batch writes one file per
+    source split, and small-file accumulation is the reference's documented
+    #1 failure mode (README.md:146-151). The log table's files are also
+    bounded per drain, not only per trigger, because availableNow drains
+    write one batch per trigger group."""
     probe = read_table_batch(spark, table, fmt)
     glob = os.path.join(table.table_path, "*/*/*/*/*")
     if fmt == "avro":
@@ -79,6 +88,8 @@ def ingest_table_to_log(
     for c in ("read_timestamp", "source_timestamp"):
         if c in stream.columns:
             stream = stream.withColumn(c, F.to_timestamp(c))
+    if microbatch_partitions:
+        stream = stream.coalesce(microbatch_partitions)
     writer = (
         stream.writeStream.format("parquet")
         .option("path", log_dir)
@@ -134,13 +145,24 @@ def run_connector_once(
     warehouse: str,
     fmt: str = "json",
     max_files_per_trigger: int = 2,
+    table_source=None,
+    microbatch_partitions: int | None = None,
 ) -> dict[str, str]:
-    """Discover every table under the stream root and drain it end-to-end
+    """Discover every table of the stream and drain it end-to-end
     (ingest → log → merged icepack table), one pair of availableNow streams
     per table. Returns table → merged-table path. Failure of one table's
-    setup is logged and the others continue (ST7)."""
+    setup is logged and the others continue (ST7).
+
+    ``table_source``: any sources.discovery.TableSource (e.g. GCSTableSource
+    with an injected client); defaults to the local lister over
+    ``stream_root`` — the reference's TableProvider dispatch
+    (TableProvider.scala:11-29)."""
+    if table_source is None:
+        from ..sources.discovery import LocalTableSource
+
+        table_source = LocalTableSource(stream_root)
     results: dict[str, str] = {}
-    for table in discover_tables(stream_root):
+    for table in table_source.list_tables():
         try:
             probe = read_table_batch(spark, table, fmt)
             meta = TableMetadata.from_df(probe)
@@ -149,7 +171,8 @@ def run_connector_once(
             log_dir = os.path.join(warehouse, f"{table.table}_log")
             ckpt = os.path.join(warehouse, "_checkpoints", table.table)
             q1 = ingest_table_to_log(
-                spark, table, log_dir, ckpt, fmt, max_files_per_trigger
+                spark, table, log_dir, ckpt, fmt, max_files_per_trigger,
+                microbatch_partitions=microbatch_partitions,
             )
             q1.awaitTermination()
 

@@ -194,3 +194,87 @@ def test_streaming_new_dump_incremental(spark, stream_root, tmp_path):
         import shutil
 
         shutil.rmtree(d3, ignore_errors=True)
+
+
+def test_table_source_seam_local_and_gcs(stream_root):
+    """TableSource protocol: local impl matches discover_tables; the GCS impl
+    pages an injected fake client exactly like the reference's mockable
+    GCSOpsSpec (GCSOpsSpec.scala:13-15)."""
+    from datastream_deltalake_connector_spark.sources.discovery import (
+        GCSTableSource,
+        LocalTableSource,
+        TableSource,
+    )
+
+    local = LocalTableSource(stream_root)
+    assert isinstance(local, TableSource)
+    assert [t.table for t in local.list_tables()] == ["people"]
+
+    class FakeGCSClient:
+        """Two pages; blob names include nested dump paths and a stray
+        prefix-level object that must not become a table."""
+
+        def __init__(self):
+            self.calls = []
+
+        def list_blobs(self, bucket, prefix, page_token):
+            self.calls.append((bucket, prefix, page_token))
+            assert bucket == "b" and prefix == "streams/s1/"
+            if page_token is None:
+                return (
+                    [
+                        "streams/s1/people/2024/01/01/10/00/records1.avro",
+                        "streams/s1/accounts/2024/01/01/10/00/records1.avro",
+                    ],
+                    "page-2",
+                )
+            assert page_token == "page-2"
+            return (["streams/s1/people/2024/01/01/10/05/records2.avro"], None)
+
+    client = FakeGCSClient()
+    src = GCSTableSource(client, "b", "streams/s1")
+    tables = src.list_tables()
+    assert [t.table for t in tables] == ["accounts", "people"]
+    assert tables[0].path == "gs://b/streams/s1"
+    assert len(client.calls) == 2  # followed the page token
+
+
+def test_run_connector_accepts_table_source(spark, stream_root, tmp_path):
+    """The connector runs against an explicit TableSource (seam used instead
+    of the default local lister)."""
+    from datastream_deltalake_connector_spark.sources.discovery import LocalTableSource
+
+    warehouse = str(tmp_path / "seam-warehouse")
+    results = run_connector_once(
+        spark, "ignored-root", warehouse, fmt="json",
+        table_source=LocalTableSource(stream_root),
+    )
+    assert "people" in results
+
+
+def test_ingest_microbatch_partitions_bounds_files(spark, stream_root, tmp_path):
+    """The DELTA_MICROBATCH_PARTITIONS analogue: with microbatch_partitions=1
+    each micro-batch coalesces to ONE log file, so a drain of N triggers
+    leaves ≤N data files — the reference's documented small-file mitigation
+    (README.md:115, Config.scala:51-54)."""
+    import glob as g
+
+    from datastream_deltalake_connector_spark.streaming.ingest import (
+        ingest_table_to_log,
+    )
+
+    table = DatastreamTable(stream_root, "people")
+    for knob, bound in ((None, 100), (1, 2)):
+        log_dir = str(tmp_path / f"log-{knob}")
+        ckpt = str(tmp_path / f"ckpt-{knob}")
+        q = ingest_table_to_log(
+            spark, table, log_dir, ckpt, "json",
+            max_files_per_trigger=1,  # 2 dump files → 2 triggers
+            microbatch_partitions=knob,
+        )
+        q.awaitTermination()
+        files = g.glob(os.path.join(log_dir, "part-*"))
+        assert 1 <= len(files) <= bound
+        if knob == 1:
+            assert len(files) <= 2  # one file per trigger, two triggers
+        assert spark.read.parquet(log_dir).count() == 8
