@@ -29,6 +29,7 @@ __all__ = [
     "lsh_bucket",
     "lsh_ann_topk",
     "ivf_centroids",
+    "ivf_fit_centroids",
     "ivf_assign",
     "ivf_ann_topk",
 ]
@@ -129,12 +130,55 @@ def lsh_ann_topk(
 
 # --------------------------------------------------------------------- IVF
 def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 7) -> np.ndarray:
-    """Deterministic unit-norm cell centroids (seeded random projections —
-    a stand-in for a trained k-means codebook; at production scale the
-    codebook would be fit once on a sample and broadcast, exactly like
-    these literals are)."""
+    """Deterministic unit-norm cell centroids (seeded random projections) —
+    the un-fitted fallback when no data is available to train on. Prefer
+    ``ivf_fit_centroids``."""
     c = np.random.default_rng(seed).standard_normal((n_cells, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means codebook fit on a corpus sample (driver-side numpy,
+    kmeans++-style farthest-point seeding). This is the standard IVF recipe:
+    the codebook is fit ONCE on a bounded sample and broadcast as literals —
+    the sample collect is the only driver data transfer, capped at
+    ``sample_size`` rows regardless of corpus size."""
+    n_total = df.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n_total, 1))
+    rows = (
+        df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    if len(x) < n_cells:
+        return ivf_centroids(x.shape[1] if len(x) else 2, n_cells, seed)
+    # kmeans++ seeding by cosine distance
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(n_cells - 1):
+        sims = np.max(np.stack([x @ c for c in cents]), axis=0)
+        d2 = np.maximum(1.0 - sims, 0.0) ** 2
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=p)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # dead cell: reseed at the point farthest from its centroid
+                far = np.argmin(np.max(x @ c.T, axis=1))
+                c[j] = x[far]
+    return c
 
 
 def ivf_assign(vec_col: Column, centroids: np.ndarray) -> Column:
@@ -154,13 +198,24 @@ def ivf_ann_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
+    fit: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest coarse centroid,
     probe the ``nprobe`` cells nearest the query, re-rank candidates exactly.
     Same output shape as cosine_topk. At 10^12 rows the cell id is the
     table's write-time partition key, so probing touches only nprobe/n_cells
-    of the files via manifest pruning."""
-    cents = ivf_centroids(len(query), n_cells, seed)
+    of the files via manifest pruning.
+
+    ``centroids``: a pre-fit codebook (the production path — fit once,
+    reuse); otherwise fit one on a corpus sample (``fit=True``, default) or
+    fall back to seeded random projections (``fit=False``)."""
+    if centroids is not None:
+        cents = centroids
+    elif fit:
+        cents = ivf_fit_centroids(df, vec_col, n_cells, seed=seed)
+    else:
+        cents = ivf_centroids(len(query), n_cells, seed)
     q = np.asarray(query, dtype=np.float64)
     order = np.argsort(-(cents @ q))
     probe_cells = [int(c) for c in order[:nprobe]]
