@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     def common(p):
         p.add_argument("--table", required=True)
         p.add_argument("--job-id", default=None)
+        p.add_argument("--config", default=None, help="JSON deployment config")
 
     p = sub.add_parser("init")
     common(p)
@@ -77,8 +78,18 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("connector")
     p.add_argument("--root", required=True)
     p.add_argument("--warehouse", required=True)
-    p.add_argument("--format", default="json")
+    p.add_argument("--format", default=None, help="overrides config read_format")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="JSON deployment config (config.ConnectorConfig); env vars "
+        "overlay it exactly like the reference's HOCON ${?VAR} substitution",
+    )
     args = ap.parse_args(argv)
+
+    from .config import ConnectorConfig
+
+    cfg = ConnectorConfig.load(getattr(args, "config", None))
 
     spark = _spark()
     out: dict = {"cmd": args.cmd}
@@ -86,7 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.ingest import run_connector_once
 
         out["tables"] = run_connector_once(
-            spark, args.root, args.warehouse, fmt=args.format
+            spark,
+            args.root,
+            args.warehouse,
+            fmt=args.format or cfg.read_format,
+            max_files_per_trigger=cfg.file_read_concurrency,
+            microbatch_partitions=cfg.microbatch_partitions,
         )
         print(json.dumps(out))
         return 0
@@ -108,7 +124,12 @@ def main(argv: list[str] | None = None) -> int:
         t = IcepackTable.load(spark, args.table)
         batch = spark.read.parquet(args.batch)
         out["version"] = merge_into_table(
-            t, batch, job_id=args.job_id, rewrite_mode=args.rewrite_mode
+            t,
+            batch,
+            job_id=args.job_id,
+            rewrite_mode=args.rewrite_mode,
+            schema_evolution=cfg.schema_evolution,
+            broadcast_bytes_threshold=cfg.broadcast_bytes_threshold,
         )
     elif args.cmd == "compact":
         from .operators.compaction import compact
