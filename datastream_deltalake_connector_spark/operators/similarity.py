@@ -69,8 +69,10 @@ def cosine_topk(
     )
     # Distributed top-k first (per-partition TakeOrdered + driver merge — no
     # global sort shuffle); the ranking window then runs over only k rows.
+    # The constant partition key makes the single-group intent explicit and
+    # keeps plans free of the "No Partition Defined" WindowExec warning.
     top = scored.orderBy(F.desc("__cos"), F.col(id_col)).limit(k)
-    w = Window.orderBy(F.desc("__cos"), F.col(id_col))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("__cos"), F.col(id_col))
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", id_col, "cos_x10k")

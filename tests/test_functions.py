@@ -223,3 +223,18 @@ def test_hilbert_udf_matches_numpy(spark):
         r["h"] for r in df.select(hilbert_value(F.col("a"), F.col("b")).alias("h")).collect()
     ]
     assert got == hilbert_np(a, b).tolist()
+
+
+def test_z_value_expr_matches_vectorized(spark):
+    """The interpreted expression form and the Arrow-vectorized pandas UDF
+    must be bit-identical (both are pinned to z_value_np)."""
+    from datastream_deltalake_connector_spark.functions.zorder import z_value_expr
+
+    a = RNG.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    b = RNG.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    df = spark.createDataFrame([(int(x), int(y)) for x, y in zip(a, b)], ["a", "b"])
+    rows = df.select(
+        z_value(F.col("a"), F.col("b")).alias("vec"),
+        z_value_expr(F.col("a"), F.col("b")).alias("expr"),
+    ).collect()
+    assert all(r["vec"] == r["expr"] for r in rows)
