@@ -438,7 +438,13 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs, oracle-safe by construction:
     embeddings are scaled to int64 (round(x*1e6)) so dot products and norms
     are EXACT integer sums in both engines; the final cosine is the same
-    fixed float expression over identical integers → bit-identical."""
+    fixed float expression over identical integers → bit-identical.
+
+    SCALE WARNING — this is an all-pairs O(n²) cross join, kept ONLY as a
+    DuckDB-checkable exactness probe at test cardinality (~2k vectors). It
+    must never be pointed at a real corpus: the production near-dup paths
+    are `minhash_lsh_pairs` (text) and `lsh_ann_topk` / `ivf_ann_topk`
+    (embeddings), all bucketed so candidates — never the corpus — pair up."""
     emb = _read(spark, sf_dir, "embeddings")
     to_int = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000).cast("long")

@@ -60,7 +60,6 @@ def cosine_topk(
     integer-scaled similarity and id as the deterministic tie-break."""
     qn = float(np.sqrt(np.dot(query, query)))
     cos = dot_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qn))
-    from pyspark.sql import Window
 
     scored = df.select(
         F.col(id_col),
@@ -68,14 +67,20 @@ def cosine_topk(
         cos.alias("__cos"),
     )
     # Distributed top-k first (per-partition TakeOrdered + driver merge — no
-    # global sort shuffle); the ranking window then runs over only k rows.
-    # The constant partition key makes the single-group intent explicit and
-    # keeps plans free of the "No Partition Defined" WindowExec warning.
-    top = scored.orderBy(F.desc("__cos"), F.col(id_col)).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("__cos"), F.col(id_col))
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select("rank", id_col, "cos_x10k")
+    # global sort shuffle). Ranking the ≤k survivors needs no window at all
+    # (a global window here would fold its constant partition key away and
+    # re-trigger the "No Partition Defined" WindowExec warning): force one
+    # sorted partition and number rows positionally.
+    top = (
+        scored.orderBy(F.desc("__cos"), F.col(id_col))
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(F.desc("__cos"), F.col(id_col))
+    )
+    return top.select(
+        (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
+        id_col,
+        "cos_x10k",
     )
 
 
