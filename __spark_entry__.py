@@ -363,6 +363,63 @@ SELECT id_a, id_b, jaccard_x10k FROM (
 """
 
 
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: pair evidence (exact n-gram Jaccard —
+    the oracle-checkable pair source) → connected components via min-label
+    propagation → per-doc keep/drop with keeper election. This is the
+    iterative-algorithm entry, and it IS oracled: the DuckDB twin computes
+    the same components with a recursive transitive-closure CTE."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_keep_list,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, min_jaccard_x10k=200)
+    return dedup_keep_list(pairs)
+
+
+_NEARDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           CAST(round(n_int * 10000.0 / (sa.n_sh + sb.n_sh - n_int)) AS BIGINT) AS jaccard_x10k
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+  ) WHERE jaccard_x10k >= 200
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+reps AS (SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM reps GROUP BY cluster_rep)
+SELECT reps.doc_id, reps.cluster_rep, csz.cluster_size,
+       reps.doc_id = reps.cluster_rep AS keep
+FROM reps JOIN csz USING (cluster_rep)
+"""
+
+
 # ------------------------------------------------------------- similarity
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
@@ -1118,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "lang_id_docs": _lang_id_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
+        "neardup_clusters_docs": _neardup_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
@@ -1168,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _DOC_QUALITY_ORACLE,
         "lang_id_docs": _LANG_ID_ORACLE,
         "jaccard_pairs_docs": _JACCARD_ORACLE,
+        "neardup_clusters_docs": _NEARDUP_CLUSTERS_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "cdc_lww_composite_key": _LWW_COMPOSITE_ORACLE,
         "events_windowed_agg": _WINDOWED_ORACLE,

@@ -207,3 +207,29 @@ def test_ivf_fitted_codebook_beats_random(spark):
     assert tot_f >= 48  # fitted codebook: near-perfect recall
     assert tot_f >= tot_r  # and never worse than the random fallback
     df.unpersist()
+
+
+def test_connected_components_known_graph(spark):
+    """CC + keeper election on a hand-built graph: a long chain (forces the
+    pointer-jumping path), a triangle, one isolated pair — exact expected
+    components."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 40)]       # 31-node path, diameter 30
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pair = [(200, 300)]
+    pairs = spark.createDataFrame(chain + tri + pair, ["id_a", "id_b"])
+    cc = {r["node"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert all(cc[i] == 10 for i in range(10, 41))
+    assert all(cc[i] == 100 for i in (100, 101, 102))
+    assert cc[200] == 200 and cc[300] == 200
+    keep = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"], r["keep"])
+            for r in dedup_keep_list(pairs).collect()}
+    assert keep[10] == (10, 31, True)
+    assert keep[25] == (10, 31, False)
+    assert keep[102] == (100, 3, False)
+    assert keep[300] == (200, 2, False)
+    assert sum(1 for (_, _, k) in keep.values() if k) == 3  # one keeper per component
