@@ -322,6 +322,25 @@ _DOC_QUALITY_ORACLE = (
 )
 
 
+def _corpus_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus keep/drop verdicts: exact-dup keeper election +
+    token-count bounds + punctuation/stopword density thresholds, first
+    failing rule wins (operators/quality_filter.py). Two shuffles total."""
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        corpus_filter,
+    )
+
+    return corpus_filter(_read(spark, sf_dir, "documents"))
+
+
+def _corpus_filter_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        corpus_filter_sql,
+    )
+
+    return corpus_filter_sql()
+
+
 def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1173,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _fingerprint_docs,
         "token_count_docs": _token_count_docs,
         "doc_quality": _doc_quality,
+        "corpus_filter_docs": _corpus_filter_docs,
         "lang_id_docs": _lang_id_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "neardup_clusters_docs": _neardup_clusters,
@@ -1224,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _FINGERPRINT_ORACLE,
         "token_count_docs": _TOKEN_COUNT_ORACLE,
         "doc_quality": _DOC_QUALITY_ORACLE,
+        "corpus_filter_docs": _corpus_filter_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,
         "jaccard_pairs_docs": _JACCARD_ORACLE,
         "neardup_clusters_docs": _NEARDUP_CLUSTERS_ORACLE,

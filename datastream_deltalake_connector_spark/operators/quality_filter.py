@@ -1,0 +1,104 @@
+"""Corpus keep/drop filtering: the decision stage of a training-data pipeline.
+
+Composes the text signals (functions/text.py: token count, punctuation and
+stopword density — all integer-scaled with DuckDB SQL twins) and exact
+dedup into one per-document verdict with a reason code. Rule order is fixed
+(first failure wins) so the output is deterministic and SQL-twinnable:
+
+    exact_dup → too_short → too_long → high_punct → low_stopword → keep
+
+Everything is one projection plus one aggregate-join on the content hash:
+two shuffles total (hash groupBy + the rejoin), no UDFs, no window over the
+corpus — the same plan shape at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score_cols, quality_score_sql, token_count_sql
+
+__all__ = ["corpus_filter", "corpus_filter_sql"]
+
+DEFAULTS = dict(
+    min_tokens=10,
+    max_tokens=50_000,
+    max_punct_per_10k=2_000,
+    min_stopword_per_10k=200,
+)
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = DEFAULTS["min_tokens"],
+    max_tokens: int = DEFAULTS["max_tokens"],
+    max_punct_per_10k: int = DEFAULTS["max_punct_per_10k"],
+    min_stopword_per_10k: int = DEFAULTS["min_stopword_per_10k"],
+) -> DataFrame:
+    """(doc_id, n_tokens, keep, reason) for every document."""
+    q = quality_score_cols(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__hash"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_per_10k"].alias("__punct"),
+        q["stopword_per_10k"].alias("__stop"),
+    )
+    keepers = scored.groupBy("__hash").agg(F.min(id_col).alias("__keeper"))
+    reason = (
+        F.when(F.col(id_col) != F.col("__keeper"), F.lit("exact_dup"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("__punct") > max_punct_per_10k, F.lit("high_punct"))
+        .when(F.col("__stop") < min_stopword_per_10k, F.lit("low_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        scored.join(keepers, "__hash")
+        .select(
+            id_col,
+            "n_tokens",
+            reason.alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "keep")
+    )
+
+
+def corpus_filter_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = DEFAULTS["min_tokens"],
+    max_tokens: int = DEFAULTS["max_tokens"],
+    max_punct_per_10k: int = DEFAULTS["max_punct_per_10k"],
+    min_stopword_per_10k: int = DEFAULTS["min_stopword_per_10k"],
+) -> str:
+    """DuckDB twin of ``corpus_filter`` — same rule order, same thresholds."""
+    q = quality_score_sql(text_col)
+    return f"""
+WITH scored AS (
+  SELECT {id_col},
+         md5({text_col}) AS h,
+         {q['n_tokens']} AS n_tokens,
+         {q['punct_per_10k']} AS punct,
+         {q['stopword_per_10k']} AS stop
+  FROM {table}
+),
+keepers AS (SELECT h, min({id_col}) AS keeper FROM scored GROUP BY h),
+verdict AS (
+  SELECT {id_col}, n_tokens,
+         CASE
+           WHEN {id_col} != keeper THEN 'exact_dup'
+           WHEN n_tokens < {min_tokens} THEN 'too_short'
+           WHEN n_tokens > {max_tokens} THEN 'too_long'
+           WHEN punct > {max_punct_per_10k} THEN 'high_punct'
+           WHEN stop < {min_stopword_per_10k} THEN 'low_stopword'
+           ELSE 'keep'
+         END AS reason
+  FROM scored JOIN keepers USING (h)
+)
+SELECT {id_col}, n_tokens, reason, reason = 'keep' AS keep FROM verdict
+"""

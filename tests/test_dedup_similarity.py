@@ -233,3 +233,26 @@ def test_connected_components_known_graph(spark):
     assert keep[102] == (100, 3, False)
     assert keep[300] == (200, 2, False)
     assert sum(1 for (_, _, k) in keep.values() if k) == 3  # one keeper per component
+
+
+def test_corpus_filter_verdicts(spark, docs):
+    """Rule precedence and keeper election on the planted-dup corpus."""
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        corpus_filter,
+    )
+
+    out = corpus_filter(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # the 20 planted exact dups (id+100000) must be dropped as exact_dup,
+    # and their originals must NOT be (keeper = min id)
+    for i in range(20):
+        assert rows[i + 100000]["reason"] == "exact_dup"
+        assert rows[i + 100000]["keep"] is False
+        assert rows[i]["reason"] != "exact_dup"
+    # every verdict is one of the fixed codes; keep <=> reason == 'keep'
+    codes = {"keep", "exact_dup", "too_short", "too_long", "high_punct", "low_stopword"}
+    for r in rows.values():
+        assert r["reason"] in codes
+        assert r["keep"] == (r["reason"] == "keep")
+    assert sum(1 for r in rows.values() if r["keep"]) > 0
