@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["dedup_stream_lww"]
+__all__ = ["dedup_stream_lww", "sessionize_stream"]
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -86,6 +86,96 @@ def dedup_stream_lww(
         dedup,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful twin of the batch
+    ``events_sessionize`` query (same semantics: a gap > ``gap_seconds``
+    starts a new session).
+
+    State per key: the OPEN session (start, last event, count). Each
+    micro-batch sorts its events, stitches them onto the open session, and
+    emits every session CLOSED by evidence (a later event separated by more
+    than the gap); the trailing session stays open in state across batches
+    and restarts (checkpointed state store). Gap math is numpy over int64
+    microseconds inside ``applyInPandasWithState`` — Arrow in, Arrow out.
+
+    Output: (key, session_start, session_end, n_events) for closed sessions.
+    """
+    import numpy as np
+
+    key_field = events.schema[key]
+    out_schema = T.StructType(
+        [
+            T.StructField(key, key_field.dataType),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def sessionize(
+        k: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts_list = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_list.append(pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64"))
+        if not ts_list:
+            return
+        ts = np.sort(np.concatenate(ts_list))
+        closed: list[tuple[int, int, int]] = []
+        # stitch onto the open session from state; events at or before the
+        # open session's last timestamp (cross-batch stragglers) join it
+        if state.exists:
+            start_us, last_us, n = state.get
+            rest = ts
+        else:
+            start_us = last_us = int(ts[0])
+            n = 1
+            rest = ts[1:]
+        for t in rest:
+            t = int(t)
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [k[0]] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

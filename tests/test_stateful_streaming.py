@@ -79,3 +79,67 @@ def test_stateful_lww_across_drains(spark, tmp_path):
     drain(spark, in_dir, out_dir, ckpt)
     out = rows_of(spark, out_dir)
     assert out.count(("k3", "x1", 5)) == 2  # re-emitted, merge absorbs it
+
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def test_stateful_sessionize_across_drains(spark, tmp_path):
+    """Streaming sessionization: sessions close only on evidence (a later
+    event beyond the gap); the open session persists in checkpointed state
+    across drains and is stitched when the next drain's events continue it."""
+    from datetime import datetime, timedelta
+
+    from datastream_deltalake_connector_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("sin", "sout", "sckpt"))
+    os.makedirs(in_dir)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda mins: t0 + timedelta(minutes=mins)
+
+    def drain_sessions():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(in_dir)
+        q = (
+            sessionize_stream(stream, key="user_id", ts_col="ts", gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sessions():
+        return sorted(
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    # drain 1: u1 has two bursts separated by 40 min (> 30 gap) → first
+    # burst closes; second stays open. u2 one burst → stays open.
+    spark.createDataFrame(
+        [(1, m(0)), (1, m(5)), (1, m(45)), (1, m(50)), (2, m(0))], EV_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    drain_sessions()
+    assert sessions() == [(1, m(0), m(5), 2)]
+
+    # drain 2: u1 continues its open burst within the gap (55) then jumps
+    # past it (120) → burst (45..55) closes with the stitched count of 3;
+    # u2 jumps far → its 1-event session closes.
+    spark.createDataFrame([(1, m(55)), (1, m(120)), (2, m(90))], EV_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    drain_sessions()
+    assert sessions() == [
+        (1, m(0), m(5), 2),
+        (1, m(45), m(55), 3),
+        (2, m(0), m(0), 1),
+    ]
