@@ -244,7 +244,9 @@ def query_bench(spark, sf_dir: str) -> dict:
         "salted_group_count",
         "exact_dedup_docs",
         "doc_quality",
+        "corpus_filter_docs",
         "minhash_lsh_pairs_docs",
+        "neardup_clusters_docs",
         "ann_cosine_topk",
     ]
     qs = entrymod.queries()
