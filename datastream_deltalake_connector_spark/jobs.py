@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     p.add_argument("--num-files", type=int, default=None)
+    p.add_argument("--incremental", action="store_true",
+                   help="recluster only files added since the last cluster commit")
     p = sub.add_parser("expire")
     common(p)
     p.add_argument("--keep-last", type=int, default=2)
@@ -143,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
 
         t = IcepackTable.load(spark, args.table)
         out["version"] = cluster(
-            t, curve=args.curve, num_files=args.num_files, job_id=args.job_id
+            t, curve=args.curve, num_files=args.num_files, job_id=args.job_id,
+            incremental=args.incremental,
         )
     elif args.cmd == "expire":
         from .operators.expire import expire_snapshots

@@ -35,6 +35,13 @@ from .partitioning import quantile_boundaries, repartition_by_bounds
 __all__ = ["cluster"]
 
 
+def _last_cluster_version(table: IcepackTable, head: int) -> int | None:
+    for s in reversed(table.snapshots()):
+        if s.version <= head and s.operation == "cluster":
+            return s.version
+    return None
+
+
 def cluster(
     table: IcepackTable,
     cols: tuple[str, str] = ("phash", "image_id"),
@@ -42,16 +49,39 @@ def cluster(
     num_files: int | None = None,
     target_bytes: int = IcepackTable.DEFAULT_TARGET_FILE_BYTES,
     job_id: str | None = None,
+    incremental: bool = False,
 ) -> int:
-    """Rewrite the whole table clustered on the curve key; returns the new
+    """Rewrite the table clustered on the curve key; returns the new
     version. ``cols[1]`` is hashed with xxhash64 first (north_rule) so an
-    arbitrary string id becomes a uniform dimension."""
+    arbitrary string id becomes a uniform dimension.
+
+    ``incremental=True`` rewrites only the DIRTY files — those added or
+    rewritten since the last cluster commit (computed as HEAD's manifest
+    minus the files surviving unchanged from that commit's manifest; every
+    file in a cluster snapshot is clustered by construction, so survivors
+    need no work). Dirty files get their own sorted, range-disjoint output
+    generation; its key ranges may overlap the previous generation's, so
+    pruning degrades gracefully rather than breaking — a periodic full
+    cluster restores one global order. At 10^12 images this is the only
+    affordable steady-state: each maintenance cycle clusters the day's new
+    data, not the table."""
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:12]}"
     journal = LineageJournal(table.root, job_id)
     parent = table.head_version()
     entries = table.files(parent)
     if not entries:
         return parent
+
+    mode = "full"
+    if incremental:
+        lastv = _last_cluster_version(table, parent)
+        if lastv is not None:
+            already = {e.path for e in table.files(lastv)}
+            dirty = [e for e in entries if e.path not in already]
+            if not dirty:
+                return parent  # nothing new since the last cluster
+            entries = dirty
+            mode = "incremental"
 
     # Resume: if this job already staged its rewrite (journal record with all
     # outputs still on disk) but died before the commit, reuse the staged
@@ -85,15 +115,16 @@ def cluster(
         total = sum(e.bytes for e in entries)
         num_files = max(1, round(total / target_bytes))
 
-    # Boundaries from a key-only scan: column pruning keeps the pixel bytes
-    # out of this pass entirely.
-    keys_only = table.scan(version=parent, columns=list(cols)).select(
-        key.alias("__cluster_key")
-    )
+    # Read exactly the files being rewritten (all of them in full mode, the
+    # dirty subset in incremental mode). Boundaries come from a key-only
+    # pass over the same files: column pruning keeps pixel bytes out of it.
+    paths = [os.path.join(table.root, e.path) for e in entries]
+    schema = table.schema(parent)
+    src = table.spark.read.schema(schema).parquet(*paths)
+    keys_only = src.select(*cols).select(key.alias("__cluster_key"))
     bounds = quantile_boundaries(keys_only, "__cluster_key", num_files)
 
-    df = table.scan(version=parent)
-    clustered = repartition_by_bounds(df, key, bounds, key_col_name="__cluster_key")
+    clustered = repartition_by_bounds(src, key, bounds, key_col_name="__cluster_key")
     added = table.write_data_files(clustered)
     journal.log_task(
         stage="cluster",
@@ -108,7 +139,13 @@ def cluster(
         "cluster",
         added=added,
         removed_paths=[e.path for e in entries],
-        summary={"curve": curve, "cluster_cols": list(cols), "job_id": job_id},
+        summary={
+            "curve": curve,
+            "cluster_cols": list(cols),
+            "job_id": job_id,
+            "mode": mode,
+            "rewritten_files": len(entries),
+        },
     )
     journal.log_commit(version)
     return version

@@ -425,6 +425,35 @@ class IcepackTable:
                 os.unlink(lock_path)
         raise ConflictError("could not acquire commit lock")
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact row count from manifest entries alone — zero data files
+        read (the metadata-only COUNT(*) pushdown a table format owes its
+        users; footer-derived row counts are exact)."""
+        return sum(e.rows for e in self.files(version))
+
+    def describe(self, version: int | None = None) -> dict:
+        """Observability summary of a snapshot: file/row/byte totals and
+        file-size distribution — all from the manifest, no data read."""
+        snap = self.snapshot(version)
+        entries = self.files(snap.version)
+        sizes = sorted(e.bytes for e in entries)
+
+        def pct(p: float) -> int:
+            return sizes[min(len(sizes) - 1, int(p * len(sizes)))] if sizes else 0
+
+        return {
+            "version": snap.version,
+            "operation": snap.operation,
+            "files": len(entries),
+            "rows": sum(e.rows for e in entries),
+            "bytes": sum(sizes),
+            "file_bytes_min": sizes[0] if sizes else 0,
+            "file_bytes_p50": pct(0.5),
+            "file_bytes_p90": pct(0.9),
+            "file_bytes_max": sizes[-1] if sizes else 0,
+            "columns": len(snap.schema.fields),
+        }
+
     # ------------------------------------------------------- common actions
     def append(self, df: DataFrame, num_files: int | None = None) -> int:
         entries = self.write_data_files(df, num_files=num_files)

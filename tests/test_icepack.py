@@ -184,3 +184,19 @@ def test_executor_footer_stats_match_driver(spark, tmp_path):
     via_exec = t.collect_file_entries(stage_rel, use_executors=True)
     assert [asdict(e) for e in via_driver] == [asdict(e) for e in via_exec]
     assert len(via_driver) == t.EXECUTOR_STATS_MIN_FILES + 4
+
+
+def test_metadata_only_count_and_describe(spark, tmp_path):
+    """count_rows/describe answer from manifests alone and stay exact
+    across append, merge-style overwrite, and version pinning."""
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(make_df(spark, 0, 100), num_files=3)
+    v1 = t.head_version()
+    assert t.count_rows() == 100 == t.scan().count()
+    t.append(make_df(spark, 100, 130), num_files=1)
+    assert t.count_rows() == 130 == t.scan().count()
+    assert t.count_rows(version=v1) == 100  # pinned snapshot count
+    d = t.describe()
+    assert d["files"] == 4 and d["rows"] == 130 and d["columns"] == 2
+    assert d["file_bytes_min"] <= d["file_bytes_p50"] <= d["file_bytes_max"]
+    assert d["bytes"] == sum(e.bytes for e in t.files())

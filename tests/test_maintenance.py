@@ -406,3 +406,43 @@ def test_no_orphan_zero_row_files(spark, tmp_path):
             if n.endswith(".parquet"):
                 on_disk.add(os.path.join(dirpath, n))
     assert on_disk <= referenced, f"orphans: {sorted(on_disk - referenced)[:5]}"
+
+
+def test_incremental_cluster_rewrites_only_dirty(spark, tmp_path):
+    """incremental=True must leave the previous cluster generation's files
+    in place, rewrite only files added since, keep scans equivalent, and
+    no-op when nothing changed."""
+    root = str(tmp_path / "inc" / "images")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 100, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=4)
+    v_full = cluster(t, curve="zorder", num_files=3)
+    gen1 = {e.path for e in t.files(v_full)}
+    assert t.snapshot(v_full).summary["mode"] == "full"
+
+    extra = generate_images(spark, 40, seed=777, num_partitions=2).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(extra, num_files=2)
+    before = scan_key_state(t)
+
+    v_inc = cluster(t, curve="zorder", num_files=1, incremental=True)
+    snap = t.snapshot(v_inc)
+    assert snap.summary["mode"] == "incremental"
+    assert snap.summary["rewritten_files"] == 2  # only the appended files
+    after_paths = {e.path for e in t.files(v_inc)}
+    assert gen1 <= after_paths  # previous generation untouched
+    assert scan_key_state(t) == before  # scan equivalence
+
+    # nothing new since → no-op, version unchanged
+    assert cluster(t, curve="zorder", incremental=True) == v_inc
