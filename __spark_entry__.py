@@ -322,6 +322,41 @@ _DOC_QUALITY_ORACLE = (
 )
 
 
+def _token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-token length budget: BPE-ish pre-tokenizer regex count
+    (letter runs / digit runs / punct runs) next to whitespace tokens."""
+    from datastream_deltalake_connector_spark.functions.text import token_count_bpe
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
+def _token_count_bpe_oracle() -> str:
+    from datastream_deltalake_connector_spark.functions.text import token_count_bpe_sql
+
+    return f"SELECT doc_id, {token_count_bpe_sql('text')} AS n_bpe_tokens FROM documents"
+
+
+def _winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints, exploded to
+    (doc_id, fingerprint) — md5-hex string mins so both engines order
+    identically (functions/text.winnow_fingerprints)."""
+    from datastream_deltalake_connector_spark.functions.text import winnow_fingerprints
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fingerprint")
+    )
+
+
+def _winnow_oracle() -> str:
+    from datastream_deltalake_connector_spark.functions.text import (
+        winnow_fingerprints_sql,
+    )
+
+    return winnow_fingerprints_sql()
+
+
 def _corpus_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus keep/drop verdicts: exact-dup keeper election +
     token-count bounds + punctuation/stopword density thresholds, first
@@ -1193,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": _token_count_docs,
         "doc_quality": _doc_quality,
         "corpus_filter_docs": _corpus_filter_docs,
+        "token_count_bpe_docs": _token_count_bpe_docs,
+        "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "neardup_clusters_docs": _neardup_clusters,
@@ -1245,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": _TOKEN_COUNT_ORACLE,
         "doc_quality": _DOC_QUALITY_ORACLE,
         "corpus_filter_docs": _corpus_filter_oracle(),
+        "token_count_bpe_docs": _token_count_bpe_oracle(),
+        "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,
         "jaccard_pairs_docs": _JACCARD_ORACLE,
         "neardup_clusters_docs": _NEARDUP_CLUSTERS_ORACLE,

@@ -30,6 +30,10 @@ __all__ = [
     "lang_id_sql",
     "fingerprint_norm",
     "fingerprint_norm_sql",
+    "token_count_bpe",
+    "token_count_bpe_sql",
+    "winnow_fingerprints",
+    "winnow_fingerprints_sql",
 ]
 
 _PUNCT_CLASS = "[.,;:!?\"()]"
@@ -168,3 +172,87 @@ def fingerprint_norm(text: Column) -> Column:
 
 def fingerprint_norm_sql(text: str) -> str:
     return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------- BPE-ish subword token count
+# A GPT-style pre-tokenizer approximation: letter runs, digit runs, and
+# non-alnum punctuation runs each become one token. ASCII classes only so
+# Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    LLM-pipeline complement of whitespace ``token_count`` (a length budget
+    in "model tokens" rather than words)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def token_count_bpe_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{_BPE_PATTERN}')) AS BIGINT)"
+
+
+# -------------------------------------------- winnowing (rolling) fingerprints
+def winnow_fingerprints(
+    text: Column, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every ORDERED k-gram, slide a ``window`` over the hash sequence, keep
+    each window's minimum — the classic rolling-hash selection guaranteeing
+    any shared run of ≥ k+window-1 tokens yields a shared fingerprint.
+
+    The "hash" is the md5 hex string and the minimum is lexicographic:
+    string order is engine-identical, so the DuckDB twin hash-matches
+    exactly (a numeric xxhash would diverge — DuckDB lacks it). Returns the
+    sorted distinct fingerprint array (empty for docs shorter than
+    k+window-1 tokens). All JVM-side: the token array is bound as a lambda
+    variable (see shingle_tokens' O(n²) caution)."""
+
+    def make(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.encode(F.array_join(F.slice(toks, i + 1, k), " "), "UTF-8")),
+        )
+        mins = F.transform(
+            F.sequence(F.lit(1), n - k + 2 - window),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        )
+        return F.when(n >= k + window - 1, F.array_sort(F.array_distinct(mins))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    bound = F.transform(F.array(F.split(F.trim(F.lower(text)), r"\s+")), make)
+    return F.element_at(bound, 1)
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> str:
+    """DuckDB twin of ``winnow_fingerprints`` exploded to (id, fingerprint)
+    rows: ordered k-gram md5s, windowed min via a frame, distinct."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, regexp_split_to_array(trim(lower({text_col})), '\\s+') AS ws
+  FROM {table}
+),
+grams AS (
+  SELECT {id_col}, i, md5({gram}) AS h, len(ws) - {k} + 1 AS n_grams
+  FROM toks, UNNEST(range(1, len(ws) - {k} + 2)) AS t(i)
+  WHERE len(ws) >= {k}
+),
+mins AS (
+  SELECT {id_col}, i,
+         min(h) OVER (PARTITION BY {id_col} ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp,
+         n_grams
+  FROM grams
+)
+SELECT DISTINCT {id_col}, fp AS fingerprint
+FROM mins WHERE i <= n_grams - {window} + 1
+"""

@@ -238,3 +238,40 @@ def test_z_value_expr_matches_vectorized(spark):
         z_value_expr(F.col("a"), F.col("b")).alias("expr"),
     ).collect()
     assert all(r["vec"] == r["expr"] for r in rows)
+
+
+def test_token_count_bpe_examples(spark):
+    from datastream_deltalake_connector_spark.functions.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        [("Hello, world! 42",), ("",), ("a1b2",), ("  spaces   only  ",)], ["text"]
+    )
+    got = [r["n"] for r in df.select(token_count_bpe(F.col("text")).alias("n")).collect()]
+    # [Hello][,][world][!][42] = 5 ; "" = 0 ; [a][1][b][2] = 4 ; 2 words
+    assert got == [5, 0, 4, 2]
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's defining property: two docs sharing a token run of length
+    >= k + window - 1 share at least one fingerprint; unrelated docs don't."""
+    from datastream_deltalake_connector_spark.functions.zorder import z_value_np  # noqa: F401 (env sanity)
+    from datastream_deltalake_connector_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 5+4-1
+    d1 = "start one two " + shared + " tail x"
+    d2 = "completely different prefix words " + shared
+    d3 = "nothing in common with the others at all whatsoever here"
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2]          # shared run ⇒ shared fingerprint
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    # short doc (< k+window-1 tokens) has no fingerprints
+    short = spark.createDataFrame([(9, "only five tokens right here")], ["doc_id", "text"])
+    row = short.select(winnow_fingerprints(F.col("text")).alias("fp")).head()
+    assert row["fp"] == []
