@@ -1113,6 +1113,30 @@ def _hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup pairs by perceptual-hash Hamming distance — the
+    pixel-payload twin of simhash_pairs, sharing the generic banded
+    hamming_pairs core (input_hint: phash is a first-class table column).
+    Deterministic generated images with planted noisy variants; rows-only
+    (the corpus is synthesized Spark-side) — recall on planted pairs is
+    pinned in tests/test_dedup_similarity.py."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import hamming_pairs
+    from datastream_deltalake_connector_spark.sources.generator import generate_images
+
+    imgs = generate_images(spark, 150, num_partitions=4).select(
+        F.xxhash64("image_id").alias("img_key"), "phash"
+    )
+    # plant near-dups: variants with a few phash bits flipped
+    variants = imgs.limit(30).select(
+        (F.col("img_key") + F.lit(10**12)).alias("img_key"),
+        F.col("phash").bitwiseXOR(F.lit(0b1011)).alias("phash"),
+    )
+    corpus = imgs.unionByName(variants)
+    return hamming_pairs(
+        corpus, hash_col="phash", id_col="img_key", max_hamming=4
+    ).orderBy("id_a", "id_b")
+
+
 def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over generated images (mapInPandas)."""
     from datastream_deltalake_connector_spark.functions.multimodal import extract_features
@@ -1260,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_thumbs": _image_resize,
         "image_merge_pipeline": _image_pipeline,
         "hilbert_key": _hilbert_key,
+        "phash_neardup_images": _phash_neardup_images,
         "image_features": _image_features,
         "video_frame_sample": _video_frames,
     }

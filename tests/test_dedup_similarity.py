@@ -256,3 +256,32 @@ def test_corpus_filter_verdicts(spark, docs):
         assert r["reason"] in codes
         assert r["keep"] == (r["reason"] == "keep")
     assert sum(1 for r in rows.values() if r["keep"]) > 0
+
+
+def test_phash_neardup_images_planted(spark):
+    """Image near-dup via banded phash hamming: every planted noisy variant
+    must pair with its original at the planted distance."""
+    from pyspark.sql import functions as F
+    from datastream_deltalake_connector_spark.operators.text_dedup import hamming_pairs
+    from datastream_deltalake_connector_spark.sources.generator import generate_images
+
+    imgs = generate_images(spark, 60, num_partitions=2).select(
+        F.xxhash64("image_id").alias("img_key"), "phash"
+    ).cache()
+    variants = imgs.limit(15).select(
+        (F.col("img_key") + F.lit(10**12)).alias("img_key"),
+        F.col("phash").bitwiseXOR(F.lit(0b1011)).alias("phash"),  # 3 bits flipped
+    )
+    pairs = hamming_pairs(
+        imgs.unionByName(variants), hash_col="phash", id_col="img_key", max_hamming=4
+    )
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    planted = {r["img_key"] for r in imgs.limit(15).collect()}
+    hits = 0
+    for k in planted:
+        pair = (min(k, k + 10**12), max(k, k + 10**12))
+        if pair in found:
+            assert found[pair] == 3
+            hits += 1
+    assert hits == 15  # pigeonhole banding: distance 3 <= 4 always recalled
+    imgs.unpersist()
