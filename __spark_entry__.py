@@ -1008,6 +1008,29 @@ def _ivf_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_neardup_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs THE SCALE WAY (multi-table hyperplane LSH →
+    bucket-local candidates → exact cosine verify), over the embeddings
+    table plus deterministic planted near-variants (+0.01 per odd dim).
+    Rows-only: LSH recall vs exact is pinned in tests; the exact all-pairs
+    twin (`embedding_neardup_pairs`) stays the DuckDB-oracled probe."""
+    from datastream_deltalake_connector_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + F.when(i % 2 == 1, F.lit(0.01)).otherwise(F.lit(0.0)),
+    )
+    variants = emb.limit(50).select(
+        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
+        perturbed.alias("embedding"),
+    )
+    corpus = emb.unionByName(variants)
+    return embedding_neardup_lsh(corpus, min_cos_x10k=9500).orderBy("id_a", "id_b")
+
+
 def _icepack_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel: build a table, apply a deleting/updating change
     batch, then diff the pinned pre-merge snapshot against HEAD with an
@@ -1277,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": _simhash_pairs_docs,
         "lsh_ann_topk_docs": _lsh_ann_docs,
         "ivf_ann_topk_docs": _ivf_ann_docs,
+        "embedding_neardup_lsh_docs": _embedding_neardup_lsh_docs,
         "icepack_time_travel": _icepack_time_travel,
         "icepack_pruned_scan": _icepack_pruned_scan,
         "icepack_expire": _icepack_expire,

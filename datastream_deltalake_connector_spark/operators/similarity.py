@@ -28,6 +28,7 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "lsh_ann_topk",
+    "embedding_neardup_lsh",
     "ivf_centroids",
     "ivf_fit_centroids",
     "ivf_assign",
@@ -133,6 +134,86 @@ def lsh_ann_topk(
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     cands = bucketed.where(F.col("__bucket").isin(*probes))
     return cosine_topk(cands, query, k, vec_col, id_col)
+
+
+def _cos_cols(a: Column, b: Column) -> Column:
+    """cosine(a, b) between two array columns as JVM folds (no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm(a) * _norm(b))
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cos_x10k: int = 9000,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS at corpus scale — the bucketed twin
+    of the exact all-pairs probe (which is O(n²) by construction and must
+    never leave test cardinality). Classic multi-table random-hyperplane
+    LSH: ``n_tables`` independent sign-pattern bucketings; two vectors are
+    candidates if they share a bucket in ANY table (collision prob per table
+    = (1 - θ/π)^n_planes, so tables stack recall for near-0 angles); only
+    candidates get the exact cosine verify. Pair generation is the same
+    single-groupBy in-array expansion as MinHash-LSH (no self-join), with
+    the same hot-bucket cap. Output: (id_a, id_b, cos_x10k)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).head()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cos_x10k long"
+        )
+    dim = dim_row["d"]
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, "tb.tbl", "tb.bucket"
+    )
+    ids = F.array_sort(F.collect_list(id_col))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(ids.alias("__ids"))
+        .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = _cos_cols(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(cos * 10000).cast("long").alias("cos_x10k")
+        )
+        .where(F.col("cos_x10k") >= min_cos_x10k)
+    )
 
 
 # --------------------------------------------------------------------- IVF

@@ -285,3 +285,36 @@ def test_phash_neardup_images_planted(spark):
             hits += 1
     assert hits == 15  # pigeonhole banding: distance 3 <= 4 always recalled
     imgs.unpersist()
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Planted near-identical vectors (cos ~0.99) must be recovered by the
+    multi-table LSH pair finder, with zero false positives vs exact cosine."""
+    import numpy as np
+
+    from datastream_deltalake_connector_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((300, 24))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 40 near-dups: tiny perturbations of the first 40 vectors
+    rows += [
+        (1000 + i, [float(x) for x in (base[i] + 0.02 * rng.standard_normal(24))])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    found = {
+        (r["id_a"], r["id_b"]): r["cos_x10k"]
+        for r in embedding_neardup_lsh(df, min_cos_x10k=9500).collect()
+    }
+    hits = sum(1 for i in range(40) if (i, 1000 + i) in found)
+    assert hits >= 38  # >=95% recall on planted near-dups
+    # verify stage: every reported cosine is genuinely above threshold
+    for (a, b), cos in found.items():
+        va = dict(rows)[a]
+        vb = dict(rows)[b]
+        true = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert round(true * 10000) >= 9500
+    df.unpersist()
