@@ -376,6 +376,106 @@ def _corpus_filter_oracle() -> str:
     return corpus_filter_sql()
 
 
+def _hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — a pure md5-bucket
+    projection, reproducible on any cluster size / partitioning / engine
+    (operators/sampling.py). Zero shuffles."""
+    from datastream_deltalake_connector_spark.operators.sampling import hash_split
+
+    d = _read(spark, sf_dir, "documents")
+    return hash_split(d, weights={"train": 8, "val": 1, "test": 1}).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def _hash_split_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        hash_split_sql_case,
+    )
+
+    bucket, case = hash_split_sql_case(weights={"train": 8, "val": 1, "test": 1})
+    return f"SELECT doc_id, {bucket} AS bucket, {case} AS split FROM documents"
+
+
+def _hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample: membership stable under re-runs and
+    incremental appends, unlike DataFrame.sample."""
+    from datastream_deltalake_connector_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        _read(spark, sf_dir, "documents"), fraction_x10k=2000
+    ).select("doc_id")
+
+
+def _hash_sample_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        hash_bucket_sql,
+    )
+
+    b = hash_bucket_sql("doc_id", 10_000, "sample")
+    return f"SELECT doc_id FROM documents WHERE {b} < 2000"
+
+
+def _vocabulary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k vocabulary: map-side-combined token counts +
+    TakeOrdered top-k, deterministic tie-break (operators/vocab.py)."""
+    from datastream_deltalake_connector_spark.operators.vocab import vocabulary
+
+    return vocabulary(_read(spark, sf_dir, "documents"), top_n=500, min_count=2)
+
+
+def _vocabulary_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.vocab import vocabulary_sql
+
+    return vocabulary_sql(top_n=500, min_count=2)
+
+
+def _contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing 3-gram shingles with the
+    held-out 'benchmark' slice (doc_id % 97 == 0 — self-derived, no
+    external data). Benchmark shingle set is broadcast; the corpus is
+    scanned once (operators/decontaminate.py)."""
+    from datastream_deltalake_connector_spark.operators.decontaminate import (
+        contamination_check,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_check(train, bench, k=3, min_hits=1)
+
+
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
+def _pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: hash-route docs to groups, FFD-pack
+    each group serially in pandas — embarrassingly parallel, only (id,
+    n_tokens) pairs ever shuffle (operators/packing.py). Rows-only: the
+    pack assignment is deterministic but not SQL-expressible (order-
+    dependent greedy); invariants are pinned in tests/test_pipeline_ops.py."""
+    from datastream_deltalake_connector_spark.functions.text import token_count
+    from datastream_deltalake_connector_spark.operators.packing import pack_sequences
+
+    d = _read(spark, sf_dir, "documents")
+    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(sized, max_tokens=512, num_groups=8)
+
+
 def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
@@ -1278,6 +1378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe_docs": _token_count_bpe_docs,
         "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
+        "hash_split_docs": _hash_split_docs,
+        "hash_sample_docs": _hash_sample_docs,
+        "vocabulary_docs": _vocabulary_docs,
+        "contamination_docs": _contamination_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "neardup_clusters_docs": _neardup_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1296,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "avro_cdc_ingest": _avro_cdc_ingest,
+        "pack_sequences_docs": _pack_sequences_docs,
         "minhash_lsh_pairs_docs": _minhash_lsh_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
         "lsh_ann_topk_docs": _lsh_ann_docs,
@@ -1334,6 +1439,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe_docs": _token_count_bpe_oracle(),
         "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,
+        "hash_split_docs": _hash_split_oracle(),
+        "hash_sample_docs": _hash_sample_oracle(),
+        "vocabulary_docs": _vocabulary_oracle(),
+        "contamination_docs": _CONTAMINATION_ORACLE,
         "jaccard_pairs_docs": _JACCARD_ORACLE,
         "neardup_clusters_docs": _NEARDUP_CLUSTERS_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,

@@ -1,0 +1,104 @@
+"""Deterministic corpus sampling and train/val/test split assignment.
+
+Reproducible splits at 100 TB must be pure functions of the row key — no
+RNG state, no order dependence, no shuffle, no driver coordination. A
+``sample()``/``rand()`` split changes membership with partitioning and
+retry history; a hash split never does. Everything here is one codegen'd
+projection per row: md5-bucket the (salted) key, compare against
+cumulative integer thresholds. The same row lands in the same split on
+any cluster size, any partitioning, any engine — the SQL twins run the
+identical expression in DuckDB, and the driver hash-checks both sides.
+
+md5 (not xxhash64) is deliberate: it is the hash both engines implement
+bit-identically, so the assignment is portable/auditable outside Spark.
+Eight hex chars (32 bits) keep the bucket statistic unbiased far beyond
+any practical bucket count while fitting a BIGINT in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "hash_bucket_sql",
+    "hash_split",
+    "hash_split_sql_case",
+    "hash_sample",
+]
+
+
+def hash_bucket(key: Column, buckets: int = 10_000, salt: str = "") -> Column:
+    """Uniform bucket in [0, buckets) as a pure function of (key, salt)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def hash_bucket_sql(key: str, buckets: int = 10_000, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket` — same md5 prefix, same modulus."""
+    return (
+        f"(('0x' || substr(md5(CAST({key} AS VARCHAR) || '{salt}'), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def _cumulative(weights: dict[str, int]) -> list[tuple[str, int]]:
+    """(split_name, exclusive_upper_bucket) in declaration order."""
+    edges, acc = [], 0
+    for name, parts in weights.items():
+        if parts <= 0:
+            raise ValueError(f"split '{name}' must get a positive bucket count")
+        acc += parts
+        edges.append((name, acc))
+    return edges
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds ``bucket`` and ``split`` columns assigning each row to a named
+    split with exact integer proportions (``weights`` are parts of a whole;
+    the bucket space is their sum — e.g. ``{"train": 98, "val": 1,
+    "test": 1}`` is a 98/1/1 split over 100 buckets)."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    edges = _cumulative(weights)
+    total = edges[-1][1]
+    b = hash_bucket(F.col(id_col), buckets=total, salt=salt)
+    assign: Column = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        assign = F.when(b < hi, F.lit(name)).otherwise(assign)
+    return df.withColumn("bucket", b).withColumn("split", assign)
+
+
+def hash_split_sql_case(
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+) -> tuple[str, str]:
+    """DuckDB twin: (bucket_sql, split_case_sql) for the same assignment."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    edges = _cumulative(weights)
+    total = edges[-1][1]
+    bucket = hash_bucket_sql(id_col, buckets=total, salt=salt)
+    whens = " ".join(
+        f"WHEN {bucket} < {hi} THEN '{name}'" for name, hi in edges[:-1]
+    )
+    return bucket, f"CASE {whens} ELSE '{edges[-1][0]}' END"
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fraction_x10k: int = 100,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ``fraction_x10k``/10000 sample — membership is stable
+    under re-runs, repartitioning, and incremental appends (a row's verdict
+    never changes when new rows arrive, unlike ``DataFrame.sample``)."""
+    if not 0 <= fraction_x10k <= 10_000:
+        raise ValueError(f"fraction_x10k must be in [0, 10000]: {fraction_x10k}")
+    return df.where(hash_bucket(F.col(id_col), 10_000, salt) < fraction_x10k)

@@ -1,0 +1,146 @@
+"""Training-pipeline operators: deterministic hash split/sample, corpus
+vocabulary, benchmark decontamination, and sequence packing — invariants
+pinned against brute-force python references at sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.operators.decontaminate import (
+    contamination_check,
+)
+from datastream_deltalake_connector_spark.operators.packing import pack_sequences
+from datastream_deltalake_connector_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
+from datastream_deltalake_connector_spark.operators.vocab import vocabulary
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_hash_bucket_matches_reference_md5(spark):
+    df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 100, "s").alias("b")
+        ).collect()
+    }
+    for i in range(50):
+        h = hashlib.md5(f"{i}s".encode()).hexdigest()
+        assert got[i] == int(h[:8], 16) % 100, f"bucket mismatch for id {i}"
+
+
+def test_hash_split_total_and_disjoint(docs):
+    out = hash_split(docs, weights={"train": 8, "val": 1, "test": 1}).cache()
+    n = docs.count()
+    assert out.count() == n  # every row assigned
+    counts = {r["split"]: r["c"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # 80/10/10 within generous tolerance at n=500
+    assert counts["train"] > 0.6 * n
+    assert counts["val"] + counts["test"] < 0.4 * n
+    # deterministic: same assignment on re-run
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, weights={"train": 8, "val": 1, "test": 1}).collect()}
+    for r in out.collect():
+        assert again[r["doc_id"]] == r["split"]
+
+
+def test_hash_sample_is_stable_subset(docs):
+    s = hash_sample(docs, fraction_x10k=2000)
+    ids = {r["doc_id"] for r in s.select("doc_id").collect()}
+    n = docs.count()
+    assert 0.05 < len(ids) / n < 0.45  # ~20% with slack at n=500
+    # appending new rows never changes membership of old rows
+    more = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ids2 = {
+        r["doc_id"]
+        for r in hash_sample(docs.unionByName(more), fraction_x10k=2000)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == {i for i in ids2 if i < 1_000_000}
+
+
+def test_vocabulary_matches_python_counter(docs):
+    top = vocabulary(docs, top_n=50).collect()
+    ref = Counter()
+    for r in docs.select("text").collect():
+        ref.update(t for t in r["text"].strip().lower().split() if t)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r["token"], r["freq"]) for r in top]
+    assert got == want
+
+
+def test_contamination_finds_planted_overlap(spark, docs):
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    # plant: a training doc that IS a benchmark doc's text
+    bench_row = bench.limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(999_999, bench_row["text"])], "doc_id long, text string"
+    )
+    hits = contamination_check(
+        train.select("doc_id", "text").unionByName(planted), bench
+    )
+    by_id = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
+    assert 999_999 in by_id and by_id[999_999] > 0
+    # benchmark docs themselves were excluded from the scanned side
+    assert all(i % 97 != 0 or i == 999_999 for i in by_id)
+
+
+def test_pack_sequences_invariants(docs):
+    sized = docs.select("doc_id", F.length("text").alias("n_tokens"))
+    packed = pack_sequences(sized, max_tokens=4096, num_groups=8).cache()
+    rows = packed.collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in sized.collect()
+    )
+    packs: dict[int, list] = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        total = sum(r["n_tokens"] for r in members)
+        if any(r["oversize"] for r in members):
+            assert len(members) == 1  # oversize docs pack alone
+        else:
+            assert total <= 4096, f"pack {pid} overflows: {total}"
+            # offsets tile without overlap
+            members.sort(key=lambda r: r["pack_offset"])
+            pos = 0
+            for r in members:
+                assert r["pack_offset"] == pos
+                pos += r["n_tokens"]
+    # oversize flag exactly when n_tokens > max
+    for r in rows:
+        assert r["oversize"] == (r["n_tokens"] > 4096)
+    # deterministic
+    again = {r["doc_id"]: r["pack_id"] for r in pack_sequences(sized, max_tokens=4096, num_groups=8).collect()}
+    assert {r["doc_id"]: r["pack_id"] for r in rows} == again
+
+
+def test_pack_sequences_utilization(docs):
+    sized = docs.select("doc_id", F.length("text").alias("n_tokens"))
+    packed = pack_sequences(sized, max_tokens=4096, num_groups=8)
+    agg = (
+        packed.where(~F.col("oversize"))
+        .groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("used"))
+        .agg(F.sum("used").alias("tot"), F.count(F.lit(1)).alias("n_packs"))
+        .collect()[0]
+    )
+    # FFD with hash-routed groups: waste bounded by ~1 slack bin per group
+    util = agg["tot"] / (agg["n_packs"] * 4096)
+    assert util > 0.5, f"utilization too low: {util:.2f}"
