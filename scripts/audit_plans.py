@@ -86,6 +86,25 @@ AUDIT = [
         "Rolling-hash fingerprints. Expect: zero exchanges before the "
         "explode — grams, window minima, and distinct all per-row folds.",
     ),
+    (
+        "hash_split_docs",
+        "Deterministic split assignment. Expect: zero exchanges, single "
+        "WholeStageCodegen span (pure md5-bucket projection), ReadSchema "
+        "(doc_id) only.",
+    ),
+    (
+        "vocabulary_docs",
+        "Corpus vocabulary. Expect: partial HashAggregate before the one "
+        "token exchange (map-side combine collapses occurrences to distinct "
+        "tokens), TakeOrderedAndProject for the top-k — no global sort.",
+    ),
+    (
+        "contamination_docs",
+        "Decontamination probe. Expect: benchmark shingles built then "
+        "BroadcastHashJoin LeftSemi-shaped inner probe — the corpus side "
+        "never shuffles before the join; one exchange for the per-doc hit "
+        "count.",
+    ),
 ]
 
 
