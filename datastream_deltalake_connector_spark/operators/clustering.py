@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from ..functions.zorder import hilbert_value, z_value
 from ..table.icepack import IcepackTable
 from ..table.lineage import LineageJournal
-from .partitioning import quantile_boundaries, repartition_by_bounds
+from .partitioning import (
+    quantile_boundaries,
+    repartition_by_bounds,
+    rewrite_sized_splits,
+)
 
 __all__ = ["cluster"]
 
@@ -120,12 +124,16 @@ def cluster(
     # pass over the same files: column pruning keeps pixel bytes out of it.
     paths = [os.path.join(table.root, e.path) for e in entries]
     schema = table.schema(parent)
-    src = table.spark.read.schema(schema).parquet(*paths)
-    keys_only = src.select(*cols).select(key.alias("__cluster_key"))
-    bounds = quantile_boundaries(keys_only, "__cluster_key", num_files)
+    # Splits sized to the rewrite (~2 per core, 16 MB floor): re-clustering a
+    # compacted table means reading a few ~512 MB files, which at the default
+    # 128 MB maxPartitionBytes would starve the map side of the one exchange.
+    with rewrite_sized_splits(table.spark, sum(e.bytes for e in entries)):
+        src = table.spark.read.schema(schema).parquet(*paths)
+        keys_only = src.select(*cols).select(key.alias("__cluster_key"))
+        bounds = quantile_boundaries(keys_only, "__cluster_key", num_files)
 
-    clustered = repartition_by_bounds(src, key, bounds, key_col_name="__cluster_key")
-    added = table.write_data_files(clustered)
+        clustered = repartition_by_bounds(src, key, bounds, key_col_name="__cluster_key")
+        added = table.write_data_files(clustered)
     journal.log_task(
         stage="cluster",
         task_id="all",

@@ -25,6 +25,7 @@ the hundreds, where the flat fold is optimal.
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -35,7 +36,43 @@ __all__ = [
     "bucket_expr",
     "partition_remap",
     "repartition_by_bounds",
+    "rewrite_sized_splits",
 ]
+
+_SPLIT_CONF = "spark.sql.files.maxPartitionBytes"
+_SPLIT_FLOOR = 16 * 1024 * 1024
+
+
+@contextlib.contextmanager
+def rewrite_sized_splits(spark: SparkSession, total_bytes: int):
+    """Temporarily size parquet input splits to a rewrite job's volume.
+
+    A maintenance rewrite (merge resolution, re-clustering) often reads a
+    handful of ~512 MB compacted files; at the default 128 MB
+    ``maxPartitionBytes`` the whole decode + transform + encode + write
+    pipeline runs on a few tasks and the job is parallelism-starved, not
+    I/O-bound. Target ~2 splits per core, floored at 16 MB (the same floor
+    bench.py applies to the decode-heavy scan); never raise the session's
+    configured value. The conf is consulted when the scan's physical plan is
+    built, so the read AND its terminal action must both happen inside this
+    context."""
+    current = spark.conf.get(_SPLIT_CONF)
+    try:
+        current_bytes = int(str(current).lower().removesuffix("b"))
+    except ValueError:  # e.g. "128MB" — treat as the 128 MB default
+        current_bytes = 128 * 1024 * 1024
+    want = max(
+        _SPLIT_FLOOR,
+        total_bytes // max(1, 2 * spark.sparkContext.defaultParallelism),
+    )
+    if want >= current_bytes:
+        yield
+        return
+    spark.conf.set(_SPLIT_CONF, str(want))
+    try:
+        yield
+    finally:
+        spark.conf.set(_SPLIT_CONF, current)
 
 _FLAT_FOLD_MAX = 4096
 

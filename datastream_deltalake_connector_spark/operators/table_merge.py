@@ -36,6 +36,7 @@ from ..table.icepack import IcepackTable
 from ..table.lineage import LineageJournal
 from .dedup import latest_by_keys
 from .merge import SEQ_COL, TS_COL, apply_winners, apply_winners_split
+from .partitioning import rewrite_sized_splits
 from pyspark.sql import DataFrame
 
 
@@ -59,6 +60,55 @@ def _estimate_row_bytes(df: DataFrame) -> float:
         total = term if total is None else total + term
     row = df.select(F.avg(total).alias("b")).collect()[0]
     return float(row["b"] or 0.0) + fixed
+
+
+def _rewrite(
+    table: IcepackTable,
+    target: DataFrame,
+    winners: DataFrame,
+    *,
+    inserts_key: str,
+    rewrite_mode: str,
+    small_batch: bool,
+    n_winners: int,
+    batch_bytes: float,
+    touched_bytes: int,
+    target_rows_per_file: int | None,
+):
+    """Stage the merged data files (split or range mode); returns entries."""
+    key = inserts_key
+    if rewrite_mode == "split":
+        # Zero-shuffle rewrite (the common CDC case: small batch, big table):
+        # one job reads every touched file at its natural splits, resolves
+        # updates/deletes against ONE broadcast of the winners, and writes
+        # one output file per split — the pixel bytes NEVER cross an
+        # exchange. Updates keep their key, so each output file's key range
+        # is a subset of its input's and future pruning still works. Inserts
+        # (small) get their own range-partitioned, sorted files. Output
+        # splits track spark.sql.files.maxPartitionBytes; small outputs are
+        # compaction's job (and the reference's own dominant failure mode —
+        # which this engine compacts natively).
+        resolved, inserts = apply_winners_split(target, winners, [key])
+        added = table.write_data_files(resolved)  # zero-row splits dropped+unlinked
+        if target_rows_per_file:
+            n_ins_files = max(1, math.ceil(n_winners / target_rows_per_file))
+        else:
+            n_ins_files = max(1, round(batch_bytes / table.DEFAULT_TARGET_FILE_BYTES))
+        ins_df = inserts.repartitionByRange(n_ins_files, F.col(key)).sortWithinPartitions(key)
+        added += table.write_data_files(ins_df)
+        return added
+    merged = apply_winners(target, winners, [key], broadcast_source=small_batch)
+    # Range-partition the rewrite on the key and sort within partitions:
+    # each output file then covers a tight, disjoint [min,max] key range,
+    # so the NEXT merge's manifest pruning touches only the files a
+    # batch's keys actually land in. A plain hash write would give every
+    # file the full key range and defeat pruning forever.
+    if target_rows_per_file:
+        num_files = max(1, math.ceil(n_winners / target_rows_per_file))
+    else:
+        num_files = max(1, round(touched_bytes / table.DEFAULT_TARGET_FILE_BYTES)) or 1
+    merged = merged.repartitionByRange(num_files, F.col(key)).sortWithinPartitions(key)
+    return table.write_data_files(merged)
 
 
 def merge_into_table(
@@ -124,52 +174,38 @@ def merge_into_table(
         )
         touched_paths.extend(r["__path"] for r in hits)
 
-    if touched_paths:
-        import os
+    touched_bytes = sum(e.bytes for e in entries if e.path in set(touched_paths))
+    # Size input splits to the rewrite volume (~2 per core): after compaction
+    # the touched set may be a couple of ~512 MB files, and at the default
+    # 128 MB maxPartitionBytes the decode + join-resolve + encode + write
+    # pipeline would run on a handful of tasks — parallelism-starved, not
+    # I/O-bound. Both the read and its write action stay inside the context.
+    with rewrite_sized_splits(table.spark, touched_bytes):
+        if touched_paths:
+            import os
 
-        paths = [os.path.join(table.root, p) for p in touched_paths]
-        target = table.spark.read.schema(table.schema()).parquet(*paths)
-    else:
-        target = table.spark.createDataFrame([], table.schema())
-
-    batch_bytes = n_winners * _estimate_row_bytes(winners)
-    small_batch = batch_bytes <= broadcast_bytes_threshold
-    if rewrite_mode == "auto":
-        rewrite_mode = "split" if small_batch else "range"
-
-    if rewrite_mode == "split":
-        # Zero-shuffle rewrite (the common CDC case: small batch, big table):
-        # one job reads every touched file at its natural splits, resolves
-        # updates/deletes against ONE broadcast of the winners, and writes
-        # one output file per split — the pixel bytes NEVER cross an
-        # exchange. Updates keep their key, so each output file's key range
-        # is a subset of its input's and future pruning still works. Inserts
-        # (small) get their own range-partitioned, sorted files. Output
-        # splits track spark.sql.files.maxPartitionBytes; small outputs are
-        # compaction's job (and the reference's own dominant failure mode —
-        # which this engine compacts natively).
-        resolved, inserts = apply_winners_split(target, winners, [key])
-        added = table.write_data_files(resolved)  # zero-row splits dropped+unlinked
-        if target_rows_per_file:
-            n_ins_files = max(1, math.ceil(n_winners / target_rows_per_file))
+            paths = [os.path.join(table.root, p) for p in touched_paths]
+            target = table.spark.read.schema(table.schema()).parquet(*paths)
         else:
-            n_ins_files = max(1, round(batch_bytes / table.DEFAULT_TARGET_FILE_BYTES))
-        ins_df = inserts.repartitionByRange(n_ins_files, F.col(key)).sortWithinPartitions(key)
-        added += table.write_data_files(ins_df)
-    else:
-        merged = apply_winners(target, winners, [key], broadcast_source=small_batch)
-        # Range-partition the rewrite on the key and sort within partitions:
-        # each output file then covers a tight, disjoint [min,max] key range,
-        # so the NEXT merge's manifest pruning touches only the files a
-        # batch's keys actually land in. A plain hash write would give every
-        # file the full key range and defeat pruning forever.
-        if target_rows_per_file:
-            num_files = max(1, math.ceil(n_winners / target_rows_per_file))
-        else:
-            rewritten_bytes = sum(e.bytes for e in entries if e.path in set(touched_paths))
-            num_files = max(1, round(rewritten_bytes / table.DEFAULT_TARGET_FILE_BYTES)) or 1
-        merged = merged.repartitionByRange(num_files, F.col(key)).sortWithinPartitions(key)
-        added = table.write_data_files(merged)
+            target = table.spark.createDataFrame([], table.schema())
+
+        batch_bytes = n_winners * _estimate_row_bytes(winners)
+        small_batch = batch_bytes <= broadcast_bytes_threshold
+        if rewrite_mode == "auto":
+            rewrite_mode = "split" if small_batch else "range"
+
+        added = _rewrite(
+            table,
+            target,
+            winners,
+            inserts_key=key,
+            rewrite_mode=rewrite_mode,
+            small_batch=small_batch,
+            n_winners=n_winners,
+            batch_bytes=batch_bytes,
+            touched_bytes=touched_bytes,
+            target_rows_per_file=target_rows_per_file,
+        )
     journal.log_task(
         stage="merge",
         task_id="batch",

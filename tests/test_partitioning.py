@@ -91,3 +91,40 @@ def test_repartition_by_bounds_one_bucket_per_file(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_rewrite_sized_splits_sets_and_restores(spark):
+    from datastream_deltalake_connector_spark.operators.partitioning import (
+        rewrite_sized_splits,
+    )
+
+    conf_key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(conf_key)
+    cores = spark.sparkContext.defaultParallelism
+    # volume large enough that total/(2*cores) exceeds the 16 MB floor
+    total = 2 * cores * 64 * 1024 * 1024
+    with rewrite_sized_splits(spark, total):
+        assert int(spark.conf.get(conf_key)) == 64 * 1024 * 1024
+    assert spark.conf.get(conf_key) == before
+
+    # tiny volume → floored at 16 MB, never raised above the session value
+    with rewrite_sized_splits(spark, 1024):
+        inside = spark.conf.get(conf_key)
+        try:
+            inside_bytes = int(str(inside).lower().removesuffix("b"))
+        except ValueError:
+            inside_bytes = None
+        if inside_bytes is not None and inside_bytes > 16 * 1024 * 1024:
+            # session value already <= floor keeps its own setting
+            assert inside == before
+        else:
+            assert inside_bytes == 16 * 1024 * 1024 or inside == before
+    assert spark.conf.get(conf_key) == before
+
+    # restored even when the body raises
+    try:
+        with rewrite_sized_splits(spark, total):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(conf_key) == before
