@@ -322,6 +322,65 @@ _DOC_QUALITY_ORACLE = (
 )
 
 
+def _segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repetition removal (C4 "duplicate line" rule over 3-word
+    segments): one map-side-combined keeper election per distinct segment —
+    no window sort over duplicate groups, no join back to the corpus
+    (operators/text_dedup.dedup_segments)."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_segments,
+    )
+
+    return dedup_segments(_read(spark, sf_dir, "documents"), window_words=3)
+
+
+_SEGMENT_DEDUP_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST((pos - 1) // 3 AS BIGINT) AS seg_id,
+         string_agg(w, ' ' ORDER BY pos) AS segment
+  FROM words GROUP BY doc_id, CAST((pos - 1) // 3 AS BIGINT)
+), k AS (
+  SELECT doc_id, seg_id, segment,
+         row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_id) AS rn
+  FROM seg
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(segment, ' ' ORDER BY seg_id) AS text_clean
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 200-char windows, 50-char overlap, starts
+    generated per row with sequence() and exploded — zero shuffles
+    (operators/chunking.chunk_documents)."""
+    from datastream_deltalake_connector_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_read(spark, sf_dir, "documents"), window=200, overlap=50)
+
+
+_CHUNK_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text) - 51, 0) + 1, 150)) AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST(start // 150 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       substr(text, CAST(start AS INT) + 1, 200) AS chunk,
+       CAST(length(substr(text, CAST(start AS INT) + 1, 200)) AS BIGINT) AS chunk_chars
+FROM s
+"""
+
+
 def _token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-token length budget: BPE-ish pre-tokenizer regex count
     (letter runs / digit runs / punct runs) next to whitespace tokens."""
@@ -1375,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": _token_count_docs,
         "doc_quality": _doc_quality,
         "corpus_filter_docs": _corpus_filter_docs,
+        "segment_dedup_docs": _segment_dedup_docs,
+        "chunk_docs": _chunk_docs,
         "token_count_bpe_docs": _token_count_bpe_docs,
         "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
@@ -1436,6 +1497,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": _TOKEN_COUNT_ORACLE,
         "doc_quality": _DOC_QUALITY_ORACLE,
         "corpus_filter_docs": _corpus_filter_oracle(),
+        "segment_dedup_docs": _SEGMENT_DEDUP_ORACLE,
+        "chunk_docs": _CHUNK_ORACLE,
         "token_count_bpe_docs": _token_count_bpe_oracle(),
         "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,

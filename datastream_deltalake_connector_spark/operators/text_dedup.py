@@ -41,6 +41,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "exact_dedup",
+    "dedup_segments",
     "shingle_tokens",
     "jaccard_pairs",
     "minhash_signatures",
@@ -62,6 +63,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 3,
+) -> DataFrame:
+    """Corpus-wide repetition removal at segment granularity (the C4 rule
+    "drop any line that occurs more than once in the corpus", re-expressed
+    over fixed ``window_words``-word segments because web text has lines and
+    this corpus does not).
+
+    Each document is cut into consecutive k-word segments (pure array ops —
+    split → slice folds, no explode until segments exist), every segment's
+    globally-first occurrence (lexicographic min of (doc_id, seg_id)) is
+    kept, and each surviving document is reassembled in segment order.
+
+    Scale shape: the keeper election is ONE map-side-combined aggregation —
+    ``groupBy(segment).agg(min(struct(doc_id, seg_id)))`` — whose output IS
+    the kept set (one row per distinct segment), so there is no window sort
+    over duplicate groups and no join back to the corpus; a segment
+    duplicated a million times costs one combiner cell per map task, which
+    is what makes this safe on a 100 TB corpus with heavy boilerplate skew.
+    Reassembly is a second aggregation by document. Two shuffles total,
+    both with partial aggregation."""
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * window_words + 1, window_words), " "
+        ),
+    )
+    seg = df.select(
+        F.col(id_col), F.posexplode(segments).alias("seg_id", "segment")
+    )
+    keep = (
+        seg.groupBy("segment")
+        .agg(F.min(F.struct(F.col(id_col), F.col("seg_id"))).alias("k"))
+        .select(
+            F.col(f"k.{id_col}").alias(id_col),
+            F.col("k.seg_id").alias("seg_id"),
+            "segment",
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seg_id", "segment"))),
+        lambda s: s["segment"],
+    )
+    return keep.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(ordered, " ").alias("text_clean"),
     )
 
 
@@ -450,19 +505,34 @@ def connected_components(
     graph needed >25 one-hop rounds, 5 doubled rounds). All work is hash
     joins on (node, label) pairs — never the corpus. ``localCheckpoint``
     truncates the growing lineage each round so round N does not re-execute
-    rounds 1..N-1; the driver loop carries only a changed-COUNT per round
-    (no data collect). Only nodes that appear in some edge are returned
-    (singletons have no dup decision to make)."""
+    rounds 1..N-1. Two round-trip economies vs the naive loop: labels are
+    SEEDED with ``least(node, min(neighbor))`` in one aggregation (a whole
+    first round of joins for free), and convergence is detected by the
+    label SUM — every node's label is non-increasing, so the total strictly
+    decreases iff anything changed — a map-side aggregate per round instead
+    of a full (old ⋈ new) comparison join. Only nodes that appear in some
+    edge are returned (singletons have no dup decision to make)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     sym = sym.localCheckpoint()
+    # seed = one-hop minimum: least(node, min over neighbors) — identical to
+    # round 1 of the propagate step, at the cost of a single groupBy
     labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .withColumn("rep", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("rep"))
+        .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
+
+    def label_sum(df: DataFrame) -> int:
+        # decimal(38,0): exact far beyond any 64-bit id-count product
+        return df.agg(
+            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev = label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -491,16 +561,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.rep") != F.col("o.rep"))
-            .limit(1)
-            .count()
-        )
+        cur = label_sum(jumped)
         labels = jumped
-        if changed == 0:
+        if cur == prev:
             return labels
+        prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds 2^rounds (raise max_iter)"

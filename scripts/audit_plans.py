@@ -105,6 +105,20 @@ AUDIT = [
         "never shuffles before the join; one exchange for the per-doc hit "
         "count.",
     ),
+    (
+        "segment_dedup_docs",
+        "Corpus-wide segment dedup. Expect: segments built as per-row array "
+        "folds (no pre-explode shuffle), partial HashAggregate before the "
+        "segment exchange (keeper election is map-side combined — skew-safe), "
+        "one more exchange for per-doc reassembly: two exchanges total, no "
+        "window sort, no join.",
+    ),
+    (
+        "chunk_docs",
+        "Context-window chunking. Expect: zero exchanges — sequence() + "
+        "posexplode + substring all pipelined in one scan stage; ReadSchema "
+        "(doc_id, text).",
+    ),
 ]
 
 

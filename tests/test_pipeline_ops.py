@@ -144,3 +144,95 @@ def test_pack_sequences_utilization(docs):
     # FFD with hash-routed groups: waste bounded by ~1 slack bin per group
     util = agg["tot"] / (agg["n_packs"] * 4096)
     assert util > 0.5, f"utilization too low: {util:.2f}"
+
+
+def test_dedup_segments_keeps_first_occurrence(spark):
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_segments,
+    )
+
+    # doc 1 repeats doc 0's first segment ("a b c"); doc 2 repeats its own
+    # segment internally; doc 3 is all boilerplate already seen -> vanishes
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c x y z"),
+        (2, "p q r p q r"),
+        (3, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_kept"], r["text_clean"])
+        for r in dedup_segments(df, window_words=3).collect()
+    }
+    assert out[0] == (2, "a b c d e f")  # first occurrence keeps everything
+    assert out[1] == (1, "x y z")  # lost the repeated head segment
+    assert out[2] == (1, "p q r")  # intra-doc repeat collapses
+    assert 3 not in out  # fully-duplicated doc is dropped entirely
+
+
+def test_dedup_segments_matches_python_reference(docs):
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_segments,
+    )
+
+    k = 3
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()
+    )
+    first: dict[str, tuple[int, int]] = {}
+    segs: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in rows:
+        words = text.split(" ")
+        for j in range(0, (len(words) + k - 1) // k):
+            s = " ".join(words[j * k : (j + 1) * k])
+            segs.setdefault(doc_id, []).append((j, s))
+            if s not in first or (doc_id, j) < first[s]:
+                first[s] = (doc_id, j)
+    want = {}
+    for doc_id, lst in segs.items():
+        kept = [s for j, s in lst if first[s] == (doc_id, j)]
+        if kept:
+            want[doc_id] = (len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_kept"], r["text_clean"])
+        for r in dedup_segments(docs, window_words=k).collect()
+    }
+    assert got == want
+
+
+def test_chunk_documents_boundaries(spark):
+    from datastream_deltalake_connector_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(310))
+    df = spark.createDataFrame([(7, text), (8, "xy")], ["doc_id", "text"])
+    out = chunk_documents(df, window=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c7 = sorted(by_doc[7], key=lambda r: r["chunk_id"])
+    # starts step by window-overlap=80; last start must add a new char
+    assert [r["start"] for r in c7] == [0, 80, 160, 240]
+    assert all(r["chunk"] == text[r["start"] : r["start"] + 100] for r in c7)
+    # consecutive chunks share exactly the 20-char overlap
+    assert c7[0]["chunk"][-20:] == c7[1]["chunk"][:20]
+    assert c7[-1]["chunk_chars"] == 310 - 240
+    # short doc -> single chunk, whole text
+    (c8,) = by_doc[8]
+    assert (c8["chunk"], c8["start"], c8["chunk_chars"]) == ("xy", 0, 2)
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=100, overlap=100)
+
+
+def test_chunk_documents_no_redundant_tail(spark):
+    from datastream_deltalake_connector_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    # doc of exactly `window` chars: one chunk only (a tail chunk at
+    # start=step would be fully contained in the first)
+    df = spark.createDataFrame([(1, "z" * 100)], ["doc_id", "text"])
+    out = chunk_documents(df, window=100, overlap=20).collect()
+    assert len(out) == 1 and out[0]["chunk_chars"] == 100
