@@ -381,6 +381,61 @@ FROM s
 """
 
 
+def _repetition_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-doc top/duplicate bigram
+    fractions from one exploded groupBy with map-side combine — shuffles
+    carry (id, gram, count), never the text
+    (operators/quality_filter.repetition_metrics)."""
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        repetition_metrics,
+    )
+
+    return repetition_metrics(_read(spark, sf_dir, "documents"), n=2)
+
+
+_REPETITION_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM words
+  QUALIFY gram IS NOT NULL
+), per AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS total_grams,
+       CAST(max(cnt) AS BIGINT) AS top_gram_count,
+       CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_gram_count,
+       CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_gram_frac,
+       CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE) / sum(cnt)
+         AS dup_gram_frac
+FROM per GROUP BY doc_id
+"""
+
+
+def _source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain cap: at most 10 docs per source, ranked by a deterministic
+    md5 order (operators/sampling.cap_per_group)."""
+    from datastream_deltalake_connector_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _read(spark, sf_dir, "documents"), group_col="source", cap=10
+    )
+
+
+def _source_cap_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        cap_per_group_sql,
+    )
+
+    return cap_per_group_sql(group_col="source", cap=10)
+
+
 def _token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-token length budget: BPE-ish pre-tokenizer regex count
     (letter runs / digit runs / punct runs) next to whitespace tokens."""
@@ -1436,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_docs": _corpus_filter_docs,
         "segment_dedup_docs": _segment_dedup_docs,
         "chunk_docs": _chunk_docs,
+        "repetition_metrics_docs": _repetition_metrics_docs,
+        "source_cap_docs": _source_cap_docs,
         "token_count_bpe_docs": _token_count_bpe_docs,
         "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
@@ -1499,6 +1556,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter_docs": _corpus_filter_oracle(),
         "segment_dedup_docs": _SEGMENT_DEDUP_ORACLE,
         "chunk_docs": _CHUNK_ORACLE,
+        "repetition_metrics_docs": _REPETITION_ORACLE,
+        "source_cap_docs": _source_cap_oracle(),
         "token_count_bpe_docs": _token_count_bpe_oracle(),
         "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,

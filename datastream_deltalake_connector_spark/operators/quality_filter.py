@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_cols, quality_score_sql, token_count_sql
 
-__all__ = ["corpus_filter", "corpus_filter_sql"]
+__all__ = ["corpus_filter", "corpus_filter_sql", "repetition_metrics"]
 
 DEFAULTS = dict(
     min_tokens=10,
@@ -102,3 +102,48 @@ verdict AS (
 )
 SELECT {id_col}, n_tokens, reason, reason = 'keep' AS keep FROM verdict
 """
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document: the
+    fraction of word n-gram occurrences claimed by the single most frequent
+    n-gram (``top_gram_frac``) and by all n-grams that occur more than once
+    (``dup_gram_frac``). MassiveText drops documents whose top 2-gram
+    exceeds ~0.20 of the text; the thresholding is left to the caller
+    (compose with ``corpus_filter``-style verdicts).
+
+    Scale shape: overlapping n-grams are built per row with pure array ops
+    (split → sequence → slice folds — no join, no pre-explode shuffle),
+    then ONE exploded groupBy(doc, gram) with map-side partial aggregation
+    and a second doc-level aggregation. Both shuffles carry (id, gram,
+    count) — never the document text. Documents shorter than ``n`` words
+    have no n-grams and are absent from the output."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(n), F.size(words)),
+        lambda i: F.array_join(F.slice(words, i - n + 1, n), " "),
+    )
+    occ = df.where(F.size(words) >= n).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    per_gram = occ.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_grams"),
+        F.max("cnt").alias("top_gram_count"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_gram_count"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "total_grams",
+        "top_gram_count",
+        "dup_gram_count",
+        (F.col("top_gram_count") / F.col("total_grams")).alias("top_gram_frac"),
+        (F.col("dup_gram_count") / F.col("total_grams")).alias("dup_gram_frac"),
+    )

@@ -17,11 +17,13 @@ any practical bucket count while fitting a BIGINT in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "hash_bucket",
+    "cap_per_group",
+    "cap_per_group_sql",
     "hash_bucket_sql",
     "hash_split",
     "hash_split_sql_case",
@@ -102,3 +104,57 @@ def hash_sample(
     if not 0 <= fraction_x10k <= 10_000:
         raise ValueError(f"fraction_x10k must be in [0, 10000]: {fraction_x10k}")
     return df.where(hash_bucket(F.col(id_col), 10_000, salt) < fraction_x10k)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    salt: str = "cap",
+) -> DataFrame:
+    """Bound per-group representation (the "domain cap" of web-corpus
+    curation: no single source may contribute more than ``cap`` documents).
+    Selection is deterministic: rows rank by ``md5(salt|id)`` within their
+    group, so the kept set is a stable uniform sample that does not change
+    under repartitioning or re-runs, and adding NEW rows to a group evicts
+    existing members only as ranks genuinely shift — no RNG state anywhere.
+
+    Scale shape: one shuffle on ``group_col`` feeding a rank window. A
+    pathologically hot group sorts all its members; if one group ever holds
+    a material fraction of the corpus, prefilter with
+    ``hash_bucket(id) < ~4*cap*buckets/count(group)`` from a broadcast of
+    group counts before the exact window — the window semantics are
+    unchanged, the sort volume drops to O(cap) per group."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1: {cap}")
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= cap)
+    )
+
+
+def cap_per_group_sql(
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    salt: str = "cap",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (same md5 rank order)."""
+    h = f"md5('{salt}' || '|' || CAST({id_col} AS VARCHAR))"
+    return f"""
+WITH r AS (
+  SELECT {group_col}, {id_col},
+         row_number() OVER (
+           PARTITION BY {group_col} ORDER BY {h}, {id_col}
+         ) AS rk
+  FROM {table}
+)
+SELECT {group_col}, {id_col}, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {cap}
+"""
