@@ -436,6 +436,107 @@ def _source_cap_oracle() -> str:
     return cap_per_group_sql(group_col="source", cap=10)
 
 
+def _corpus_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: hash-uniform shard + dense
+    within-shard position, one shuffle on the shard key
+    (operators/sampling.corpus_shuffle)."""
+    from datastream_deltalake_connector_spark.operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(_read(spark, sf_dir, "documents"), n_shards=8)
+
+
+def _corpus_shuffle_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        corpus_shuffle_sql,
+    )
+
+    return corpus_shuffle_sql(n_shards=8)
+
+
+def _temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample over-represented languages toward
+    sqrt-temperature shares; broadcast rate table, map-side filter, zero
+    data shuffle (operators/sampling.temperature_sample)."""
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    return temperature_sample(
+        _read(spark, sf_dir, "documents"), group_col="lang", alpha=0.5
+    )
+
+
+def _temperature_sample_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        temperature_sample_sql,
+    )
+
+    return temperature_sample_sql(group_col="lang")
+
+
+def _pii_aug_spark() -> F.Column:
+    """Deterministic PII injection: the synthetic corpus contains no
+    emails/URLs/digit-runs (verified), so the query augments each doc with
+    one of each — the SAME expression in both engines — to exercise the
+    redaction non-vacuously."""
+    did = F.col("doc_id").cast("string")
+    return F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), did, F.lit("@example.com")),
+        F.concat(F.lit("https://ex.org/d/"), did),
+        F.concat(F.lit("555"), F.lpad(did, 8, "0")),
+    )
+
+
+def _pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-doc URL/email/long-number match counts plus the
+    md5 of the fully redacted text (functions/text.pii_redact) — a pure
+    map-only regexp_replace chain, no UDF, no shuffle."""
+    from datastream_deltalake_connector_spark.functions.text import (
+        pii_counts,
+        pii_redact,
+    )
+
+    aug = _pii_aug_spark()
+    counts = pii_counts(aug)
+    red = pii_redact(aug)
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        counts["n_urls"].cast("long").alias("n_urls"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_numbers"].cast("long").alias("n_numbers"),
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+def _pii_redact_oracle() -> str:
+    from datastream_deltalake_connector_spark.functions.text import (
+        pii_counts_sql,
+        pii_redact_sql,
+    )
+
+    aug = (
+        "concat_ws(' ', text, "
+        "'user' || CAST(doc_id AS VARCHAR) || '@example.com', "
+        "'https://ex.org/d/' || CAST(doc_id AS VARCHAR), "
+        "'555' || lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
+    )
+    counts = pii_counts_sql("t")
+    red = pii_redact_sql("t")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id,
+       CAST({counts['n_urls']} AS BIGINT) AS n_urls,
+       CAST({counts['n_emails']} AS BIGINT) AS n_emails,
+       CAST({counts['n_numbers']} AS BIGINT) AS n_numbers,
+       md5({red}) AS redacted_md5,
+       CAST(length({red}) AS BIGINT) AS redacted_len
+FROM aug
+"""
+
+
 def _token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-token length budget: BPE-ish pre-tokenizer regex count
     (letter runs / digit runs / punct runs) next to whitespace tokens."""
@@ -1493,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _chunk_docs,
         "repetition_metrics_docs": _repetition_metrics_docs,
         "source_cap_docs": _source_cap_docs,
+        "corpus_shuffle_docs": _corpus_shuffle_docs,
+        "pii_redact_docs": _pii_redact_docs,
+        "temperature_sample_docs": _temperature_sample_docs,
         "token_count_bpe_docs": _token_count_bpe_docs,
         "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
@@ -1558,6 +1662,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _CHUNK_ORACLE,
         "repetition_metrics_docs": _REPETITION_ORACLE,
         "source_cap_docs": _source_cap_oracle(),
+        "corpus_shuffle_docs": _corpus_shuffle_oracle(),
+        "pii_redact_docs": _pii_redact_oracle(),
+        "temperature_sample_docs": _temperature_sample_oracle(),
         "token_count_bpe_docs": _token_count_bpe_oracle(),
         "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,

@@ -34,6 +34,10 @@ __all__ = [
     "token_count_bpe_sql",
     "winnow_fingerprints",
     "winnow_fingerprints_sql",
+    "pii_redact",
+    "pii_redact_sql",
+    "pii_counts",
+    "pii_counts_sql",
 ]
 
 _PUNCT_CLASS = "[.,;:!?\"()]"
@@ -256,3 +260,59 @@ mins AS (
 SELECT DISTINCT {id_col}, fp AS fingerprint
 FROM mins WHERE i <= n_grams - {window} + 1
 """
+
+
+# ------------------------------------------------------------ PII scrubbing
+# Alternation-free, ASCII-only patterns so Java regex (Spark, backtracking
+# leftmost-first) and RE2 (DuckDB, leftmost-longest) match identically:
+# greedy character-class quantifiers with no ambiguous alternatives.
+# `[.]` instead of `\.` keeps the string literal identical in both emitters.
+PII_URL_RE = "https?://[^ ]+"
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_NUMBER_RE = "[0-9]{7,}"
+
+# Replacement order matters: URLs first (they may embed digit runs), then
+# emails, then long digit runs. The placeholders contain none of '@',
+# 'http', or 7+ digits, so later passes never re-match earlier rewrites.
+_PII_PASSES = [
+    (PII_URL_RE, "<URL>"),
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_NUMBER_RE, "<NUMBER>"),
+]
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace URLs, emails, and long digit runs (phone/account-ish) with
+    typed placeholders. Pure codegen'd ``regexp_replace`` chain — no UDF,
+    no shuffle; at 100 TB this is a map-only projection."""
+    out = text
+    for pat, tag in _PII_PASSES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_redact_sql(text: str) -> str:
+    """DuckDB twin of :func:`pii_redact` (``'g'`` flag: DuckDB replaces
+    only the first match by default, Spark replaces all)."""
+    out = text
+    for pat, tag in _PII_PASSES:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per category on the ORIGINAL text (audit metric —
+    how much PII a source emits, independent of the rewrite)."""
+    return {
+        "n_urls": F.regexp_count(text, F.lit(PII_URL_RE)),
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_numbers": F.regexp_count(text, F.lit(PII_NUMBER_RE)),
+    }
+
+
+def pii_counts_sql(text: str) -> dict[str, str]:
+    return {
+        "n_urls": f"len(regexp_extract_all({text}, '{PII_URL_RE}'))",
+        "n_emails": f"len(regexp_extract_all({text}, '{PII_EMAIL_RE}'))",
+        "n_numbers": f"len(regexp_extract_all({text}, '{PII_NUMBER_RE}'))",
+    }

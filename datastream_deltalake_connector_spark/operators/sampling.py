@@ -24,6 +24,10 @@ __all__ = [
     "hash_bucket",
     "cap_per_group",
     "cap_per_group_sql",
+    "corpus_shuffle",
+    "corpus_shuffle_sql",
+    "temperature_sample",
+    "temperature_sample_sql",
     "hash_bucket_sql",
     "hash_split",
     "hash_split_sql_case",
@@ -157,4 +161,115 @@ WITH r AS (
   FROM {table}
 )
 SELECT {group_col}, {id_col}, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {cap}
+"""
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a ``shard``
+    and a dense within-shard position ``pos``, both pure functions of
+    (salt, id). Reading shards in order yields a reproducible uniform
+    permutation of the corpus — the "shuffle the data before training"
+    step, without RNG state or a global sort.
+
+    Scale shape: ONE shuffle, on ``shard`` (the window partition key).
+    Shards are hash-uniform, so sizing ``n_shards`` to the cluster (e.g.
+    2-4× executor count at 100 TB) bounds per-partition sort volume; no
+    global ordering structure is ever materialized. Changing ``salt``
+    yields an independent permutation (new epoch order)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def corpus_shuffle_sql(
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`corpus_shuffle` (same md5 order and shard)."""
+    h = f"md5('{salt}' || '|' || CAST({id_col} AS VARCHAR))"
+    shard = f"(('0x' || substr({h}, 1, 8))::BIGINT % {n_shards})"
+    return f"""
+WITH s AS (
+  SELECT {id_col}, {h} AS h, {shard} AS shard FROM {table}
+)
+SELECT {id_col}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, {id_col}) AS BIGINT)
+         AS pos
+FROM s
+"""
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: downsample over-represented
+    groups so expected kept counts are ∝ count^alpha (alpha=1 keeps the
+    natural mixture, alpha=0 equalizes groups). The smallest group is kept
+    whole; a group of size c keeps rows at rate (c_min/c)^(1-alpha) — the
+    standard "temperature" resampling of multilingual/multi-source corpora.
+
+    Membership is a pure function of (salt, id): rate thresholds are scaled
+    by 2^20 (a power of two, so the multiply is lossless) and compared
+    against the md5 bucket of the id. For alpha=0.5 the rate is computed
+    with sqrt — correctly rounded in IEEE 754, so Spark and the DuckDB twin
+    agree bit-for-bit; other alphas go through pow(), where a last-ulp
+    divergence at a bucket boundary is theoretically possible (the SQL twin
+    therefore only supports alpha=0.5).
+
+    Scale shape: ONE small aggregation (group counts) broadcast back; the
+    corpus itself is filtered map-side — no shuffle of the data rows."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    cmin = counts.agg(F.min("cnt").alias("cmin"))
+    ratio = F.col("cmin").cast("double") / F.col("cnt").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thr = F.floor(rate * F.lit(float(1 << 20))).cast("long")
+    rates = counts.crossJoin(F.broadcast(cmin)).select(group_col, thr.alias("thr"))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(hash_bucket(F.col(id_col), 1 << 20, salt) < F.col("thr"))
+        .select(id_col, group_col)
+    )
+
+
+def temperature_sample_sql(
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` at alpha=0.5 (sqrt is the
+    one fractional power both engines round identically)."""
+    bucket = hash_bucket_sql(f"d.{id_col}", 1 << 20, salt)
+    return f"""
+WITH c AS (SELECT {group_col}, count(*) AS cnt FROM {table} GROUP BY {group_col}),
+m AS (SELECT min(cnt) AS cmin FROM c),
+r AS (
+  SELECT {group_col},
+         CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE))
+                    * {float(1 << 20)!r}) AS BIGINT) AS thr
+  FROM c, m
+)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN r ON d.{group_col} = r.{group_col}
+WHERE {bucket} < r.thr
 """

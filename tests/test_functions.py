@@ -275,3 +275,50 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     short = spark.createDataFrame([(9, "only five tokens right here")], ["doc_id", "text"])
     row = short.select(winnow_fingerprints(F.col("text")).alias("fp")).head()
     assert row["fp"] == []
+
+
+def test_pii_redact_examples(spark):
+    import re
+
+    from datastream_deltalake_connector_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_NUMBER_RE,
+        PII_URL_RE,
+        pii_counts,
+        pii_redact,
+    )
+
+    rows = [
+        (0, "mail me at jo.doe+spam@sub.example.co today"),
+        (1, "see https://a.b/c?d=1&e=2 and http://x.yz/p"),
+        (2, "call 5551234567 or 12345678901234"),
+        (3, "short 123456 stays, 1234567 goes"),
+        (4, "no pii at all"),
+        (5, "combo a@b.cc https://q.r/s#t 99999990"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: (r["red"], r["u"], r["e"], r["n"])
+        for r in df.select(
+            "i",
+            pii_redact(F.col("t")).alias("red"),
+            pii_counts(F.col("t"))["n_urls"].alias("u"),
+            pii_counts(F.col("t"))["n_emails"].alias("e"),
+            pii_counts(F.col("t"))["n_numbers"].alias("n"),
+        ).collect()
+    }
+
+    def ref(s: str) -> str:
+        s = re.sub(PII_URL_RE, "<URL>", s)
+        s = re.sub(PII_EMAIL_RE, "<EMAIL>", s)
+        return re.sub(PII_NUMBER_RE, "<NUMBER>", s)
+
+    for i, t in rows:
+        assert got[i][0] == ref(t), (i, got[i][0], ref(t))
+        assert got[i][1] == len(re.findall(PII_URL_RE, t))
+        assert got[i][2] == len(re.findall(PII_EMAIL_RE, t))
+        assert got[i][3] == len(re.findall(PII_NUMBER_RE, t))
+    assert got[0][0] == "mail me at <EMAIL> today"
+    assert got[3][0] == "short 123456 stays, <NUMBER> goes"
+    assert got[4][0] == "no pii at all"
+    assert got[5] == ("combo <EMAIL> <URL> <NUMBER>", 1, 1, 1)

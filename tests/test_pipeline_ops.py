@@ -318,3 +318,69 @@ def test_cap_per_group_exact_and_deterministic(docs):
 
     with pytest.raises(ValueError):
         cap_per_group(docs, cap=0)
+
+
+def test_corpus_shuffle_dense_and_deterministic(docs):
+    from datastream_deltalake_connector_spark.operators.sampling import corpus_shuffle
+
+    n = docs.count()
+    out1 = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in corpus_shuffle(docs, n_shards=8).collect()
+    )
+    assert len(out1) == n and len({i for i, _, _ in out1}) == n
+    by_shard: dict = {}
+    for _, s, p in out1:
+        assert 0 <= s < 8
+        by_shard.setdefault(s, []).append(p)
+    # positions are dense 1..len within every shard
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # hash-uniform: every shard populated at 500 docs / 8 shards
+    assert len(by_shard) == 8
+    # stable under repartitioning
+    out2 = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in corpus_shuffle(docs.repartition(5), n_shards=8).collect()
+    )
+    assert out1 == out2
+    # a different salt is a different permutation
+    out3 = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in corpus_shuffle(docs, n_shards=8, salt="epoch2").collect()
+    )
+    assert out1 != out3
+
+    with pytest.raises(ValueError):
+        corpus_shuffle(docs, n_shards=0)
+
+
+def test_temperature_sample_exact_membership(docs):
+    import math
+
+    from datastream_deltalake_connector_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()]
+    counts = Counter(lang for _, lang in rows)
+    cmin = min(counts.values())
+    thr = {
+        g: math.floor(math.sqrt(cmin / c) * (1 << 20)) for g, c in counts.items()
+    }
+
+    def bucket(i) -> int:
+        return int(hashlib.md5(f"{i}temp".encode()).hexdigest()[:8], 16) % (1 << 20)
+
+    want = {(i, g) for i, g in rows if bucket(i) < thr[g]}
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(docs, group_col="lang", alpha=0.5).collect()
+    }
+    assert got == want
+    # the smallest group is kept whole
+    smallest = min(counts, key=counts.get)
+    assert sum(1 for _, g in got if g == smallest) == counts[smallest]
+
+    with pytest.raises(ValueError):
+        temperature_sample(docs, alpha=1.5)
