@@ -453,6 +453,32 @@ def _corpus_shuffle_oracle() -> str:
     return corpus_shuffle_sql(n_shards=8)
 
 
+def _corpus_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: docs, token volume, language
+    diversity, exact-duplicate rate — only (fingerprint, source, lang,
+    n_tokens) rows ever shuffle (operators/quality_filter.corpus_stats).
+    The sf0.01 corpus has zero natural duplicates (verified), so the query
+    re-appends every 17th document — the SAME deterministic injection in
+    both engines — to exercise the fingerprint-count path non-vacuously."""
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        corpus_stats,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    return corpus_stats(d.unionByName(d.where(F.col("doc_id") % 17 == 0)))
+
+
+def _corpus_stats_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        corpus_stats_sql,
+    )
+
+    return corpus_stats_sql(
+        table="(SELECT * FROM documents UNION ALL "
+        "SELECT * FROM documents WHERE doc_id % 17 = 0)"
+    )
+
+
 def _temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing: downsample over-represented languages toward
     sqrt-temperature shares; broadcast rate table, map-side filter, zero
@@ -1597,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_docs": _corpus_shuffle_docs,
         "pii_redact_docs": _pii_redact_docs,
         "temperature_sample_docs": _temperature_sample_docs,
+        "corpus_stats_docs": _corpus_stats_docs,
         "token_count_bpe_docs": _token_count_bpe_docs,
         "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
@@ -1665,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_docs": _corpus_shuffle_oracle(),
         "pii_redact_docs": _pii_redact_oracle(),
         "temperature_sample_docs": _temperature_sample_oracle(),
+        "corpus_stats_docs": _corpus_stats_oracle(),
         "token_count_bpe_docs": _token_count_bpe_oracle(),
         "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,

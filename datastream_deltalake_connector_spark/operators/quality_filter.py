@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score_cols, quality_score_sql, token_count_sql
 
-__all__ = ["corpus_filter", "corpus_filter_sql", "repetition_metrics"]
+__all__ = [
+    "corpus_filter",
+    "corpus_filter_sql",
+    "repetition_metrics",
+    "corpus_stats",
+    "corpus_stats_sql",
+]
 
 DEFAULTS = dict(
     min_tokens=10,
@@ -147,3 +153,84 @@ def repetition_metrics(
         (F.col("top_gram_count") / F.col("total_grams")).alias("top_gram_frac"),
         (F.col("dup_gram_count") / F.col("total_grams")).alias("dup_gram_frac"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus report card: document count, token volume,
+    language diversity, and exact-duplicate rate — the at-a-glance health
+    table a curation run starts and ends with.
+
+    Scale shape: duplicate detection is the exact-dedup shuffle (groupBy
+    normalized fingerprint) re-used as a count; its per-doc verdict joins
+    back on the fingerprint (same key, co-partitioned by AQE), then ONE
+    aggregation on the source key. Token/lang columns ride along as
+    codegen'd projections — the text itself never shuffles (only
+    (fingerprint, source, lang, n_tokens) rows do)."""
+    from ..functions.text import fingerprint_norm, token_count
+
+    per_doc = df.select(
+        F.col(group_col),
+        F.col(lang_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        fingerprint_norm(F.col(text_col)).alias("fp"),
+    )
+    fp_counts = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_n"))
+    return (
+        per_doc.join(fp_counts, "fp")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.sum(F.when(F.col("fp_n") > 1, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_dup_docs"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "sum_tokens",
+            "n_langs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") * 10000 / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_per_10k"),
+        )
+    )
+
+
+def corpus_stats_sql(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    lang_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`corpus_stats`."""
+    from ..functions.text import fingerprint_norm_sql, token_count_sql
+
+    fp = fingerprint_norm_sql(text_col)
+    toks = token_count_sql(text_col)
+    return f"""
+WITH per_doc AS (
+  SELECT {group_col}, {lang_col},
+         CAST({toks} AS BIGINT) AS n_tokens, {fp} AS fp
+  FROM {table}
+),
+fp_counts AS (SELECT fp, count(*) AS fp_n FROM per_doc GROUP BY fp)
+SELECT {group_col},
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(DISTINCT {lang_col}) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(round(sum(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) * 10000.0
+                  / count(*)) AS BIGINT) AS dup_per_10k
+FROM per_doc JOIN fp_counts USING (fp)
+GROUP BY {group_col}
+"""

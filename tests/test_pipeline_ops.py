@@ -384,3 +384,33 @@ def test_temperature_sample_exact_membership(docs):
 
     with pytest.raises(ValueError):
         temperature_sample(docs, alpha=1.5)
+
+
+def test_corpus_stats_matches_python_reference(docs, spark):
+    import re
+
+    from datastream_deltalake_connector_spark.operators.quality_filter import (
+        corpus_stats,
+    )
+
+    # duplicate a known slice so the dup columns are exercised
+    d = docs.unionByName(docs.where(F.col("doc_id") % 7 == 0))
+    rows = [
+        (r["source"], r["lang"], r["text"])
+        for r in d.select("source", "lang", "text").collect()
+    ]
+    fp_n = Counter(re.sub(r"\s+", " ", t.strip().lower()) for _, _, t in rows)
+    want = {}
+    for src in {s for s, _, _ in rows}:
+        mine = [(l, t) for s, l, t in rows if s == src]
+        toks = sum(len(t.split()) if t.strip() else 0 for _, t in mine)
+        dups = sum(
+            1 for _, t in mine if fp_n[re.sub(r"\s+", " ", t.strip().lower())] > 1
+        )
+        want[src] = (len(mine), toks, len({l for l, _ in mine}), dups)
+    got = {
+        r["source"]: (r["n_docs"], r["sum_tokens"], r["n_langs"], r["n_dup_docs"])
+        for r in corpus_stats(d).collect()
+    }
+    assert got == want
+    assert sum(v[3] for v in want.values()) > 0  # injection worked
