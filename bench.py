@@ -311,47 +311,71 @@ def host_probe(procs_levels=(1, 4), per: int = 150) -> dict:
     }
 
 
-def run_scaling(root: str, low: int, high: int, rounds: int = 2) -> dict:
+def run_scaling(root: str, low: int, high: int, rounds: int | None = None) -> dict:
     """Same scan job, fresh JVM per level, process tree PINNED to exactly
     `cores` host cores (sched_setaffinity in scan_subprocess_mode) — the
     sandbox-honest analogue of N vs 4N cgroup-capped executors. Each
-    subprocess takes the best of three full in-JVM runs (run 1 absorbs
-    worker cold-start); interleaved rounds filter host noise."""
-    results: dict[int, dict] = {}
+    subprocess takes the best of four full in-JVM runs (run 1 absorbs
+    worker cold-start).
+
+    Efficiency is computed PER ROUND from the adjacent low/high pair (both
+    sides of a ratio must see the same host window; pairing the best low
+    with the best high from different minutes biases the ratio either way
+    on a shared VM). Each round also records a host-grant probe, and the
+    headline round is the one whose probe was closest to neutral (1.0) —
+    selection anchored to the independent host signal, never to the
+    efficiency outcome itself. All rounds ship in the JSON for audit."""
+    rounds = rounds or int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+
+    def scan_at(cores: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scan-dir", root, "--cores", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1800,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_SCAN_JSON:"):
+                return json.loads(line[len("BENCH_SCAN_JSON:"):])
+        raise RuntimeError(
+            f"scan subprocess at {cores} cores failed: {proc.stderr[-2000:]}"
+        )
+
+    per_round = []
     for _ in range(rounds):
-        for cores in (low, high):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scan-dir", root, "--cores", str(cores)],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-                timeout=1800,
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("BENCH_SCAN_JSON:"):
-                    r = json.loads(line[len("BENCH_SCAN_JSON:"):])
-                    if cores not in results or r["elapsed_sec"] < results[cores]["elapsed_sec"]:
-                        results[cores] = r
-                    break
-            else:
-                raise RuntimeError(
-                    f"scan subprocess at {cores} cores failed: {proc.stderr[-2000:]}"
-                )
-    thr = {c: r["images"] / r["elapsed_sec"] for c, r in results.items()}
-    eff = (thr[high] / thr[low]) / (high / low)
-    probe = host_probe((low, high))
-    host_eff = probe["probe_host_eff"]
+        r_low = scan_at(low)
+        r_high = scan_at(high)
+        probe = host_probe((low, high))
+        thr_low = r_low["images"] / r_low["elapsed_sec"]
+        thr_high = r_high["images"] / r_high["elapsed_sec"]
+        per_round.append(
+            {
+                "low_sec": round(r_low["elapsed_sec"], 2),
+                "high_sec": round(r_high["elapsed_sec"], 2),
+                "low_images_per_sec": round(thr_low, 1),
+                "high_images_per_sec": round(thr_high, 1),
+                "efficiency": round((thr_high / thr_low) / (high / low), 3),
+                **probe,
+            }
+        )
+    best = min(per_round, key=lambda r: abs(1.0 - r["probe_host_eff"]))
+    host_eff = best["probe_host_eff"]
+    eff = best["efficiency"]
     return {
         "low_cores": low,
         "high_cores": high,
-        "low_images_per_sec": round(thr[low], 1),
-        "high_images_per_sec": round(thr[high], 1),
-        "low_sec": round(results[low]["elapsed_sec"], 2),
-        "high_sec": round(results[high]["elapsed_sec"], 2),
-        "efficiency": round(eff, 3),
-        **probe,
+        "low_images_per_sec": best["low_images_per_sec"],
+        "high_images_per_sec": best["high_images_per_sec"],
+        "low_sec": best["low_sec"],
+        "high_sec": best["high_sec"],
+        "efficiency": eff,
+        "probe_1p_sec": best[f"probe_{low}p_sec"],
+        "probe_4p_sec": best[f"probe_{high}p_sec"],
+        "probe_host_eff": host_eff,
         # what the engine achieved of what the host was granting at the time
         "efficiency_vs_host": round(min(eff / host_eff, 1.0), 3) if host_eff else None,
+        "rounds": per_round,
     }
 
 

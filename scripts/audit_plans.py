@@ -119,6 +119,37 @@ AUDIT = [
         "posexplode + substring all pipelined in one scan stage; ReadSchema "
         "(doc_id, text).",
     ),
+    (
+        "repetition_metrics_docs",
+        "Gopher repetition signals. Expect: grams built as per-row array "
+        "folds (no join), partial HashAggregate before BOTH exchanges "
+        "(gram counts, then doc rollup) — shuffled rows carry (id, gram, "
+        "count), never the text.",
+    ),
+    (
+        "source_cap_docs",
+        "Domain cap. Expect: ONE exchange (on source) feeding the rank "
+        "window; ReadSchema (doc_id, source) — the text never reads.",
+    ),
+    (
+        "corpus_shuffle_docs",
+        "Training-order shuffle. Expect: ONE exchange (on the derived "
+        "shard) feeding the position window; no global sort.",
+    ),
+    (
+        "pii_redact_docs",
+        "PII scrub. Expect: zero exchanges, one WholeStageCodegen span — a "
+        "pure regexp_replace/regexp_count projection; ReadSchema "
+        "(doc_id, text).",
+    ),
+    (
+        "temperature_sample_docs",
+        "Temperature rebalancing. Expect: the only exchanges are on the "
+        "tiny rate-table side (group counts, global min, rate derivation — "
+        "rows bounded by the number of groups); the corpus itself joins via "
+        "BroadcastHashJoin and filters map-side — document rows never "
+        "shuffle.",
+    ),
 ]
 
 
