@@ -453,6 +453,45 @@ def _corpus_shuffle_oracle() -> str:
     return corpus_shuffle_sql(n_shards=8)
 
 
+def _incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an arriving batch against the standing corpus
+    (operators/text_dedup.dedup_against_corpus). The batch is built
+    deterministically from the corpus itself — fresh docs (id%5==0),
+    intra-batch duplicates of those (id%15==0, re-keyed +1e6), and copies
+    of corpus text (re-keyed +2e6) that must all be rejected — the same
+    construction in both engines."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_against_corpus,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    base_new = d.where(did % 5 == 0)
+    intra = base_new.where(did % 3 == 0).withColumn("doc_id", did + 1_000_000)
+    corp_dup = d.where((did % 5 != 0) & (did % 7 == 0)).withColumn(
+        "doc_id", did + 2_000_000
+    )
+    new = base_new.unionByName(intra).unionByName(corp_dup)
+    corpus = d.where(did % 5 != 0)
+    return dedup_against_corpus(new, corpus)
+
+
+def _incremental_dedup_oracle() -> str:
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_against_corpus_sql,
+    )
+
+    new_table = (
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 5 = 0 AND doc_id % 3 = 0 "
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+        "WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0)"
+    )
+    corpus_table = "(SELECT text FROM documents WHERE doc_id % 5 <> 0)"
+    return dedup_against_corpus_sql(new_table, corpus_table)
+
+
 def _corpus_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card: docs, token volume, language
     diversity, exact-duplicate rate — only (fingerprint, source, lang,
@@ -1624,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": _pii_redact_docs,
         "temperature_sample_docs": _temperature_sample_docs,
         "corpus_stats_docs": _corpus_stats_docs,
+        "incremental_dedup_docs": _incremental_dedup_docs,
         "token_count_bpe_docs": _token_count_bpe_docs,
         "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
@@ -1693,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": _pii_redact_oracle(),
         "temperature_sample_docs": _temperature_sample_oracle(),
         "corpus_stats_docs": _corpus_stats_oracle(),
+        "incremental_dedup_docs": _incremental_dedup_oracle(),
         "token_count_bpe_docs": _token_count_bpe_oracle(),
         "winnow_fingerprints_docs": _winnow_oracle(),
         "lang_id_docs": _LANG_ID_ORACLE,

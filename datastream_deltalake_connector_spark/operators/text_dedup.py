@@ -41,6 +41,8 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "exact_dedup",
+    "dedup_against_corpus",
+    "dedup_against_corpus_sql",
     "dedup_segments",
     "shingle_tokens",
     "jaccard_pairs",
@@ -589,3 +591,57 @@ def dedup_keep_list(
             (F.col("node") == F.col("rep")).alias("keep"),
         )
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: admit only new documents whose normalized
+    fingerprint neither exists in the corpus nor collides with an
+    earlier-id document inside the batch. This is the shape dedup takes in
+    a continuously-ingesting 100 TB pipeline — the full-corpus self-join
+    happens once at bootstrap; afterwards every arriving batch runs this.
+
+    Scale shape: the corpus contributes ONLY its fingerprint column
+    (ReadSchema prunes the text; precomputed/stored fingerprints make it a
+    metadata-only scan), distinct-ed then left-anti joined. The batch side
+    is small by definition, so AQE broadcasts it; with a fp-bucketed corpus
+    layout the anti join is co-located and shuffle-free. The intra-batch
+    keeper election is a groupBy on the (small) surviving batch."""
+    from ..functions.text import fingerprint_norm
+
+    new_fp = new_df.select(
+        F.col(id_col), fingerprint_norm(F.col(text_col)).alias("fp")
+    )
+    corpus_fp = corpus_df.select(
+        fingerprint_norm(F.col(text_col)).alias("fp")
+    ).distinct()
+    survivors = new_fp.join(corpus_fp, "fp", "left_anti")
+    return (
+        survivors.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("batch_dup_count"))
+        .select(id_col, "fp", "batch_dup_count")
+    )
+
+
+def dedup_against_corpus_sql(
+    new_table: str,
+    corpus_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dedup_against_corpus`."""
+    from ..functions.text import fingerprint_norm_sql
+
+    fp = fingerprint_norm_sql(text_col)
+    return f"""
+WITH nf AS (SELECT {id_col}, {fp} AS fp FROM {new_table}),
+cf AS (SELECT DISTINCT {fp} AS fp FROM {corpus_table}),
+s AS (SELECT nf.* FROM nf ANTI JOIN cf USING (fp))
+SELECT min({id_col}) AS {id_col}, fp,
+       CAST(count(*) AS BIGINT) AS batch_dup_count
+FROM s GROUP BY fp
+"""

@@ -318,3 +318,29 @@ def test_embedding_neardup_lsh_recall(spark):
         true = float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert round(true * 10000) >= 9500
     df.unpersist()
+
+
+def test_dedup_against_corpus(spark):
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "fresh one"),            # admitted
+            (11, "ALPHA   beta"),         # normalized match of corpus 1 -> rejected
+            (12, "fresh two"),            # admitted, duplicated below
+            (13, "Fresh  Two"),           # intra-batch dup of 12 -> collapsed
+            (14, "gamma delta"),          # exact corpus dup -> rejected
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["batch_dup_count"]
+        for r in dedup_against_corpus(new, corpus).collect()
+    }
+    assert got == {10: 1, 12: 2}
