@@ -150,6 +150,19 @@ AUDIT = [
         "BroadcastHashJoin and filters map-side — document rows never "
         "shuffle.",
     ),
+    (
+        "corpus_stats_docs",
+        "Per-source report card. Expect: the dedup shuffle (groupBy "
+        "fingerprint) reused as a count, the join back runs on the same "
+        "key, one more exchange for the source rollup — shuffled rows are "
+        "(fp, source, lang, n_tokens), never the text.",
+    ),
+    (
+        "incremental_dedup_docs",
+        "Incremental dedup. Expect: anti join on fingerprint with the "
+        "corpus side reduced to a distinct fp column; keeper election is a "
+        "partial-aggregated groupBy on the small survivor set.",
+    ),
 ]
 
 
