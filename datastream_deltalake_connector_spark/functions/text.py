@@ -38,6 +38,8 @@ __all__ = [
     "pii_redact_sql",
     "pii_counts",
     "pii_counts_sql",
+    "canonicalize_url",
+    "canonicalize_url_sql",
 ]
 
 _PUNCT_CLASS = "[.,;:!?\"()]"
@@ -316,3 +318,75 @@ def pii_counts_sql(text: str) -> dict[str, str]:
         "n_emails": f"len(regexp_extract_all({text}, '{PII_EMAIL_RE}'))",
         "n_numbers": f"len(regexp_extract_all({text}, '{PII_NUMBER_RE}'))",
     }
+
+
+# ------------------------------------------------------- URL canonicalization
+# Web-crawl pipelines dedup by URL before they dedup by content; the same
+# page arrives as http://WWW.Site.com/a/?utm_source=feed and
+# https://site.com/a. Canonical form here: lowercased scheme+host, www. and
+# default-port (:80/:443) stripped, fragment dropped, trailing path slashes
+# dropped, tracking params (utm_*, fbclid, gclid, ref) removed, surviving
+# query params sorted. Path case is PRESERVED (case-significant on most
+# servers). All character-class regexes — identical in Java regex and RE2.
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = "[?]([^#]*)"
+_URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a pure codegen expression chain (regexp_extract +
+    array HOFs, no UDF) — a map-only projection at any scale. Rows that do
+    not parse as ``scheme://host...`` canonicalize to the empty string, so
+    callers can filter or quarantine them."""
+    scheme = F.lower(F.regexp_extract(url, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+    host = F.regexp_replace(host, "^www[.]", "")
+    host = F.regexp_replace(host, ":80$", "")
+    host = F.regexp_replace(host, ":443$", "")
+    path = F.regexp_extract(url, _URL_PATH_RE, 1)
+    path = F.regexp_replace(path, "/+$", "")
+    query = F.regexp_extract(url, _URL_QUERY_RE, 1)
+
+    def keep(p: Column) -> Column:
+        cond = p != ""
+        for pre in _URL_TRACKING_PREFIXES:
+            cond = cond & ~p.startswith(pre)
+        return cond
+
+    qcanon = F.array_join(F.array_sort(F.filter(F.split(query, "&"), keep)), "&")
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)),
+        )
+    )
+
+
+def canonicalize_url_sql(url: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (RE2 regexes, list HOFs)."""
+    scheme = f"lower(regexp_extract({url}, '{_URL_SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({url}, '{_URL_HOST_RE}', 1))"
+    host = f"regexp_replace({host}, '^www[.]', '')"
+    host = f"regexp_replace({host}, ':80$', '')"
+    host = f"regexp_replace({host}, ':443$', '')"
+    path = f"regexp_replace(regexp_extract({url}, '{_URL_PATH_RE}', 1), '/+$', '')"
+    query = f"regexp_extract({url}, '{_URL_QUERY_RE}', 1)"
+    keep = " AND ".join(
+        ["x <> ''"] + [f"NOT starts_with(x, '{p}')" for p in _URL_TRACKING_PREFIXES]
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — normalize to the Spark semantics
+    qcanon = (
+        f"coalesce(array_to_string(list_sort(list_filter(str_split({query}, '&'), "
+        f"x -> {keep})), '&'), '')"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN '' ELSE "
+        f"{scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {qcanon} = '' THEN '' ELSE '?' || {qcanon} END) END"
+    )

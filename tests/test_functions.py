@@ -322,3 +322,40 @@ def test_pii_redact_examples(spark):
     assert got[3][0] == "short 123456 stays, <NUMBER> goes"
     assert got[4][0] == "no pii at all"
     assert got[5] == ("combo <EMAIL> <URL> <NUMBER>", 1, 1, 1)
+
+
+def test_canonicalize_url_examples_and_sql_twin(spark):
+    from datastream_deltalake_connector_spark.functions.text import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/A/B/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/A/B?a=1&b=2"),
+        ("https://site.org:443/p", "https://site.org/p"),
+        ("https://site.org/p/", "https://site.org/p"),
+        ("http://Host.net/?ref=rss&fbclid=123&gclid=9", "http://host.net"),
+        # path case preserved; non-default port kept
+        ("https://h.io:8443/CaseSensitive", "https://h.io:8443/CaseSensitive"),
+        # query params sorted, empty params dropped
+        ("ftp://F.example/Z?z=1&&y=2", "ftp://f.example/Z?y=2&z=1"),
+        # unparseable -> empty string
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)], ["i", "u"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, (raw, got[i], want)
+
+    # DuckDB twin parity on the identical inputs
+    con = duckdb.connect()
+    for i, (raw, want) in enumerate(cases):
+        (out,) = con.execute(
+            f"SELECT {canonicalize_url_sql('u')} FROM (SELECT ? AS u)", [raw]
+        ).fetchone()
+        assert out == want, (raw, out, want)
