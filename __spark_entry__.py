@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datastream_deltalake_connector_spark.functions.text import (
+    canonicalize_url,
+    canonicalize_url_sql,
     fingerprint_norm,
     fingerprint_norm_sql,
     lang_id,
@@ -925,6 +927,228 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: events.props is a JSON string
+    (the universal shape of event-pipeline side data). `get_json_object`
+    is a codegen'd JVM path expression — a map-only projection feeding a
+    map-side-combined aggregate; no UDF, no extra shuffle beyond the agg."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_JSON_EXTRACT_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# The synthetic raw-URL expression: deterministic variance in scheme case,
+# www., default ports, trailing slash, tracking params, and fragments so the
+# canonicalizer has real work to do. Built identically in both engines.
+def _synth_url_col() -> "F.Column":
+    did = F.col("doc_id")
+    m3 = did % 3
+    scheme = F.when(m3 == 0, F.lit("HTTP")).when(m3 == 1, F.lit("https")).otherwise(
+        F.lit("HTTPS")
+    )
+    port = F.when(m3 == 0, F.lit(":80")).when(m3 == 1, F.lit("")).otherwise(
+        F.lit(":443")
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/Docs/"),
+        (did % 10).cast("string"),
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&ref=rss&b="),
+        (did % 2).cast("string"),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+  (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
+  || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || source || '.Example.COM'
+  || (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN '' ELSE ':443' END)
+  || '/Docs/' || CAST(doc_id % 10 AS VARCHAR)
+  || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+  || '?utm_source=feed&ref=rss&b=' || CAST(doc_id % 2 AS VARCHAR)
+  || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+def _url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the step web-crawl pipelines run BEFORE content
+    dedup: canonicalize (case, www., default ports, tracking params,
+    fragments, trailing slashes) and collapse variants. One shuffle on the
+    canonical key; the canonicalizer itself is a map-only regexp/HOF chain
+    (functions/text.py canonicalize_url), so at 100 TB this costs exactly
+    one groupBy on a short string."""
+    d = _read(spark, sf_dir, "documents")
+    canon = canonicalize_url(_synth_url_col())
+    return (
+        d.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+)
+SELECT {canonicalize_url_sql('url')} AS canonical_url,
+       count(*) AS n_variants, min(doc_id) AS keeper_id
+FROM u GROUP BY 1
+"""
+
+
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click enriched with the most
+    recent at-or-before purchase of the same user. The union-window plan
+    costs ONE shuffle on user_id — no per-key cross product — where the
+    naive range join explodes on hot users. Oracled against DuckDB's
+    native ASOF JOIN, an independent implementation of the semantics."""
+    from datastream_deltalake_connector_spark.operators.asof import asof_join
+
+    e = _read(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["value"],
+    )
+    return out.select("event_id", "user_id", "value", "asof_ts", "asof_value")
+
+
+_ASOF_ORACLE = """
+SELECT c.event_id, c.user_id, c.value, p.ts AS asof_ts, p.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def _token_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal (CCNet-style rarity filter shape):
+    per doc, the share of hapax tokens and the mean corpus frequency of its
+    tokens. Two aggregations: the vocab count (map-side combined, one row
+    per distinct token crosses the shuffle) and the per-doc rollup; the
+    token→freq join is a hash join that AQE broadcasts when the vocab is
+    small. Integer-exact ratios (×100, <2^53) so both engines round the
+    same double."""
+    from datastream_deltalake_connector_spark.operators.vocab import (
+        token_frequencies,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tf = token_frequencies(docs)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.join(tf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.round(F.sum("freq") * 100.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_freq_x100"),
+        )
+    )
+
+
+_TOKEN_RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(round(sum(freq) * 100.0 / count(*)) AS BIGINT) AS mean_freq_x100
+FROM t JOIN tf USING (token)
+GROUP BY doc_id
+"""
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction pass of a
+    corpus indexing pipeline. tf and df are two map-side-combined counts;
+    the idf-free integer score tf×N/df (×100, exact in double) avoids
+    cross-engine log() divergence. Top-3 via one window on doc_id with a
+    full (score DESC, term ASC) tie-break so the selected rows are
+    deterministic and hash-checkable."""
+    docs = _read(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.lit(n_docs) * 100.0 / F.col("df"))
+        .cast("long")
+        .alias("score_x100"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_x100"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "score_x100")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         CAST(round(tf * (SELECT n_docs FROM n) * 100.0 / df) AS BIGINT) AS score_x100
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score_x100 FROM (
+  SELECT doc_id, term, score_x100,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_x100 DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs, oracle-safe by construction:
     embeddings are scaled to int64 (round(x*1e6)) so dot products and norms
@@ -963,8 +1187,10 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_ORACLE = """
-WITH e AS (
+# Shared CTE body: exact int64-scaled cosine pairs (≥ 0.25), used by the
+# pairs probe and the clusters closure below.
+_NEARDUP_PAIRS_CTES = """
+e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
   FROM embeddings
@@ -979,12 +1205,56 @@ p AS (
          CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
          a.nn AS na, b.nn AS nb
   FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
+npairs AS (
+  SELECT id_a, id_b, cos_x10k FROM (
+    SELECT id_a, id_b,
+           CAST(round(dot / sqrt(na) / sqrt(nb) * 10000) AS BIGINT) AS cos_x10k
+    FROM p
+  ) WHERE cos_x10k >= 2500
 )
-SELECT id_a, id_b, cos_x10k FROM (
-  SELECT id_a, id_b,
-         CAST(round(dot / sqrt(na) / sqrt(nb) * 10000) AS BIGINT) AS cos_x10k
-  FROM p
-) WHERE cos_x10k >= 2500
+"""
+
+_NEARDUP_ORACLE = f"""
+WITH {_NEARDUP_PAIRS_CTES}
+SELECT id_a, id_b, cos_x10k FROM npairs
+"""
+
+
+def _embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER assignment: exact cosine pair evidence
+    (the oracle-checkable source at test cardinality) → the same distributed
+    connected-components + keeper election used for text near-dups. At
+    corpus scale the pair source is `embedding_neardup_lsh_docs` (bucketed
+    hyperplane LSH) — the cc/keeper machinery downstream is identical, so
+    oracling it over the exact pairs pins the production path's semantics."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_keep_list,
+    )
+
+    pairs = _embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    return dedup_keep_list(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep", "cluster_size", "keep"
+    )
+
+
+_EMBEDDING_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_NEARDUP_PAIRS_CTES},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM npairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM npairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+reps AS (SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node),
+csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM reps GROUP BY cluster_rep)
+SELECT reps.vec_id, reps.cluster_rep, csz.cluster_size,
+       reps.vec_id = reps.cluster_rep AS keep
+FROM reps JOIN csz USING (cluster_rep)
 """
 
 
@@ -1676,7 +1946,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
+        "events_json_extract": _events_json_extract,
+        "events_asof_join": _events_asof_join,
+        "url_dedup_docs": _url_dedup_docs,
+        "token_rarity_docs": _token_rarity_docs,
+        "tfidf_top_terms": _tfidf_top_terms,
         "embedding_neardup_pairs": _embedding_neardup,
+        "embedding_neardup_clusters": _embedding_neardup_clusters,
         "shipping_priority": _shipping_priority,
         "region_nation_revenue": _region_nation_revenue,
         "supplier_revenue_rank": _supplier_revenue_rank,
@@ -1746,7 +2022,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_ORACLE,
         "cdc_lww_composite_key": _LWW_COMPOSITE_ORACLE,
         "events_windowed_agg": _WINDOWED_ORACLE,
+        "events_json_extract": _JSON_EXTRACT_ORACLE,
+        "events_asof_join": _ASOF_ORACLE,
+        "url_dedup_docs": _URL_DEDUP_ORACLE,
+        "token_rarity_docs": _TOKEN_RARITY_ORACLE,
+        "tfidf_top_terms": _TFIDF_ORACLE,
         "embedding_neardup_pairs": _NEARDUP_ORACLE,
+        "embedding_neardup_clusters": _EMBEDDING_CLUSTERS_ORACLE,
         "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
         "region_nation_revenue": _REGION_NATION_ORACLE,
         "supplier_revenue_rank": _SUPPLIER_RANK_ORACLE,

@@ -1,0 +1,87 @@
+"""As-of (most-recent-prior) join — the temporal join Spark has no native
+operator for (DuckDB: ``ASOF JOIN``; kdb: ``aj``; pandas: ``merge_asof``).
+
+For every left row, attach the single right row with the largest
+``right_ts <= left_ts`` within the same key group (backward-inclusive).
+The classic use: enrich an event with the most recent state snapshot,
+price tick, or preceding action of the same user.
+
+Spark-first plan — NOT a range join (which Catalyst would execute as a
+key-equi join + per-key cross filter, exploding on hot keys) but the
+union-window formulation:
+
+1. tag right rows (side=0) carrying their payload, left rows (side=1)
+   carrying null payload;
+2. union — a zero-cost plan node;
+3. one window ``partitionBy(keys).orderBy(ts, side, tiebreak)`` with
+   ``last(payload, ignorenulls=True)`` over ``rowsBetween(unbounded, 0)``;
+4. keep side=1 rows: each left row now carries the latest right payload
+   at-or-before its timestamp.
+
+Cost: exactly ONE shuffle on the join keys plus a per-partition sort —
+identical to any windowed aggregation, linear in |left| + |right|, and
+immune to the |left|×|right| per-key blowup of the naive range join.
+Right rows sort BEFORE left rows at equal timestamps (side 0 < 1), which
+is what makes the join inclusive (``<=``), matching DuckDB ASOF
+``ON l.ts >= r.ts`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join. Returns every ``left`` row (all its
+    columns) plus ``prefix + right_ts`` and ``prefix + c`` for each payload
+    column — null when no right row precedes the left row in its group.
+
+    Ties inside ``right`` on (keys, right_ts) are broken by the LAST
+    payload struct in its sort order; pass a unique right timestamp (or
+    pre-dedup) for fully deterministic output.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__evt_ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__evt_ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    # align schemas: right side lacks the non-key left columns
+    for c in left_cols:
+        if c not in on:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = r.select(l.columns).unionByName(l)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__evt_ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.where(F.col("__side") == 1).select(
+        *left_cols,
+        F.col("__m.__ts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+    return out

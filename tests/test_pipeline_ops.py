@@ -414,3 +414,37 @@ def test_corpus_stats_matches_python_reference(docs, spark):
     }
     assert got == want
     assert sum(v[3] for v in want.values()) > 0  # injection worked
+
+
+def test_asof_join_inclusive_and_unmatched(spark):
+    from datetime import datetime
+
+    from datastream_deltalake_connector_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, "u1", t("2024-01-01 10:00:00")),   # before any right -> null
+            (2, "u1", t("2024-01-01 12:00:00")),   # equal ts -> inclusive match
+            (3, "u1", t("2024-01-01 15:00:00")),   # after both -> latest (13:00)
+            (4, "u2", t("2024-01-01 12:00:00")),   # other key, no right rows
+        ],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t("2024-01-01 12:00:00"), 100.0),
+            ("u1", t("2024-01-01 13:00:00"), 200.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["event_id"]: (r["asof_v"], r["asof_ts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", payload_cols=["v"]
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (100.0, t("2024-01-01 12:00:00"))
+    assert out[3] == (200.0, t("2024-01-01 13:00:00"))
+    assert out[4] == (None, None)
