@@ -163,6 +163,37 @@ AUDIT = [
         "corpus side reduced to a distinct fp column; keeper election is a "
         "partial-aggregated groupBy on the small survivor set.",
     ),
+    (
+        "url_dedup_docs",
+        "URL-level dedup. Expect: canonicalization is a pure projection "
+        "(regexp + array HOFs, no UDF) fused into the scan stage; ONE "
+        "exchange for the canonical-key groupBy with a partial aggregate "
+        "before it.",
+    ),
+    (
+        "events_json_extract",
+        "JSON payload extraction. Expect: get_json_object fused into the "
+        "scan projection, partial HashAggregate before the single "
+        "event_type exchange; ReadSchema (event_type, props).",
+    ),
+    (
+        "events_asof_join",
+        "As-of join. Expect: ONE exchange on user_id feeding the "
+        "last-non-null window — the union is a plan-only node; no per-key "
+        "cross product, no range-join blowup.",
+    ),
+    (
+        "token_rarity_docs",
+        "Corpus-frequency rarity. Expect: partial HashAggregate before the "
+        "token-count exchange; the token->freq join keyed on the exploded "
+        "token column; final doc rollup partial-aggregated.",
+    ),
+    (
+        "tfidf_top_terms",
+        "TF-IDF keywords. Expect: tf and df both partial-aggregated before "
+        "their exchanges; ONE window on doc_id for the top-3 cut; "
+        "ReadSchema (doc_id, text).",
+    ),
 ]
 
 
