@@ -30,7 +30,7 @@ from concurrent.futures import ThreadPoolExecutor
 from ..table.icepack import FileEntry, IcepackTable
 from ..table.lineage import LineageJournal
 
-__all__ = ["plan_bins_ffd", "compact"]
+__all__ = ["plan_bins_ffd", "compact", "maybe_compact"]
 
 
 def plan_bins_ffd(
@@ -58,6 +58,26 @@ def plan_bins_ffd(
         else:
             bins.append((e.bytes, [e]))
     return [members for _, members in bins if len(members) >= min_input_files]
+
+
+def maybe_compact(
+    table: IcepackTable,
+    min_num_files: int = 10,
+    target_bytes: int = IcepackTable.DEFAULT_TARGET_FILE_BYTES,
+    **compact_kwargs,
+) -> int | None:
+    """Auto-compaction policy: compact only when at least ``min_num_files``
+    undersized files have accumulated — the native analogue of the
+    reference's Databricks conf ``autoCompact.minNumFiles`` (default 50,
+    reference: config/Config.scala:57-87, application.conf:40-44), which the
+    connector can only *configure* while this engine *implements* it.
+    Called after every ingest drain / merge it keeps write amplification
+    bounded: each data byte is rewritten O(log(target/avg_small)) times
+    rather than once per drain. Returns the new version or None (no-op)."""
+    small = [e for e in table.files() if e.bytes < target_bytes]
+    if len(small) < min_num_files:
+        return None
+    return compact(table, target_bytes=target_bytes, **compact_kwargs)
 
 
 def compact(

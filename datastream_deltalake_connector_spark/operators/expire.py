@@ -22,7 +22,7 @@ import time
 
 from ..table.icepack import IcepackTable
 
-__all__ = ["expire_snapshots"]
+__all__ = ["expire_snapshots", "remove_orphans"]
 
 
 def expire_snapshots(
@@ -81,6 +81,52 @@ def expire_snapshots(
             if os.path.exists(p):
                 os.unlink(p)
     # Journal the expiry itself for audit (not a table commit: HEAD unchanged).
+    audit = os.path.join(table.meta_dir, "expiry-log.jsonl")
+    with open(audit, "a") as f:
+        f.write(json.dumps({"ts_ms": int(time.time() * 1000), **report}) + "\n")
+    return report
+
+
+def remove_orphans(
+    table: IcepackTable,
+    grace_seconds: float = 3600,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data files referenced by NO existing snapshot — the debris a
+    crashed job leaves behind (staged-but-never-committed rewrites, killed
+    ingest drains). Complements :func:`expire_snapshots`, which only removes
+    files reachable from snapshots it expires; a file that never made it
+    into a manifest is invisible to expiry and would leak forever.
+
+    The ``grace_seconds`` mtime cutoff protects in-flight writers: a
+    concurrent job's staging files are younger than the grace period, so
+    they are never swept before their commit. Same contract as Iceberg's
+    remove_orphan_files(older_than). Driver-side set arithmetic over
+    manifest entries + one directory walk."""
+    referenced: set[str] = set()
+    for s in table.snapshots():
+        for e in table.files(s.version):
+            referenced.add(e.path)
+    cutoff = time.time() - grace_seconds
+    orphans: list[str] = []
+    data_root = os.path.join(table.root, "data")
+    for dirpath, _dirs, names in os.walk(data_root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            rel = os.path.relpath(p, table.root)
+            if rel not in referenced and os.path.getmtime(p) < cutoff:
+                orphans.append(rel)
+    report = {"orphans": sorted(orphans), "dry_run": dry_run}
+    if dry_run:
+        return report
+    for rel in orphans:
+        p = os.path.join(table.root, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+        try:  # opportunistic cleanup of emptied staging dirs
+            os.rmdir(os.path.dirname(p))
+        except OSError:
+            pass
     audit = os.path.join(table.meta_dir, "expiry-log.jsonl")
     with open(audit, "a") as f:
         f.write(json.dumps({"ts_ms": int(time.time() * 1000), **report}) + "\n")

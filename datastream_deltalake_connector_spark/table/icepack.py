@@ -425,6 +425,55 @@ class IcepackTable:
                 os.unlink(lock_path)
         raise ConflictError("could not acquire commit lock")
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The `files` metadata table (Iceberg's ``table.files`` analogue):
+        one row per live data file with path/bytes/rows and JSON-encoded
+        per-column min/max stats — manifest-only, zero data files read.
+        Lets maintenance policy itself be written as DataFrame queries
+        (small-file counts, skewed-file detection, stats coverage)."""
+        rows = [
+            (e.path, e.bytes, e.rows, json.dumps(e.stats, sort_keys=True))
+            for e in self.files(version)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("stats_json", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """The `history`/`snapshots` metadata table: one row per snapshot
+        (version, parent, commit time, operation, file/row/byte totals) —
+        the audit surface for time travel and expiry decisions."""
+        rows = [
+            (
+                s.version,
+                s.parent,
+                _dt.datetime.fromtimestamp(s.timestamp_ms / 1000.0),
+                s.operation,
+                int(s.summary.get("total_files", 0) or 0),
+                int(s.summary.get("total_rows", 0) or 0),
+                int(s.summary.get("total_bytes", 0) or 0),
+            )
+            for s in self.snapshots()
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("parent", T.LongType()),
+                T.StructField("committed_at", T.TimestampType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("total_files", T.LongType()),
+                T.StructField("total_rows", T.LongType()),
+                T.StructField("total_bytes", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def count_rows(self, version: int | None = None) -> int:
         """Exact row count from manifest entries alone — zero data files
         read (the metadata-only COUNT(*) pushdown a table format owes its

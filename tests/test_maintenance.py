@@ -446,3 +446,95 @@ def test_incremental_cluster_rewrites_only_dirty(spark, tmp_path):
 
     # nothing new since → no-op, version unchanged
     assert cluster(t, curve="zorder", incremental=True) == v_inc
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    from datastream_deltalake_connector_spark.operators.compaction import (
+        maybe_compact,
+    )
+
+    root = str(tmp_path / "auto")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 60, num_partitions=2).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=4)
+    # below the small-file threshold: no-op, HEAD unchanged
+    head = t.head_version()
+    assert maybe_compact(t, min_num_files=10) is None
+    assert t.head_version() == head
+    # at/over the threshold: compacts and commits
+    v = maybe_compact(t, min_num_files=4)
+    assert v == head + 1
+    assert len(t.files()) < 4
+    assert t.count_rows() == 60
+
+
+def test_remove_orphans_respects_grace_and_references(spark, tmp_path):
+    from datastream_deltalake_connector_spark.operators.expire import remove_orphans
+
+    root = str(tmp_path / "orph")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 30, num_partitions=1).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=2)
+    # stage files WITHOUT committing — the crashed-job scenario
+    staged = t.write_data_files(base.limit(5))
+    assert staged
+    orphan_paths = [os.path.join(t.root, e.path) for e in staged]
+    # young orphans survive the grace period
+    rep = remove_orphans(t, grace_seconds=3600)
+    assert rep["orphans"] == []
+    assert all(os.path.exists(p) for p in orphan_paths)
+    # age them past the cutoff: swept; referenced files untouched
+    for p in orphan_paths:
+        os.utime(p, (1, 1))
+    rep = remove_orphans(t, grace_seconds=3600)
+    assert sorted(rep["orphans"]) == sorted(e.path for e in staged)
+    assert not any(os.path.exists(p) for p in orphan_paths)
+    assert t.count_rows() == 30
+    assert t.scan().count() == 30
+
+
+def test_metadata_tables(spark, tmp_path):
+    root = str(tmp_path / "meta")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 40, num_partitions=1).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=2)
+    t.append(base.limit(10), num_files=1)
+
+    fdf = t.files_df()
+    rows = fdf.collect()
+    assert len(rows) == len(t.files()) == 3
+    assert fdf.where(F.col("rows") <= 0).count() == 0
+    # stats JSON round-trips and carries the stats columns
+    import json as _json
+
+    st = _json.loads(rows[0]["stats_json"])
+    assert "image_id" in st and "min" in st["image_id"]
+    # metadata-only small-file policy query
+    small = fdf.where(F.col("bytes") < 10**9).count()
+    assert small == 3
+
+    hdf = t.history_df()
+    h = {r["version"]: r for r in hdf.collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[2]["operation"] == "append"
+    assert h[2]["total_rows"] == 50
+    assert h[1]["total_rows"] == 40
+    assert h[2]["parent"] == 1

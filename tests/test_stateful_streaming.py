@@ -143,3 +143,74 @@ def test_stateful_sessionize_across_drains(spark, tmp_path):
         (1, m(45), m(55), 3),
         (2, m(0), m(0), 1),
     ]
+
+
+WSCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_watermark_windowed_agg_across_drains(spark, tmp_path):
+    """Append-mode windowed agg emits a window exactly once, only after the
+    watermark (max event time - delay) passes the window end; the frontier
+    persists in the checkpoint across drains."""
+    from datastream_deltalake_connector_spark.streaming.windows import (
+        windowed_agg_stream,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("win", "wout", "wckpt"))
+    os.makedirs(in_dir)
+
+    def write(rows):
+        spark.createDataFrame(rows, WSCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = spark.readStream.schema(WSCHEMA).parquet(in_dir)
+        agg = windowed_agg_stream(
+            stream, ts_col="ts", window_duration="1 day", watermark_delay="1 hour"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (str(r["window_start"]), r["event_type"], r["n"], r["total_value"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    d = lambda day, h: datetime(2024, 1, day, h)
+    # drain 1: day-1 and day-2 events; max ts = day2 12:00 -> watermark
+    # day2 11:00 closes ONLY the day-1 window
+    write([
+        (d(1, 3), "click", 1.0),
+        (d(1, 5), "click", 2.0),
+        (d(1, 7), "buy", 10.0),
+        (d(2, 12), "click", 4.0),
+    ])
+    got = drain()
+    assert got == [
+        ("2024-01-01 00:00:00", "buy", 1, 10.0),
+        ("2024-01-01 00:00:00", "click", 2, 3.0),
+    ]
+    # a LATE day-1 event inside no window still open is dropped; day-4
+    # arrival moves the watermark past day 2 (and 3): day-2 window emits
+    # WITHOUT the late day-1 row
+    write([
+        (d(1, 9), "click", 100.0),   # late: window already closed -> dropped
+        (d(4, 2), "buy", 7.0),
+    ])
+    got = drain()
+    assert got == [
+        ("2024-01-01 00:00:00", "buy", 1, 10.0),
+        ("2024-01-01 00:00:00", "click", 2, 3.0),
+        ("2024-01-02 00:00:00", "click", 1, 4.0),
+    ]
