@@ -17,8 +17,11 @@ matter of the submit command, not the code:
       ingest   --table PATH --batch PARQUET      append a generated/base batch
       merge    --table PATH --batch PARQUET      CDC merge a change batch
       compact  --table PATH [--target-mb N]      FFD bin-pack small files
+      autocompact --table PATH [--min-num-files N]  compact only past threshold
       cluster  --table PATH [--curve zorder|hilbert]
       expire   --table PATH [--keep-last N]
+      orphans  --table PATH [--grace-seconds S] [--dry-run]
+      describe --table PATH                      manifest-only snapshot summary
       scan     --table PATH [--out PARQUET]      full scan (+ optional export)
       connector --root PATH --warehouse PATH     reference-style CDC pipeline
                                                  (discover → log → merge)
@@ -71,9 +74,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-files", type=int, default=None)
     p.add_argument("--incremental", action="store_true",
                    help="recluster only files added since the last cluster commit")
+    p = sub.add_parser("autocompact")
+    common(p)
+    p.add_argument("--target-mb", type=int, default=512)
+    p.add_argument("--min-num-files", type=int, default=10)
     p = sub.add_parser("expire")
     common(p)
     p.add_argument("--keep-last", type=int, default=2)
+    p = sub.add_parser("orphans")
+    common(p)
+    p.add_argument("--grace-seconds", type=float, default=3600)
+    p.add_argument("--dry-run", action="store_true")
+    p = sub.add_parser("describe")
+    common(p)
     p = sub.add_parser("scan")
     common(p)
     p.add_argument("--out", default=None)
@@ -148,6 +161,16 @@ def main(argv: list[str] | None = None) -> int:
             t, curve=args.curve, num_files=args.num_files, job_id=args.job_id,
             incremental=args.incremental,
         )
+    elif args.cmd == "autocompact":
+        from .operators.compaction import maybe_compact
+
+        t = IcepackTable.load(spark, args.table)
+        out["version"] = maybe_compact(
+            t,
+            min_num_files=args.min_num_files,
+            target_bytes=args.target_mb * 1024 * 1024,
+            job_id=args.job_id,
+        )
     elif args.cmd == "expire":
         from .operators.expire import expire_snapshots
 
@@ -155,6 +178,18 @@ def main(argv: list[str] | None = None) -> int:
         report = expire_snapshots(t, keep_last=args.keep_last)
         out["expired"] = report["expired_snapshots"]
         out["deleted_files"] = len(report["deleted_files"])
+    elif args.cmd == "orphans":
+        from .operators.expire import remove_orphans
+
+        t = IcepackTable.load(spark, args.table)
+        report = remove_orphans(
+            t, grace_seconds=args.grace_seconds, dry_run=args.dry_run
+        )
+        out["orphans"] = len(report["orphans"])
+        out["dry_run"] = report["dry_run"]
+    elif args.cmd == "describe":
+        t = IcepackTable.load(spark, args.table)
+        out.update(t.describe())
     elif args.cmd == "scan":
         t = IcepackTable.load(spark, args.table)
         df = t.scan()

@@ -50,3 +50,11 @@ def test_job_lifecycle(spark, tmp_path, capsys):
     assert scan["rows"] == 60  # 60 base + 5 inserts - 5 deletes
     t = IcepackTable.load(spark, table)
     assert t.head_version() == scan["version"]
+
+    # policy/observability subcommands
+    auto = run(capsys, "autocompact", "--table", table, "--min-num-files", "50")
+    assert auto["version"] is None  # under threshold: no-op
+    desc = run(capsys, "describe", "--table", table)
+    assert desc["rows"] == 60 and desc["files"] == scan["files"]
+    orph = run(capsys, "orphans", "--table", table, "--dry-run")
+    assert orph["dry_run"] is True
