@@ -92,7 +92,15 @@ def compact(
     journal = LineageJournal(table.root, job_id)
     parent = table.head_version()
     entries = table.files(parent)
-    bins = plan_bins_ffd(entries, target_bytes)
+    # partition-aware: bins never mix hive partitions, so rewrites preserve
+    # the layout and each output file stays single-partition (unpartitioned
+    # tables collapse to one group — behavior unchanged)
+    groups: dict[tuple, list[FileEntry]] = {}
+    for e in entries:
+        groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
+    bins: list[list[FileEntry]] = []
+    for members in groups.values():
+        bins.extend(plan_bins_ffd(members, target_bytes))
     if not bins:
         return None
 
@@ -120,7 +128,9 @@ def compact(
         # rows through one shuffle into the single writer task — measured 5-7x
         # faster per bin at 512 MB.
         df = table.spark.read.schema(schema).parquet(*paths).repartition(1)
-        added = table.write_data_files(df)
+        added = table.write_data_files(
+            df, partition_by=table.partition_spec() or None
+        )
         journal.log_task(
             stage="compact-bin",
             task_id=bin_id,

@@ -117,6 +117,10 @@ class FileEntry:
     bytes: int
     rows: int
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # hive-layout partition values parsed from the path (strings, for
+    # grouping/observability; PRUNING uses `stats` — partition columns are
+    # duplicated into the data files, so their min==max stats prune exactly)
+    partition: dict[str, str] = field(default_factory=dict)
 
     def may_match(self, col: str, op: str, value: Any) -> bool:
         """Conservative: False only when stats PROVE no row can match."""
@@ -178,6 +182,7 @@ class IcepackTable:
         root: str,
         schema: T.StructType,
         stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> "IcepackTable":
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=False)
@@ -191,7 +196,7 @@ class IcepackTable:
             operation="create",
             schema_json=schema.jsonValue(),
             manifest=manifest_name,
-            summary={"stats_cols": stats_cols},
+            summary={"stats_cols": stats_cols, "partition_by": partition_by},
         )
         t._write_json(os.path.join(t.meta_dir, "snap-0.json"), asdict(snap))
         t._atomic_write(os.path.join(t.meta_dir, "HEAD"), "0")
@@ -295,9 +300,20 @@ class IcepackTable:
         target_file_bytes: int | None = None,
         sort_within_partitions: list[str] | None = None,
         num_files: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> list[FileEntry]:
         """Stage a DataFrame as immutable parquet data files; returns manifest
         entries with footer-derived stats. Does NOT commit.
+
+        ``partition_by`` writes hive-layout subdirectories (``col=val/``) —
+        but, unlike plain ``partitionBy``, the partition columns are KEPT in
+        the data files (written through a ``__p_<col>`` duplicate that only
+        names the directory). That makes every file self-describing: scans
+        read leaf files with the table schema directly (no basePath
+        inference), min==max footer stats prune partition predicates
+        exactly, and maintenance rewrites can never lose a column. The
+        parsed partition values land in ``FileEntry.partition`` for
+        partition-aware compaction grouping and observability.
 
         Zero-row part files (an empty repartition bucket, an insert-free
         merge split) are deleted on the spot: they would never join a
@@ -306,10 +322,24 @@ class IcepackTable:
         stage = f"data/{uuid.uuid4().hex}"
         out_dir = os.path.join(self.root, stage)
         if num_files is not None:
+            # with partition_by, each of the num_files round-robin tasks
+            # splits by partition value at write time -> ~num_files files
+            # PER hive dir (hashing on the partition cols instead would
+            # funnel each value into a single task/file)
             df = df.repartition(num_files) if num_files > 1 else df.coalesce(1)
         if sort_within_partitions:
             df = df.sortWithinPartitions(*sort_within_partitions)
-        df.write.mode("overwrite").parquet(out_dir)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            dup = [F.col(c).alias(f"__p_{c}") for c in partition_by]
+            writer = df.select("*", *dup).write.mode("overwrite").partitionBy(
+                *[f"__p_{c}" for c in partition_by]
+            )
+            writer.parquet(out_dir)
+            self._strip_partition_prefix(out_dir)
+        else:
+            df.write.mode("overwrite").parquet(out_dir)
         entries = self.collect_file_entries(stage)
         kept = []
         for e in entries:
@@ -326,19 +356,47 @@ class IcepackTable:
 
     EXECUTOR_STATS_MIN_FILES = 16
 
+    @staticmethod
+    def _strip_partition_prefix(out_dir: str) -> None:
+        """Rename ``__p_<col>=val`` staging dirs (the duplicate columns that
+        drove partitionBy) to clean hive names ``<col>=val``."""
+        for dirpath, dirnames, _names in os.walk(out_dir):
+            for d in list(dirnames):
+                if d.startswith("__p_") and "=" in d:
+                    new = d[len("__p_"):]
+                    os.rename(os.path.join(dirpath, d), os.path.join(dirpath, new))
+                    dirnames[dirnames.index(d)] = new
+
+    @staticmethod
+    def _partition_of(rel_under_stage: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for seg in rel_under_stage.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                out[k] = v
+        return out
+
     def collect_file_entries(
         self, stage_rel: str, use_executors: bool | None = None
     ) -> list[FileEntry]:
         """Manifest entries (footer stats) for every parquet file under a
-        staging dir. ``use_executors=None`` auto-selects: big stagings fan
+        staging dir (recursively — hive partition layouts nest).
+        ``use_executors=None`` auto-selects: big stagings fan
         the pyarrow footer reads out via ``sc.parallelize`` (at 100 TB a
         commit can stage thousands of files — serial driver reads would
         become the commit's critical path); small ones stay on the driver."""
         stats_cols = tuple(sorted(self.stats_cols()))
         stage_dir = os.path.join(self.root, stage_rel)
-        names = [n for n in sorted(os.listdir(stage_dir)) if n.endswith(".parquet")]
+        rels = []
+        for dirpath, _dirs, names in os.walk(stage_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rels.append(
+                        os.path.relpath(os.path.join(dirpath, n), stage_dir)
+                    )
         pairs = [
-            (os.path.join(stage_dir, n), os.path.join(stage_rel, n)) for n in names
+            (os.path.join(stage_dir, r), os.path.join(stage_rel, r))
+            for r in sorted(rels)
         ]
         if use_executors is None:
             use_executors = len(pairs) >= self.EXECUTOR_STATS_MIN_FILES
@@ -353,7 +411,13 @@ class IcepackTable:
             dicts.sort(key=lambda d: d["path"])
         else:
             dicts = [_footer_stats(a, r, stats_cols) for a, r in pairs]
-        return [FileEntry(**d) for d in dicts]
+        return [
+            FileEntry(
+                **d,
+                partition=self._partition_of(os.path.relpath(d["path"], stage_rel)),
+            )
+            for d in dicts
+        ]
 
     def _footer_entry(self, abs_path: str, rel_path: str, stats_cols: set[str]) -> FileEntry:
         return FileEntry(**_footer_stats(abs_path, rel_path, tuple(sorted(stats_cols))))
@@ -432,7 +496,13 @@ class IcepackTable:
         Lets maintenance policy itself be written as DataFrame queries
         (small-file counts, skewed-file detection, stats coverage)."""
         rows = [
-            (e.path, e.bytes, e.rows, json.dumps(e.stats, sort_keys=True))
+            (
+                e.path,
+                e.bytes,
+                e.rows,
+                json.dumps(e.stats, sort_keys=True),
+                json.dumps(e.partition, sort_keys=True),
+            )
             for e in self.files(version)
         ]
         schema = T.StructType(
@@ -441,6 +511,7 @@ class IcepackTable:
                 T.StructField("bytes", T.LongType()),
                 T.StructField("rows", T.LongType()),
                 T.StructField("stats_json", T.StringType()),
+                T.StructField("partition_json", T.StringType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)
@@ -504,8 +575,14 @@ class IcepackTable:
         }
 
     # ------------------------------------------------------- common actions
+    def partition_spec(self) -> list[str]:
+        """Table partition columns declared at create time ([] if none)."""
+        return list(self.snapshot().summary.get("partition_by") or [])
+
     def append(self, df: DataFrame, num_files: int | None = None) -> int:
-        entries = self.write_data_files(df, num_files=num_files)
+        entries = self.write_data_files(
+            df, num_files=num_files, partition_by=self.partition_spec() or None
+        )
         return self.commit("append", added=entries)
 
     def overwrite_all(self, df: DataFrame, num_files: int | None = None) -> int:

@@ -200,3 +200,64 @@ def test_metadata_only_count_and_describe(spark, tmp_path):
     assert d["files"] == 4 and d["rows"] == 130 and d["columns"] == 2
     assert d["file_bytes_min"] <= d["file_bytes_p50"] <= d["file_bytes_max"]
     assert d["bytes"] == sum(e.bytes for e in t.files())
+
+
+def test_partitioned_table_layout_prune_and_compact(spark, tmp_path):
+    """Hive-layout partitioning: partition columns stay IN the data files
+    (self-describing files, exact min==max stats pruning), the directory
+    layout is clean `col=val/`, and compaction never mixes partitions."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from datastream_deltalake_connector_spark.operators.compaction import compact
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    root = str(tmp_path / "ptab")
+    t = IcepackTable.create(spark, root, schema, partition_by=["fmt"])
+    assert t.partition_spec() == ["fmt"]
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    t.append(df, num_files=3)
+
+    # layout: clean hive dirs, no __p_ residue; manifest carries partitions
+    entries = t.files()
+    assert all(e.partition.get("fmt") in ("png", "jpeg") for e in entries)
+    assert all("/fmt=" in e.path and "__p_" not in e.path for e in entries)
+    assert {e.partition["fmt"] for e in entries} == {"png", "jpeg"}
+
+    # self-describing data files: full scan has the column, correct values
+    full = t.scan()
+    assert full.count() == 200
+    assert full.where(F.col("fmt") == "png").count() == 100
+
+    # partition predicate prunes at the MANIFEST level (before Spark)
+    pruned = [
+        e for e in entries
+        if all(e.may_match("fmt", "=", "png") for _ in [0])
+    ]
+    assert 0 < len(pruned) < len(entries)
+    got = t.scan(filters=[("fmt", "=", "png")])
+    assert got.count() == 100 and got.where(F.col("fmt") != "png").count() == 0
+
+    # compaction groups bins per partition: outputs stay single-partition
+    v = compact(t, target_bytes=512 * 1024 * 1024)
+    assert v is not None
+    after = t.files()
+    assert all(e.partition.get("fmt") in ("png", "jpeg") for e in after)
+    assert len(after) < len(entries)
+    assert t.scan().count() == 200
+    # files_df exposes the partition values
+    pj = [
+        _json.loads(r["partition_json"]) for r in t.files_df().collect()
+    ]
+    assert {p["fmt"] for p in pj} == {"png", "jpeg"}
