@@ -133,7 +133,12 @@ def cluster(
         bounds = quantile_boundaries(keys_only, "__cluster_key", num_files)
 
         clustered = repartition_by_bounds(src, key, bounds, key_col_name="__cluster_key")
-        added = table.write_data_files(clustered)
+        # partitioned tables keep their hive layout: each curve bucket splits
+        # by partition value at write time (one file per bucket × partition),
+        # so pruning composes — partition dirs first, then key ranges.
+        added = table.write_data_files(
+            clustered, partition_by=table.partition_spec() or None
+        )
     journal.log_task(
         stage="cluster",
         task_id="all",

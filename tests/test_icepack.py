@@ -261,3 +261,31 @@ def test_partitioned_table_layout_prune_and_compact(spark, tmp_path):
         _json.loads(r["partition_json"]) for r in t.files_df().collect()
     ]
     assert {p["fmt"] for p in pj} == {"png", "jpeg"}
+
+
+def test_cluster_preserves_partition_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datastream_deltalake_connector_spark.operators.clustering import cluster
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "pclu")
+    t = IcepackTable.create(spark, root, schema, partition_by=["fmt"])
+    df = spark.range(120).select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        (F.col("id") * 2654435761).alias("phash"),
+        F.when(F.col("id") % 3 == 0, "png").otherwise("jpeg").alias("fmt"),
+    )
+    t.append(df, num_files=2)
+    v = cluster(t, num_files=2)
+    assert v == t.head_version()
+    after = t.files()
+    assert after and all(e.partition.get("fmt") in ("png", "jpeg") for e in after)
+    assert t.scan().count() == 120
+    assert t.scan(filters=[("fmt", "=", "png")]).count() == 40
