@@ -289,3 +289,28 @@ def test_cluster_preserves_partition_layout(spark, tmp_path):
     assert after and all(e.partition.get("fmt") in ("png", "jpeg") for e in after)
     assert t.scan().count() == 120
     assert t.scan(filters=[("fmt", "=", "png")]).count() == 40
+
+
+def test_concurrent_unpinned_commits_serialize(spark, tmp_path):
+    """Two unpinned committers race: the CAS lock + parent re-resolution
+    serializes them — both land, on distinct consecutive versions, and the
+    final manifest is the union of both additions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    root = str(tmp_path / "race")
+    t = IcepackTable.create(spark, root, schema)
+    df1 = spark.range(10).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    df2 = spark.range(10, 25).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    e1 = t.write_data_files(df1)
+    e2 = t.write_data_files(df2)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(t.commit, "append", e1)
+        f2 = pool.submit(t.commit, "append", e2)
+        v1, v2 = f1.result(), f2.result()
+    assert sorted([v1, v2]) == [1, 2]
+    assert t.count_rows() == 25
+    assert t.scan().count() == 25
