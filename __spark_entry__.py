@@ -927,6 +927,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts as columns. With the
+    pivot values ENUMERATED, Spark plans a single partial-aggregated
+    groupBy(user_id) — one shuffle, no second pass to discover the value
+    domain (the two-phase form a bare pivot() would cost). At 100 TB always
+    enumerate pivot values."""
+    e = _read(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, [*_EVENT_TYPES])
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
 def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload extraction: events.props is a JSON string
     (the universal shape of event-pipeline side data). `get_json_object`
@@ -1947,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
         "events_json_extract": _events_json_extract,
+        "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
         "url_dedup_docs": _url_dedup_docs,
         "token_rarity_docs": _token_rarity_docs,
@@ -2023,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_composite_key": _LWW_COMPOSITE_ORACLE,
         "events_windowed_agg": _WINDOWED_ORACLE,
         "events_json_extract": _JSON_EXTRACT_ORACLE,
+        "events_pivot": _PIVOT_ORACLE,
         "events_asof_join": _ASOF_ORACLE,
         "url_dedup_docs": _URL_DEDUP_ORACLE,
         "token_rarity_docs": _TOKEN_RARITY_ORACLE,
