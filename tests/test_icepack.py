@@ -314,3 +314,35 @@ def test_concurrent_unpinned_commits_serialize(spark, tmp_path):
     assert sorted([v1, v2]) == [1, 2]
     assert t.count_rows() == 25
     assert t.scan().count() == 25
+
+
+def test_merge_preserves_partition_layout(spark, tmp_path):
+    from datastream_deltalake_connector_spark.operators.table_merge import (
+        merge_into_table,
+    )
+    from datastream_deltalake_connector_spark.sources.generator import (
+        MERGED_IMAGE_SCHEMA,
+        generate_change_batch,
+        generate_images,
+    )
+
+    root = str(tmp_path / "pmrg")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA, partition_by=["fmt"])
+    base = generate_images(spark, 80, num_partitions=2).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=2)
+    batch = generate_change_batch(
+        spark, 80, batch_index=0, updates=10, inserts=5, deletes=5, num_partitions=2
+    )
+    v = merge_into_table(t, batch)
+    assert v == t.head_version()
+    after = t.files()
+    assert after and all(e.partition.get("fmt") for e in after)
+    assert t.scan().count() == 80  # 80 + 5 - 5
+    fmts = {e.partition["fmt"] for e in after}
+    assert fmts and fmts <= {"png", "jpeg"}
