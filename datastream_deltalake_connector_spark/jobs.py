@@ -13,7 +13,7 @@ matter of the submit command, not the code:
         -- jobs.py merge --table /warehouse/images --batch /dumps/batch42.parquet
 
     subcommands:
-      init     --table PATH                      create an empty image table
+      init     --table PATH [--partition-by fmt]  create an empty image table
       ingest   --table PATH --batch PARQUET      append a generated/base batch
       merge    --table PATH --batch PARQUET      CDC merge a change batch
       compact  --table PATH [--target-mb N]      FFD bin-pack small files
@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("init")
     common(p)
+    p.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated hive partition columns (e.g. fmt)",
+    )
     p = sub.add_parser("ingest")
     common(p)
     p.add_argument("--batch", required=True)
@@ -127,7 +132,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "init":
         from .sources.generator import MERGED_IMAGE_SCHEMA
 
-        t = IcepackTable.create(spark, args.table, MERGED_IMAGE_SCHEMA)
+        part = args.partition_by.split(",") if args.partition_by else None
+        t = IcepackTable.create(
+            spark, args.table, MERGED_IMAGE_SCHEMA, partition_by=part
+        )
         out["version"] = t.head_version()
     elif args.cmd == "ingest":
         t = IcepackTable.load(spark, args.table)
