@@ -1266,6 +1266,45 @@ def _embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup: embedding-cosine pair evidence →
+    connected components → keeper election → verdicts joined back onto the
+    whole corpus (docs with no near-dup default to keep). This is the
+    composed pipeline a training-data run executes; at corpus scale the
+    pair stage is the LSH-bucketed path (`embedding_neardup_lsh_docs`),
+    and the final join ships only (doc_id, keep) — never text or vectors."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        dedup_keep_list,
+    )
+
+    pairs = _embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    verdicts = dedup_keep_list(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("keep")
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        F.broadcast(verdicts), docs.doc_id == verdicts.vec_id, "left"
+    ).select("doc_id", F.coalesce(F.col("keep"), F.lit(True)).alias("keep"))
+
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_NEARDUP_PAIRS_CTES},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM npairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM npairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+),
+reps AS (SELECT node AS vec_id, min(r) AS cluster_rep FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(r.vec_id = r.cluster_rep, TRUE) AS keep
+FROM documents d LEFT JOIN reps r ON d.doc_id = r.vec_id
+"""
+
+
 _EMBEDDING_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_NEARDUP_PAIRS_CTES},
 sym AS (
@@ -1982,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "embedding_neardup_pairs": _embedding_neardup,
         "embedding_neardup_clusters": _embedding_neardup_clusters,
+        "semantic_dedup_docs": _semantic_dedup_docs,
         "shipping_priority": _shipping_priority,
         "region_nation_revenue": _region_nation_revenue,
         "supplier_revenue_rank": _supplier_revenue_rank,
@@ -2059,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_ORACLE,
         "embedding_neardup_pairs": _NEARDUP_ORACLE,
         "embedding_neardup_clusters": _EMBEDDING_CLUSTERS_ORACLE,
+        "semantic_dedup_docs": _SEMANTIC_DEDUP_ORACLE,
         "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
         "region_nation_revenue": _REGION_NATION_ORACLE,
         "supplier_revenue_rank": _SUPPLIER_RANK_ORACLE,

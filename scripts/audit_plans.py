@@ -194,6 +194,20 @@ AUDIT = [
         "their exchanges; ONE window on doc_id for the top-3 cut; "
         "ReadSchema (doc_id, text).",
     ),
+    (
+        "events_pivot",
+        "Pivot with enumerated values. Expect: two exchanges, BOTH "
+        "partial-aggregated — (user,type) pair counts, then the pivot "
+        "rollup on user_id whose shuffle carries one row per DISTINCT "
+        "pair, not per event; enumerating the values avoids a third "
+        "value-discovery pass. ReadSchema (event_type, user_id).",
+    ),
+    (
+        "semantic_dedup_docs",
+        "Composed semantic dedup. Expect: verdicts BROADCAST back onto the "
+        "corpus (docs side never shuffles for the final join); ReadSchema "
+        "(doc_id) on the documents scan.",
+    ),
 ]
 
 
