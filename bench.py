@@ -248,6 +248,9 @@ def query_bench(spark, sf_dir: str) -> dict:
         "minhash_lsh_pairs_docs",
         "neardup_clusters_docs",
         "ann_cosine_topk",
+        "url_dedup_docs",
+        "events_asof_join",
+        "tfidf_top_terms",
     ]
     qs = entrymod.queries()
     out = {}
