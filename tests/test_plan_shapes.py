@@ -37,6 +37,10 @@ def exchanges(plan: str) -> int:
 def noaqe(spark):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # other test modules may have cached a full-table read of the same
+    # parquet paths; Spark substitutes the InMemoryRelation into ANY
+    # matching scan, which would hide the real file-scan pruning
+    spark.catalog.clearCache()
     yield spark
     spark.conf.set("spark.sql.adaptive.enabled", prev)
 
