@@ -324,11 +324,13 @@ def run_scaling(root: str, low: int, high: int, rounds: int | None = None) -> di
     Efficiency is computed PER ROUND from the adjacent low/high pair (both
     sides of a ratio must see the same host window; pairing the best low
     with the best high from different minutes biases the ratio either way
-    on a shared VM). Each round also records a host-grant probe, and the
-    headline round is the one whose probe was closest to neutral (1.0) —
-    selection anchored to the independent host signal, never to the
-    efficiency outcome itself. All rounds ship in the JSON for audit."""
-    rounds = rounds or int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    on a shared VM). Each round records host-grant probes taken BEFORE and
+    AFTER its scans (averaged — a single post-hoc probe can miss the window
+    the scans actually ran in), and the headline round is the one whose
+    probe was closest to neutral (1.0) — selection anchored to the
+    independent host signal, never to the efficiency outcome itself. All
+    rounds ship in the JSON for audit."""
+    rounds = rounds or int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
 
     def scan_at(cores: int) -> dict:
         proc = subprocess.run(
@@ -347,9 +349,23 @@ def run_scaling(root: str, low: int, high: int, rounds: int | None = None) -> di
 
     per_round = []
     for _ in range(rounds):
+        probe_pre = host_probe((low, high))
         r_low = scan_at(low)
         r_high = scan_at(high)
-        probe = host_probe((low, high))
+        probe_post = host_probe((low, high))
+        probe = {
+            f"probe_{low}p_sec": round(
+                (probe_pre[f"probe_{low}p_sec"] + probe_post[f"probe_{low}p_sec"]) / 2, 2
+            ),
+            f"probe_{high}p_sec": round(
+                (probe_pre[f"probe_{high}p_sec"] + probe_post[f"probe_{high}p_sec"]) / 2, 2
+            ),
+            "probe_host_eff": round(
+                (probe_pre["probe_host_eff"] + probe_post["probe_host_eff"]) / 2, 3
+            ),
+            "probe_host_eff_pre": probe_pre["probe_host_eff"],
+            "probe_host_eff_post": probe_post["probe_host_eff"],
+        }
         thr_low = r_low["images"] / r_low["elapsed_sec"]
         thr_high = r_high["images"] / r_high["elapsed_sec"]
         per_round.append(
