@@ -88,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-last", type=int, default=2)
     p = sub.add_parser("orphans")
     common(p)
-    p.add_argument("--grace-seconds", type=float, default=3600)
+    p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
     p.add_argument("--dry-run", action="store_true")
     p = sub.add_parser("describe")
     common(p)

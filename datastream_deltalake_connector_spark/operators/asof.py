@@ -50,11 +50,23 @@ def asof_join(
     Ties inside ``right`` on (keys, right_ts) are broken by the LAST
     payload struct in its sort order; pass a unique right timestamp (or
     pre-dedup) for fully deterministic output.
+
+    Null-key and null-timestamp right rows are dropped up front: an
+    equi-join (and DuckDB ASOF's ``ON l.k = r.k AND l.ts >= r.ts``) can
+    never match them, but the window formulation would otherwise group
+    null keys together and sort null timestamps first (nulls-first asc),
+    silently attaching them. Null-key LEFT rows are preserved with a null
+    payload, matching ASOF LEFT JOIN.
     """
+    # a right row whose key or timestamp is null can never win a match
+    right_clean = right
+    for k in [*on, right_ts]:
+        right_clean = right_clean.where(F.col(k).isNotNull())
+    payload_cols = [c for c in payload_cols if c != right_ts]
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload_cols]
     )
-    r = right.select(
+    r = right_clean.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__evt_ts"),
         F.lit(0).alias("__side"),
@@ -67,10 +79,18 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
-    # align schemas: right side lacks the non-key left columns
-    for c in left_cols:
-        if c not in on:
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    # align schemas: null-fill the non-key left columns on the right side
+    # in ONE select (a per-column withColumn chain re-analyzes a growing
+    # plan each iteration — quadratic for wide CDC payloads)
+    ltypes = dict(left.dtypes)
+    r = r.select(
+        "*",
+        *[
+            F.lit(None).cast(ltypes[c]).alias(c)
+            for c in left_cols
+            if c not in on
+        ],
+    )
     u = r.select(l.columns).unionByName(l)
 
     w = (

@@ -89,7 +89,7 @@ def expire_snapshots(
 
 def remove_orphans(
     table: IcepackTable,
-    grace_seconds: float = 3600,
+    grace_seconds: float = 3 * 24 * 3600,
     dry_run: bool = False,
 ) -> dict:
     """Delete data files referenced by NO existing snapshot — the debris a
@@ -100,9 +100,13 @@ def remove_orphans(
 
     The ``grace_seconds`` mtime cutoff protects in-flight writers: a
     concurrent job's staging files are younger than the grace period, so
-    they are never swept before their commit. Same contract as Iceberg's
-    remove_orphan_files(older_than). Driver-side set arithmetic over
-    manifest entries + one directory walk."""
+    they are never swept before their commit. The default is 3 DAYS —
+    Iceberg's remove_orphan_files(older_than) default, chosen because a
+    large maintenance job (e.g. a multi-bin compaction that commits once
+    at the end) can legitimately hold staged-uncommitted files for hours;
+    a short grace would sweep them mid-job and the eventual commit would
+    reference deleted files. Driver-side set arithmetic over manifest
+    entries + one directory walk."""
     referenced: set[str] = set()
     for s in table.snapshots():
         for e in table.files(s.version):
@@ -114,7 +118,13 @@ def remove_orphans(
         for n in names:
             p = os.path.join(dirpath, n)
             rel = os.path.relpath(p, table.root)
-            if rel not in referenced and os.path.getmtime(p) < cutoff:
+            if rel in referenced:
+                continue
+            try:  # a concurrent writer/expiry may remove files mid-walk
+                mtime = os.path.getmtime(p)
+            except OSError:
+                continue
+            if mtime < cutoff:
                 orphans.append(rel)
     report = {"orphans": sorted(orphans), "dry_run": dry_run}
     if dry_run:

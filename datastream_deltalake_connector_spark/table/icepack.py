@@ -420,7 +420,13 @@ class IcepackTable:
         ]
 
     def _footer_entry(self, abs_path: str, rel_path: str, stats_cols: set[str]) -> FileEntry:
-        return FileEntry(**_footer_stats(abs_path, rel_path, tuple(sorted(stats_cols))))
+        # partition parsed from the full table-relative path: stage uuids and
+        # 'data' contain no '=', so the hive segments are unambiguous (resume
+        # paths rebuild entries through here — they must not lose partitions)
+        return FileEntry(
+            **_footer_stats(abs_path, rel_path, tuple(sorted(stats_cols))),
+            partition=self._partition_of(rel_path),
+        )
 
     # --------------------------------------------------------------- commit
     def commit(
@@ -587,7 +593,9 @@ class IcepackTable:
 
     def overwrite_all(self, df: DataFrame, num_files: int | None = None) -> int:
         old = [e.path for e in self.files()]
-        entries = self.write_data_files(df, num_files=num_files)
+        entries = self.write_data_files(
+            df, num_files=num_files, partition_by=self.partition_spec() or None
+        )
         return self.commit("overwrite", added=entries, removed_paths=old)
 
     def evolve_schema(
@@ -634,7 +642,13 @@ class IcepackTable:
                 if f.name.startswith("datastream_metadata_")
                 and f.name not in batch_names
             ]
-            target = T.StructType(list(batch_schema.fields) + meta_keep)
+            # force nullable: files written before the evolution lack any
+            # newly-declared column and scan() null-fills it — a non-null
+            # schema promise would let Catalyst elide null checks wrongly
+            target = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in batch_schema.fields]
+                + meta_keep
+            )
             if [ (f.name, f.dataType) for f in target.fields ] == [
                 (f.name, f.dataType) for f in current.fields
             ]:

@@ -3,6 +3,7 @@ schema evolution, CAS conflicts, snapshot pinning."""
 
 from __future__ import annotations
 
+import os
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -346,3 +347,28 @@ def test_merge_preserves_partition_layout(spark, tmp_path):
     assert t.scan().count() == 80  # 80 + 5 - 5
     fmts = {e.partition["fmt"] for e in after}
     assert fmts and fmts <= {"png", "jpeg"}
+
+
+def test_footer_entry_and_overwrite_keep_partitions(spark, tmp_path):
+    """Resume paths rebuild entries via _footer_entry and overwrite_all
+    rewrites the whole table: both must preserve hive partition values."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("fmt", T.StringType())]
+    )
+    root = str(tmp_path / "pfoot")
+    t = IcepackTable.create(spark, root, schema, partition_by=["fmt"])
+    df = spark.range(40).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
+    )
+    t.append(df, num_files=1)
+    e = t.files()[0]
+    rebuilt = t._footer_entry(
+        os.path.join(t.root, e.path), e.path, set(t.stats_cols())
+    )
+    assert rebuilt.partition == e.partition and rebuilt.partition
+
+    t.overwrite_all(df.where(F.col("id") < 20), num_files=1)
+    after = t.files()
+    assert after and all(e.partition.get("fmt") in ("png", "jpeg") for e in after)
+    assert t.scan().count() == 20

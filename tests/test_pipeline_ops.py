@@ -448,3 +448,48 @@ def test_asof_join_inclusive_and_unmatched(spark):
     assert out[2] == (100.0, t("2024-01-01 12:00:00"))
     assert out[3] == (200.0, t("2024-01-01 13:00:00"))
     assert out[4] == (None, None)
+
+
+def test_asof_join_null_keys_and_null_ts_never_match(spark):
+    from datetime import datetime
+
+    from datastream_deltalake_connector_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, None, t("2024-01-01 12:00:00")),   # null key: kept, no match
+            (2, "u1", t("2024-01-01 12:00:00")),   # must NOT see null-ts right row
+        ],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (None, t("2024-01-01 10:00:00"), 1.0),  # null key: never matches
+            ("u1", None, 2.0),                       # null ts: never matches
+        ],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["event_id"]: (r["asof_v"], r["asof_ts"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", payload_cols=["v"]
+        ).collect()
+    }
+    assert out == {1: (None, None), 2: (None, None)}
+
+
+def test_asof_join_payload_cols_dedupes_right_ts(spark):
+    from datetime import datetime
+
+    from datastream_deltalake_connector_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame([(1, "u1", t("2024-01-01 13:00:00"))], ["event_id", "k", "ts"])
+    right = spark.createDataFrame([("u1", t("2024-01-01 12:00:00"), 5.0)], ["k", "ts", "v"])
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload_cols=["ts", "v"]
+    )
+    assert out.columns.count("asof_ts") == 1
+    row = out.collect()[0]
+    assert row["asof_ts"] == t("2024-01-01 12:00:00") and row["asof_v"] == 5.0
