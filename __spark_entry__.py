@@ -1542,6 +1542,29 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping_id: all four (returnflag, linestatus)
+    subtotal combinations in one pass. grouping_id disambiguates a true NULL
+    group value from a subtotal row — the reason the oracle can hash-match
+    despite NULLs in the grouping columns. Same single-shuffle expansion as
+    ROLLUP (Spark expands grouping sets before the exchange, partial-agg
+    friendly)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) + exact percentile per day. distinct expands to a
     two-stage partial agg; percentile is the only full-sort-per-group op."""
@@ -2029,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_urgent": _customers_semi_urgent,
         "events_sessionize": _events_sessionize,
         "rollup_revenue": _rollup_revenue,
+        "cube_revenue": _cube_revenue,
         "daily_distinct_users": _daily_distinct_users,
         "promo_revenue_share": _promo_revenue,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
@@ -2107,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_semi_urgent": _CUSTOMERS_SEMI_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "rollup_revenue": _ROLLUP_ORACLE,
+        "cube_revenue": _CUBE_ORACLE,
         "daily_distinct_users": _DAILY_DISTINCT_ORACLE,
         "promo_revenue_share": _PROMO_ORACLE,
     }
