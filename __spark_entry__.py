@@ -1075,6 +1075,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/range_join.py): every click
+    that lands within one hour after a purchase by the same user. Bucketed
+    on (user_id, hour) so the shuffle spreads hot users across time — not
+    the per-key cross product Spark would plan for the raw theta join.
+    Oracled against DuckDB's plain theta join, an independent evaluation
+    of the same predicate."""
+    from datastream_deltalake_connector_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    e = _read(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    out = point_in_interval_join(
+        clicks, purchases, on=["user_id"],
+        point_ts="click_ts", start_ts="win_start", end_ts="win_end",
+        bucket_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "click_ts", "win_start")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts AS click_ts, p.ts AS win_start
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts <= c.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+
 def _token_rarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency quality signal (CCNet-style rarity filter shape):
     per doc, the share of hapax tokens and the mean corpus frequency of its
@@ -2039,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json_extract,
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
         "url_dedup_docs": _url_dedup_docs,
         "token_rarity_docs": _token_rarity_docs,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -2118,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _JSON_EXTRACT_ORACLE,
         "events_pivot": _PIVOT_ORACLE,
         "events_asof_join": _ASOF_ORACLE,
+        "events_range_join": _RANGE_JOIN_ORACLE,
         "url_dedup_docs": _URL_DEDUP_ORACLE,
         "token_rarity_docs": _TOKEN_RARITY_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,

@@ -203,6 +203,14 @@ AUDIT = [
         "value-discovery pass. ReadSchema (event_type, user_id).",
     ),
     (
+        "events_range_join",
+        "Bucketed range join. Expect: an EQUI-join on (user_id, bucket) "
+        "with the exact predicate as a post-join filter — broadcast at "
+        "test scale, shuffled hash/SMJ at scale; the point is what is "
+        "ABSENT: no BroadcastNestedLoopJoin, no per-key cross product "
+        "(the plan Spark picks for the raw theta join).",
+    ),
+    (
         "semantic_dedup_docs",
         "Composed semantic dedup. Expect: verdicts BROADCAST back onto the "
         "corpus (docs side never shuffles for the final join); ReadSchema "

@@ -493,3 +493,59 @@ def test_asof_join_payload_cols_dedupes_right_ts(spark):
     assert out.columns.count("asof_ts") == 1
     row = out.collect()[0]
     assert row["asof_ts"] == t("2024-01-01 12:00:00") and row["asof_v"] == 5.0
+
+
+def test_range_join_boundaries_and_bucket_spans(spark):
+    """Inclusive endpoints; intervals spanning multiple buckets still match
+    exactly once per (point, interval) pair — no dedup needed."""
+    from datetime import datetime
+
+    from datastream_deltalake_connector_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [
+            (1, "u1", t("2024-01-01 10:00:00")),  # exactly at start -> match
+            (2, "u1", t("2024-01-01 11:30:00")),  # inside, next bucket
+            (3, "u1", t("2024-01-01 12:00:00")),  # exactly at end -> match
+            (4, "u1", t("2024-01-01 12:00:01")),  # one past end -> no match
+            (5, "u2", t("2024-01-01 10:30:00")),  # other key -> no match
+        ],
+        ["pid", "k", "pt"],
+    )
+    # one interval spanning 3 hourly buckets
+    iv = spark.createDataFrame(
+        [("u1", t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00"))],
+        ["k", "lo", "hi"],
+    )
+    got = sorted(
+        r["pid"]
+        for r in point_in_interval_join(
+            pts, iv, on=["k"], point_ts="pt", start_ts="lo", end_ts="hi",
+            bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    # exactly one row per matching pair even with overlapping intervals
+    iv2 = spark.createDataFrame(
+        [
+            ("u1", t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")),
+            ("u1", t("2024-01-01 11:00:00"), t("2024-01-01 13:00:00")),
+        ],
+        ["k", "lo", "hi"],
+    )
+    rows = point_in_interval_join(
+        pts, iv2, on=["k"], point_ts="pt", start_ts="lo", end_ts="hi",
+        bucket_seconds=3600,
+    ).collect()
+    pairs = sorted((r["pid"], str(r["lo"])) for r in rows)
+    assert pairs == [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 11:00:00"),
+        (3, "2024-01-01 10:00:00"),
+        (3, "2024-01-01 11:00:00"),
+        (4, "2024-01-01 11:00:00"),
+    ]
