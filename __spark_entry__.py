@@ -955,6 +955,46 @@ FROM events GROUP BY user_id
 """
 
 
+def _events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-day windows every 12 hours, so each
+    event lands in exactly two overlapping windows. Spark's F.window
+    duplicates rows into their covered windows BEFORE a partial-aggregated
+    groupBy — shuffle carries (window, type, partial agg), not events ×
+    windows. The oracle reproduces the window assignment arithmetic
+    (floor-to-slide grid, one unnest per covered start) independently."""
+    e = _read(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 day", "12 hours")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH x AS (
+  SELECT event_type, value,
+         CAST(to_timestamp(floor(epoch(ts) / 43200) * 43200) AS TIMESTAMP) AS g
+  FROM events
+),
+w AS (
+  SELECT event_type, value,
+         unnest([g, g - INTERVAL 12 HOUR]) AS window_start
+  FROM x
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload extraction: events.props is a JSON string
     (the universal shape of event-pipeline side data). `get_json_object`
@@ -2073,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
+        "events_sliding_window": _events_sliding_window,
         "events_json_extract": _events_json_extract,
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
@@ -2153,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_ORACLE,
         "cdc_lww_composite_key": _LWW_COMPOSITE_ORACLE,
         "events_windowed_agg": _WINDOWED_ORACLE,
+        "events_sliding_window": _SLIDING_ORACLE,
         "events_json_extract": _JSON_EXTRACT_ORACLE,
         "events_pivot": _PIVOT_ORACLE,
         "events_asof_join": _ASOF_ORACLE,
