@@ -533,7 +533,19 @@ def main() -> None:
     write_bench_md(payload)
     shutil.rmtree(os.path.dirname(maintenance["root"]), ignore_errors=True)
     payload["maintenance"].pop("root")
-    print(json.dumps(payload))
+    # The driver tails stdout into a bounded buffer; round 2's line (per-round
+    # scaling arrays + stage probes) overflowed it and BENCH_r02.json recorded
+    # "parsed": null. Print a COMPACT line — headline metrics only — and leave
+    # the full detail (per-round scaling, per-stage host probes) in BENCH.md.
+    compact = dict(payload)
+    compact["maintenance"] = {
+        k: v
+        for k, v in payload["maintenance"].items()
+        if k != "stage_probes_4p_sec"
+    }
+    if scaling:
+        compact["scaling"] = {k: v for k, v in scaling.items() if k != "rounds"}
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

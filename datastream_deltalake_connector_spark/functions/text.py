@@ -331,7 +331,10 @@ def pii_counts_sql(text: str) -> dict[str, str]:
 _URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _URL_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_URL_QUERY_RE = "[?]([^#]*)"
+# Anchored to the pre-fragment region: a '?' that first appears inside the
+# fragment ('http://h/p#a?b') is part of the fragment and must be dropped
+# with it, not resurrected as a query string.
+_URL_QUERY_RE = "^[^#?]*[?]([^#]*)"
 _URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
 

@@ -47,9 +47,10 @@ def asof_join(
     columns) plus ``prefix + right_ts`` and ``prefix + c`` for each payload
     column — null when no right row precedes the left row in its group.
 
-    Ties inside ``right`` on (keys, right_ts) are broken by the LAST
-    payload struct in its sort order; pass a unique right timestamp (or
-    pre-dedup) for fully deterministic output.
+    Ties inside ``right`` on (keys, right_ts) are broken by the payload
+    struct itself (the window also orders by ``__payload``, so the
+    greatest payload in struct sort order wins) — output is deterministic
+    across runs and partitionings even when right timestamps collide.
 
     Null-key and null-timestamp right rows are dropped up front: an
     equi-join (and DuckDB ASOF's ``ON l.k = r.k AND l.ts >= r.ts``) can
@@ -93,9 +94,13 @@ def asof_join(
     )
     u = r.select(l.columns).unionByName(l)
 
+    # __payload as the final sort key: right rows tied on (keys, ts) resolve
+    # to the greatest payload struct — deterministic regardless of input
+    # partitioning (left rows all carry null payloads, so their relative
+    # order within side=1 is irrelevant: the window only reads __payload).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__evt_ts"), F.col("__side"))
+        .orderBy(F.col("__evt_ts"), F.col("__side"), F.col("__payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))

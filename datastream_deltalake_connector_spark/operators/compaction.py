@@ -73,9 +73,18 @@ def maybe_compact(
     connector can only *configure* while this engine *implements* it.
     Called after every ingest drain / merge it keeps write amplification
     bounded: each data byte is rewritten O(log(target/avg_small)) times
-    rather than once per drain. Returns the new version or None (no-op)."""
-    small = [e for e in table.files() if e.bytes < target_bytes]
-    if len(small) < min_num_files:
+    rather than once per drain. Returns the new version or None (no-op).
+
+    The threshold is applied PER hive partition (max over partitions), the
+    same granularity :func:`compact` bins at — a global count would fire on
+    ``min_num_files`` small files spread one-per-partition, planning zero
+    bins and paying a no-op manifest scan on every drain."""
+    per_part: dict[tuple, int] = {}
+    for e in table.files():
+        if e.bytes < target_bytes:
+            key = tuple(sorted(e.partition.items()))
+            per_part[key] = per_part.get(key, 0) + 1
+    if not per_part or max(per_part.values()) < min_num_files:
         return None
     return compact(table, target_bytes=target_bytes, **compact_kwargs)
 

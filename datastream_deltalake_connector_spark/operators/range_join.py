@@ -57,6 +57,12 @@ def point_in_interval_join(
             "__bs", F.floor(_epoch(start_ts) / bucket_seconds).cast("long")
         )
         .withColumn("__be", F.floor(_epoch(end_ts) / bucket_seconds).cast("long"))
+        # Guard inverted intervals (end < start, e.g. an end_ts at epoch 0):
+        # F.sequence would generate a DESCENDING run of millions of spurious
+        # bucket rows (or trip Spark's sequence-length limit) for a single
+        # malformed row. Clamping yields exactly one bucket, and the exact
+        # recheck below drops it — output unchanged, blast radius bounded.
+        .withColumn("__be", F.greatest(F.col("__bs"), F.col("__be")))
         .withColumn("__b", F.explode(F.sequence(F.col("__bs"), F.col("__be"))))
         .drop("__bs", "__be")
     )

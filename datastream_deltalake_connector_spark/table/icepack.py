@@ -530,7 +530,11 @@ class IcepackTable:
             (
                 s.version,
                 s.parent,
-                _dt.datetime.fromtimestamp(s.timestamp_ms / 1000.0),
+                # pin committed_at to UTC like the rest of the engine —
+                # naive fromtimestamp would shift with the driver's local TZ
+                _dt.datetime.fromtimestamp(
+                    s.timestamp_ms / 1000.0, tz=_dt.timezone.utc
+                ).replace(tzinfo=None),
                 s.operation,
                 int(s.summary.get("total_files", 0) or 0),
                 int(s.summary.get("total_rows", 0) or 0),
