@@ -421,6 +421,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -436,7 +437,13 @@ def simhash_pairs(
     silent fallback would) voids the pigeonhole guarantee — 16+ flips can
     touch all 16 bands."""
     sh = simhash(df, text_col, id_col)
-    return hamming_pairs(sh, hash_col="simhash", id_col=id_col, max_hamming=max_hamming)
+    return hamming_pairs(
+        sh,
+        hash_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
 
 
 def hamming_pairs(
@@ -444,11 +451,20 @@ def hamming_pairs(
     hash_col: str,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Generic 64-bit Hamming near-dup pair finder over ANY hash column —
     the banding core shared by SimHash (text) and perceptual-hash image
     dedup (``phash`` per input_hint). Same pigeonhole guarantee and the
-    same <16 distance bound as simhash_pairs."""
+    same <16 distance bound as simhash_pairs.
+
+    Same skew posture as :func:`minhash_lsh_pairs`: ONE groupBy on
+    (band, bucket) collects each band bucket's members and expands the
+    C(n, 2) pairs in-array, and ``max_bucket`` drops degenerate buckets —
+    a boilerplate-heavy corpus puts millions of docs on one band value, and
+    an uncapped band self-join would emit a 10^12-row candidate set from a
+    single hot bucket. Oversized buckets are boilerplate clusters that exact
+    dedup handles first; per-group fan-out is bounded by C(max_bucket, 2)."""
     if not 0 <= max_hamming < 16:
         raise ValueError(
             f"max_hamming must be in [0, 16): got {max_hamming}; the 64-bit "
@@ -458,31 +474,50 @@ def hamming_pairs(
     width = 64 // n_bands
     h = F.col(hash_col)
 
-    def band_col(b: int) -> Column:
+    def band_val(b: int) -> Column:
         # band b covers bits [b*width, ...); the last band takes the remainder
         w = 64 - b * width if b == n_bands - 1 else width
         shifted = F.shiftrightunsigned(h, b * width)
         if w >= 64:  # single-band degenerate case: the whole hash
-            return shifted.alias(f"band{b}")
-        return shifted.bitwiseAND(F.lit((1 << w) - 1)).alias(f"band{b}")
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
 
-    banded = df.select(id_col, hash_col, *[band_col(b) for b in range(n_bands)])
-    cands = None
-    for b in range(n_bands):
-        x, y = banded.alias("x"), banded.alias("y")
-        c = x.join(
-            y,
-            (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        ).select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            F.col(f"x.{hash_col}").alias("sa"),
-            F.col(f"y.{hash_col}").alias("sb"),
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_val(b).alias("bucket"))
+            for b in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, hash_col, "bb.band", "bb.bucket")
+    # members sorted by (id, hash) so pair expansion emits id_a < id_b
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h")))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__m"), i + 2, F.size(F.col("__m"))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    x["h"].alias("sa"),
+                    y["h"].alias("sb"),
+                ),
+            ),
         )
-        cands = c if cands is None else cands.unionByName(c)
+    )
     return (
-        cands.distinct()
+        banded.groupBy("band", "bucket")
+        .agg(members.alias("__m"))
+        .where((F.size("__m") >= 2) & (F.size("__m") <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sa", "p.sb")
+        # duplicate input ids sort adjacent; strict < drops self-pairs
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -287,6 +287,34 @@ def test_phash_neardup_images_planted(spark):
     imgs.unpersist()
 
 
+def test_hamming_pairs_hot_bucket_capped(spark):
+    """A boilerplate-degenerate corpus (10k docs sharing one hash, i.e. ONE
+    band bucket of 10k members → C(10k,2) ≈ 5*10^7 pairs uncapped) must
+    complete with bounded output: the hot bucket is dropped by max_bucket,
+    the distinct planted pair still found via its own small buckets."""
+    from pyspark.sql import functions as F
+    from datastream_deltalake_connector_spark.operators.text_dedup import hamming_pairs
+
+    hot = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(0x0F0F0F0F0F0F0F0F).alias("h")
+    )
+    planted = spark.createDataFrame(
+        [(100_001, 0x7777000000000000), (100_002, 0x7777000000000001)],
+        "doc_id long, h long",
+    )
+    pairs = hamming_pairs(
+        hot.unionByName(planted), hash_col="h", id_col="doc_id",
+        max_hamming=3, max_bucket=100,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found == {(100_001, 100_002): 1}  # hot bucket dropped, planted kept
+
+    # duplicate ids never self-pair
+    dup = spark.createDataFrame([(1, 5), (1, 5), (2, 5)], "doc_id long, h long")
+    out = hamming_pairs(dup, hash_col="h", id_col="doc_id", max_hamming=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
 def test_embedding_neardup_lsh_recall(spark):
     """Planted near-identical vectors (cos ~0.99) must be recovered by the
     multi-table LSH pair finder, with zero false positives vs exact cosine."""
