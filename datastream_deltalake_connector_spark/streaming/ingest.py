@@ -26,6 +26,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -40,7 +41,12 @@ from ..sources.cdc import (
 )
 from ..table.icepack import IcepackTable
 
-__all__ = ["ingest_table_to_log", "merge_log_to_table", "run_connector_once"]
+__all__ = [
+    "ingest_table_to_log",
+    "merge_log_to_table",
+    "run_connector_once",
+    "ConnectorDaemon",
+]
 
 
 def ingest_table_to_log(
@@ -52,6 +58,7 @@ def ingest_table_to_log(
     max_files_per_trigger: int = 2,
     available_now: bool = True,
     microbatch_partitions: int | None = None,
+    processing_time: str | None = None,
 ):
     """Stream 1: file source → append-only parquet log table. Returns the
     started StreamingQuery. Schema comes from a one-record batch probe (the
@@ -99,6 +106,8 @@ def ingest_table_to_log(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
 
 
@@ -110,14 +119,22 @@ def merge_log_to_table(
     meta: TableMetadata,
     available_now: bool = True,
     processing_time: str | None = None,
+    log_schema=None,
+    query_name: str | None = None,
 ):
     """Stream 2: log table → foreachBatch merge (reference foreachBatch sink,
     DatastreamDeltaConnector.scala:57-77). Each micro-batch flattens the
     envelope and runs the engine's MERGE; batch replays are absorbed by the
-    idempotent ``<=`` guard."""
-    stream = spark.readStream.schema(
-        spark.read.parquet(log_dir).schema
-    ).parquet(log_dir)
+    idempotent ``<=`` guard.
+
+    ``log_schema`` pins the log-table schema explicitly — required when the
+    merge stream starts before the ingest stream's first commit (daemon
+    mode), when no parquet exists to infer from; an empty log dir then
+    simply yields no batches until ingest catches up."""
+    if log_schema is None:
+        log_schema = spark.read.parquet(log_dir).schema
+    os.makedirs(log_dir, exist_ok=True)
+    stream = spark.readStream.schema(log_schema).parquet(log_dir)
 
     def upsert(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():  # ST6 empty-batch short-circuit
@@ -129,7 +146,7 @@ def merge_log_to_table(
     writer = (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", os.path.join(checkpoint_dir, "merge"))
-        .queryName(f"datastream-merge-{meta.table}")
+        .queryName(query_name or f"datastream-merge-{meta.table}")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -176,24 +193,198 @@ def run_connector_once(
             )
             q1.awaitTermination()
 
-            from ..operators.merge import SEQ_META, TS_META
-            from pyspark.sql import types as T
-
-            merged_root = os.path.join(warehouse, f"{table.table}_merged")
-            if os.path.exists(os.path.join(merged_root, "metadata", "HEAD")):
-                t = IcepackTable.load(spark, merged_root)
-            else:
-                schema = T.StructType(
-                    list(meta.payload_schema.fields)
-                    + [
-                        T.StructField(TS_META, T.TimestampType()),
-                        T.StructField(SEQ_META, T.LongType()),
-                    ]
-                )
-                t = IcepackTable.create(spark, merged_root, schema)
+            t, merged_root = _load_or_create_target(spark, warehouse, table.table, meta)
             q2 = merge_log_to_table(spark, log_dir, t, ckpt, meta)
             q2.awaitTermination()
             results[table.table] = merged_root
         except Exception as exc:  # noqa: BLE001 — per-table isolation (ST7)
             print(f"table {table.table} failed, continuing: {exc}")
     return results
+
+
+def _load_or_create_target(
+    spark: SparkSession, warehouse: str, table_name: str, meta: TableMetadata
+) -> tuple[IcepackTable, str]:
+    """Load the merged icepack table for ``table_name`` or create it from
+    the CDC payload schema + merge-metadata ordering columns — the engine's
+    analogue of the reference's create-DB-if-not-exists + first-batch table
+    creation (DatastreamDeltaConnector.scala:43-47,
+    DeltaSchemaMigration.scala)."""
+    from pyspark.sql import types as T
+
+    from ..operators.merge import SEQ_META, TS_META
+
+    merged_root = os.path.join(warehouse, f"{table_name}_merged")
+    if os.path.exists(os.path.join(merged_root, "metadata", "HEAD")):
+        return IcepackTable.load(spark, merged_root), merged_root
+    schema = T.StructType(
+        list(meta.payload_schema.fields)
+        + [
+            T.StructField(TS_META, T.TimestampType()),
+            T.StructField(SEQ_META, T.LongType()),
+        ]
+    )
+    return IcepackTable.create(spark, merged_root, schema), merged_root
+
+
+class ConnectorDaemon:
+    """Resident multi-table connector: the reference's long-running mode
+    (``DatastreamDeltaConnector.run`` starting one continuous merge stream
+    per discovered table, then ``spark.streams.awaitAnyTermination()`` —
+    jobs/DatastreamDeltaStreamingJob.scala:34-36,
+    DatastreamDeltaConnector.scala:35-84), with STRONGER failure isolation:
+    ``awaitAnyTermination`` propagates the first failed stream and takes the
+    whole job down, while this supervisor reaps the dead query, records the
+    failure, and keeps every other table's streams committing — extending
+    the reference's setup-time Failure branch (ST7) to runtime.
+
+    Lifecycle::
+
+        daemon = ConnectorDaemon(spark, stream_root, warehouse).start()
+        ...                       # streams run continuously
+        daemon.poll()             # reap failures, returns per-table health
+        daemon.await_any_termination(timeout=...)  # reference parity
+        daemon.stop()             # clean shutdown: stop + await every query
+
+    At 100-TB scale each table runs exactly two bounded streams (file-source
+    ingest throttled by maxFilesPerTrigger, log→merge with idempotent
+    replay), so the daemon's state is O(tables), never O(data). A sibling
+    stream of a failed table is left running on purpose: a dead ingest
+    starves the merge harmlessly; a dead merge lets ingest keep durably
+    appending to the log, and the merge resumes from its checkpoint on the
+    next :meth:`start_table` / daemon restart.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stream_root: str,
+        warehouse: str,
+        fmt: str = "json",
+        max_files_per_trigger: int = 2,
+        table_source=None,
+        processing_time: str | None = "5 seconds",
+        microbatch_partitions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.stream_root = stream_root
+        self.warehouse = warehouse
+        self.fmt = fmt
+        self.max_files_per_trigger = max_files_per_trigger
+        if table_source is None:
+            from ..sources.discovery import LocalTableSource
+
+            table_source = LocalTableSource(stream_root)
+        self.table_source = table_source
+        self.processing_time = processing_time
+        self.microbatch_partitions = microbatch_partitions
+        self.queries: dict[str, list] = {}
+        self.targets: dict[str, str] = {}
+        self.failures: dict[str, str] = {}
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "ConnectorDaemon":
+        """Discover tables and start both continuous streams for each; a
+        table whose setup fails is recorded and skipped (reference Failure
+        branch, DatastreamDeltaConnector.scala:79-83)."""
+        for table in self.table_source.list_tables():
+            try:
+                self.start_table(table)
+            except Exception as exc:  # noqa: BLE001 — per-table isolation
+                self.failures[table.table] = f"setup: {exc}"
+        return self
+
+    def start_table(self, table: DatastreamTable) -> None:
+        """Start (or restart after a failure) one table's ingest + merge
+        streams. Restart resumes from the per-query checkpoints."""
+        probe = read_table_batch(self.spark, table, self.fmt)
+        meta = TableMetadata.from_df(probe)
+        if meta is None:
+            raise ValueError(f"no CDC metadata in {table.table_path}")
+        log_dir = os.path.join(self.warehouse, f"{table.table}_log")
+        ckpt = os.path.join(self.warehouse, "_checkpoints", table.table)
+        # the log table's schema is the stream's post-cast schema — derived
+        # from the probe so the merge stream can start on an EMPTY log dir
+        # (concurrent startup), instead of inferring from written parquet
+        log_df = probe
+        for c in ("read_timestamp", "source_timestamp"):
+            if c in log_df.columns:
+                log_df = log_df.withColumn(c, F.to_timestamp(c))
+        target, merged_root = _load_or_create_target(
+            self.spark, self.warehouse, table.table, meta
+        )
+        q1 = ingest_table_to_log(
+            self.spark,
+            table,
+            log_dir,
+            ckpt,
+            self.fmt,
+            self.max_files_per_trigger,
+            available_now=False,
+            microbatch_partitions=self.microbatch_partitions,
+            processing_time=self.processing_time,
+        )
+        q2 = merge_log_to_table(
+            self.spark,
+            log_dir,
+            target,
+            ckpt,
+            meta,
+            available_now=False,
+            processing_time=self.processing_time,
+            log_schema=log_df.schema,
+            # meta.table comes from the CDC envelope and is NOT unique per
+            # source dir (two streams can carry the same source table);
+            # query names must be unique per SparkSession
+            query_name=f"datastream-merge-{table.table}",
+        )
+        self.queries[table.table] = [q1, q2]
+        self.targets[table.table] = merged_root
+        self.failures.pop(table.table, None)
+
+    # -- supervision -------------------------------------------------------
+    def poll(self) -> dict[str, int]:
+        """Reap terminated queries into :attr:`failures`; returns the number
+        of live streams per table (2 = healthy)."""
+        health: dict[str, int] = {}
+        for name, qs in self.queries.items():
+            alive = 0
+            for q in qs:
+                if q.isActive:
+                    alive += 1
+                else:
+                    exc = q.exception()
+                    if exc is not None and name not in self.failures:
+                        self.failures[name] = f"runtime: {exc}"
+            health[name] = alive
+        return health
+
+    def active(self) -> bool:
+        return any(q.isActive for qs in self.queries.values() for q in qs)
+
+    def await_any_termination(self, timeout: float | None = None) -> str | None:
+        """Block until any supervised query terminates (the reference's
+        ``spark.streams.awaitAnyTermination``, scoped to THIS daemon's
+        queries so co-resident streams are unaffected) or ``timeout``
+        seconds pass. Returns the terminated table's name, or None."""
+        deadline = None if timeout is None else time.time() + timeout
+        while deadline is None or time.time() < deadline:
+            for name, qs in self.queries.items():
+                if any(not q.isActive for q in qs):
+                    self.poll()
+                    return name
+            time.sleep(0.2)
+        return None
+
+    def stop(self) -> None:
+        """Clean shutdown: stop every supervised query and await each."""
+        for qs in self.queries.values():
+            for q in qs:
+                if q.isActive:
+                    q.stop()
+        for qs in self.queries.values():
+            for q in qs:
+                try:
+                    q.awaitTermination(30)
+                except Exception:  # noqa: BLE001 — failed queries re-raise
+                    pass

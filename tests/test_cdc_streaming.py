@@ -278,3 +278,80 @@ def test_ingest_microbatch_partitions_bounds_files(spark, stream_root, tmp_path)
         if knob == 1:
             assert len(files) <= 2  # one file per trigger, two triggers
         assert spark.read.parquet(log_dir).count() == 8
+
+
+def test_connector_daemon_runtime_isolation(spark, tmp_path):
+    """Daemon mode (reference awaitAnyTermination parity, but supervised):
+    two tables' continuous streams run; poisoning ONE table's log at runtime
+    fails only that table — the healthy table keeps committing new dumps —
+    and stop() shuts everything down cleanly."""
+    import time
+
+    from datastream_deltalake_connector_spark.streaming.ingest import ConnectorDaemon
+
+    root = tmp_path / "dumps"
+    for tbl in ("alpha", "beta"):
+        d = root / tbl / "2024" / "01" / "01" / "10" / "00"
+        d.mkdir(parents=True)
+        recs = [envelope(1, "2024-01-01T10:00:01.000Z", "p1", "ada", "berlin")]
+        (d / "records1.json").write_text(json.dumps(recs))
+    warehouse = str(tmp_path / "wh")
+    daemon = ConnectorDaemon(
+        spark, str(root), warehouse, processing_time=None
+    ).start()
+    try:
+        assert set(daemon.queries) == {"alpha", "beta"}
+        assert daemon.failures == {}
+
+        def merged_count(tbl: str) -> int:
+            try:
+                t = IcepackTable.load(spark, daemon.targets[tbl])
+                return t.scan().count()
+            except Exception:
+                return -1
+
+        def wait_for(cond, timeout=120):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if cond():
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(
+            lambda: merged_count("alpha") == 1 and merged_count("beta") == 1
+        ), "initial dumps never reached the merged tables"
+
+        # poison beta at RUNTIME (not setup): delete the merged table's
+        # HEAD pointer, then feed a new dump — every merge batch re-resolves
+        # metadata/HEAD, so beta's next batch raises and its merge stream
+        # dies while both ingest streams and alpha stay healthy.
+        # (Dropping a rogue file into the log dir would NOT work: the log is
+        # written by a streaming sink, so the downstream stream trusts the
+        # sink's _spark_metadata log and ignores unlisted files. Deleting
+        # committed DATA files doesn't work either — an insert-only batch
+        # manifest-prunes them and never reads a byte.)
+        os.remove(os.path.join(daemon.targets["beta"], "metadata", "HEAD"))
+        d_poison = root / "beta" / "2024" / "01" / "01" / "10" / "05"
+        d_poison.mkdir(parents=True)
+        (d_poison / "records2.json").write_text(
+            json.dumps([envelope(3, "2024-01-01T10:05:02.000Z", "p3", "linus", "oslo")])
+        )
+        assert wait_for(lambda: daemon.poll()["beta"] < 2), "poison not detected"
+        assert "beta" in daemon.failures
+        assert daemon.failures["beta"].startswith("runtime:")
+
+        # the healthy table keeps committing after beta's failure
+        d2 = root / "alpha" / "2024" / "01" / "01" / "10" / "05"
+        d2.mkdir(parents=True)
+        (d2 / "records2.json").write_text(
+            json.dumps([envelope(2, "2024-01-01T10:05:01.000Z", "p2", "grace", "paris")])
+        )
+        assert wait_for(lambda: merged_count("alpha") == 2), (
+            "healthy table stopped committing after sibling failure"
+        )
+        assert daemon.poll()["alpha"] == 2  # both alpha streams still live
+        assert daemon.await_any_termination(timeout=5) == "beta"
+    finally:
+        daemon.stop()
+    assert not daemon.active()
