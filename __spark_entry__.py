@@ -3,8 +3,11 @@
 Each ``queries()`` entry is an operator of the engine exercised on the
 driver-provided parquet tables; ``oracle_sql()`` holds the mechanically
 equivalent DuckDB SQL. Entries without an oracle (non-SQL-expressible:
-LSH/banded sketches with engine-specific hashes, the icepack lifecycle) are
-checked rows-only by the driver and against exact references in tests/.
+LSH/banded sketches with engine-specific hashes, pixel-payload pipelines)
+are checked rows-only by the driver and against exact references in tests/.
+The icepack lifecycle (time travel, pruned scan, snapshot expiry) IS
+oracled: the tables are built from the events CDC framing, so expected
+post-merge/post-expiry states are SQL-derivable.
 """
 
 from __future__ import annotations
@@ -1848,64 +1851,93 @@ def _embedding_neardup_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_lsh(corpus, min_cos_x10k=9500).orderBy("id_a", "id_b")
 
 
-def _icepack_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot time travel: build a table, apply a deleting/updating change
-    batch, then diff the pinned pre-merge snapshot against HEAD with an
-    anti-join — returns the deleted keys plus per-version row counts."""
-    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
-    from datastream_deltalake_connector_spark.sources.generator import (
-        MERGED_IMAGE_SCHEMA,
-        generate_change_batch,
-        generate_images,
+def _icepack_base_and_batch(spark: SparkSession, sf_dir: str):
+    """Shared scaffolding for the oracled icepack lifecycle queries: the
+    events CDC stream split into an initial snapshot (even change_seq,
+    LWW-deduped, deletes dropped) and a change batch (odd change_seq) —
+    the same framing `cdc_merge_upsert` oracles, but driven through the
+    REAL table: IcepackTable.create/append + merge_into_table, so time
+    travel / pruning / expiry are checked against SQL-derivable truth."""
+    cdc = _events_cdc(spark, sf_dir)
+    b0 = cdc.where(F.col("change_seq") % 2 == 0)
+    b1 = cdc.where(F.col("change_seq") % 2 == 1)
+    w0 = latest_by_keys(b0, ["user_id"], ["source_timestamp", "change_seq"])
+    base = winners_as_merged(w0.where(~F.col("is_deleted")), ["user_id"]).drop(
+        "is_deleted", "change_type"
     )
+    return base, b1
+
+
+def _icepack_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: build the table from the even-seq LWW snapshot,
+    merge the odd-seq change batch through merge_into_table, then diff the
+    pinned pre-merge snapshot against HEAD with an anti-join — the deleted
+    keys. Oracled: a key vanishes iff it was live in v1 and its batch winner
+    is a delete that passes the idempotent ``<=`` replay guard."""
+    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
     from datastream_deltalake_connector_spark.table import IcepackTable
 
-    root = os.path.join(tempfile.mkdtemp(prefix="icepack-tt-"), "images")
-    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
-    base = generate_images(spark, 100, num_partitions=4).select(
-        "*",
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
-        F.lit(0).cast("long").alias(SEQ_META),
-    )
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-tt-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
     t.append(base, num_files=4)
     v1 = t.head_version()
-    batch = generate_change_batch(
-        spark, 100, batch_index=0, updates=10, inserts=0, deletes=12, num_partitions=4
+    merge_into_table(t, b1, key="user_id")
+    old = t.scan(version=v1).select("user_id")
+    new = t.scan().select("user_id")
+    deleted = old.join(new, "user_id", "left_anti").select(
+        F.col("user_id"), F.lit("deleted").alias("status")
     )
-    merge_into_table(t, batch)
-    old = t.scan(version=v1).select("image_id")
-    new = t.scan().select("image_id")
-    deleted = old.join(new, "image_id", "left_anti").select(
-        F.col("image_id"), F.lit("deleted").alias("status")
-    )
-    return deleted.orderBy("image_id")
+    return deleted.orderBy("user_id")
+
+
+_ICEPACK_CTES = f"""
+WITH cdc AS ({_CDC_SQL}),
+b0 AS (SELECT * FROM cdc WHERE change_seq % 2 = 0),
+b1 AS (SELECT * FROM cdc WHERE change_seq % 2 = 1),
+w0 AS (SELECT * FROM (
+    SELECT b0.*, row_number() OVER (PARTITION BY user_id
+        ORDER BY source_timestamp DESC, change_seq DESC) rn FROM b0) WHERE rn = 1),
+t0 AS (SELECT user_id, event_type, value, source_timestamp AS ts, change_seq AS seq
+       FROM w0 WHERE NOT is_deleted),
+w1 AS (SELECT * FROM (
+    SELECT b1.*, row_number() OVER (PARTITION BY user_id
+        ORDER BY source_timestamp DESC, change_seq DESC) rn FROM b1) WHERE rn = 1)
+"""
+
+_ICEPACK_TT_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT t0.user_id, 'deleted' AS status
+FROM t0 JOIN w1 ON t0.user_id = w1.user_id
+WHERE t0.ts <= w1.source_timestamp AND w1.is_deleted
+"""
 
 
 def _icepack_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manifest min/max file pruning: write the table range-partitioned on
-    image_id, scan a narrow key range — the file list is pruned BEFORE Spark
-    plans the read (tests assert the skipped-file count)."""
-    from datastream_deltalake_connector_spark.sources.generator import (
-        MERGED_IMAGE_SCHEMA,
-        generate_images,
-    )
+    """Manifest min/max file pruning: write the events LWW snapshot
+    range-partitioned on user_id, scan a narrow key range — the file list is
+    pruned BEFORE Spark plans the read (skipped-file counts are pinned in
+    tests). Oracled: the scan must return exactly the snapshot rows in the
+    key range, proving pruning is conservative (drops no live row)."""
     from datastream_deltalake_connector_spark.table import IcepackTable
 
-    root = os.path.join(tempfile.mkdtemp(prefix="icepack-prune-"), "images")
-    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
-    base = generate_images(spark, 200, num_partitions=4).select(
-        "*",
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
-        F.lit(0).cast("long").alias(SEQ_META),
-    )
-    staged = base.repartitionByRange(8, F.col("image_id")).sortWithinPartitions("image_id")
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-prune-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    staged = base.repartitionByRange(8, F.col("user_id")).sortWithinPartitions("user_id")
     added = t.write_data_files(staged)
     t.commit("append", added=added, removed_paths=[], expected_parent=t.head_version())
     return (
-        t.scan(filters=[("image_id", "between", ("10", "2f"))])
-        .select("image_id", "w", "h", "fmt")
-        .orderBy("image_id")
+        t.scan(filters=[("user_id", "between", (10, 49))])
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id")
     )
+
+
+_ICEPACK_PRUNE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value FROM t0 WHERE user_id BETWEEN 10 AND 49
+"""
 
 
 def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,38 +2054,56 @@ def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _icepack_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reachability-based snapshot expiry: after maintenance creates several
-    snapshots, expire all but the newest; returns the surviving snapshot
-    versions and their live file counts (orphan data files deleted)."""
+    """Reachability-based snapshot expiry: create → append → merge → compact
+    builds a snapshot chain; expire all but HEAD (data files of expired
+    snapshots physically deleted). Oracled on BOTH halves of the guarantee:
+    the surviving snapshot still scans to exactly the merged state (expiry
+    deleted no live file), and exactly one snapshot remains."""
     from datastream_deltalake_connector_spark.operators.compaction import compact
     from datastream_deltalake_connector_spark.operators.expire import expire_snapshots
     from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
-    from datastream_deltalake_connector_spark.sources.generator import (
-        MERGED_IMAGE_SCHEMA,
-        generate_change_batch,
-        generate_images,
-    )
     from datastream_deltalake_connector_spark.table import IcepackTable
 
-    root = os.path.join(tempfile.mkdtemp(prefix="icepack-exp-"), "images")
-    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
-    base = generate_images(spark, 80, num_partitions=4).select(
-        "*",
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
-        F.lit(0).cast("long").alias(SEQ_META),
-    )
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-exp-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
     t.append(base, num_files=6)
-    merge_into_table(
-        t,
-        generate_change_batch(
-            spark, 80, batch_index=0, updates=10, inserts=5, deletes=5, num_partitions=4
-        ),
-    )
+    merge_into_table(t, b1, key="user_id")
     compact(t, target_bytes=4 * 1024 * 1024)
     expire_snapshots(t, keep_last=1)
-    snaps = t.snapshots()
-    rows = [(s.version, len(t.files(s.version))) for s in snaps]
-    return spark.createDataFrame(rows, ["version", "n_files"]).orderBy("version")
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("n_snapshots", F.lit(len(t.snapshots())))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_EXPIRE_ORACLE = f"""
+{_ICEPACK_CTES},
+m AS (
+  SELECT
+    COALESCE(t0.user_id, w1.user_id) AS user_id,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.event_type ELSE t0.event_type END AS event_type,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.value ELSE t0.value END AS value,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.source_timestamp ELSE t0.ts END AS ts,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.change_seq ELSE t0.seq END AS seq,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+              AND w1.is_deleted THEN 1 ELSE 0 END AS dropped
+  FROM t0 FULL OUTER JOIN w1 ON t0.user_id = w1.user_id
+)
+SELECT user_id, event_type, value, ts, seq, 1 AS n_snapshots FROM m WHERE dropped = 0
+"""
 
 
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2215,4 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _CUBE_ORACLE,
         "daily_distinct_users": _DAILY_DISTINCT_ORACLE,
         "promo_revenue_share": _PROMO_ORACLE,
+        "icepack_time_travel": _ICEPACK_TT_ORACLE,
+        "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
+        "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
     }
