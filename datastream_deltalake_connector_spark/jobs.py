@@ -114,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark()
     out: dict = {"cmd": args.cmd}
     if args.cmd == "connector":
+        from .sources.discovery import make_table_source
         from .streaming.ingest import run_connector_once
 
         out["tables"] = run_connector_once(
@@ -123,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
             fmt=args.format or cfg.read_format,
             max_files_per_trigger=cfg.file_read_concurrency,
             microbatch_partitions=cfg.microbatch_partitions,
+            table_source=make_table_source(cfg, args.root),
         )
         print(json.dumps(out))
         return 0
@@ -185,7 +187,8 @@ def main(argv: list[str] | None = None) -> int:
         t = IcepackTable.load(spark, args.table)
         report = expire_snapshots(t, keep_last=args.keep_last)
         out["expired"] = report["expired_snapshots"]
-        out["deleted_files"] = len(report["deleted_files"])
+        out["deleted_files"] = report["n_deleted_files"]
+        out["delete_failures"] = report.get("n_delete_failures", 0)
     elif args.cmd == "orphans":
         from .operators.expire import remove_orphans
 
@@ -193,7 +196,10 @@ def main(argv: list[str] | None = None) -> int:
         report = remove_orphans(
             t, grace_seconds=args.grace_seconds, dry_run=args.dry_run
         )
-        out["orphans"] = len(report["orphans"])
+        out["orphans"] = report["n_orphans"]
+        out["files_listed"] = report["n_files_listed"]
+        out["walk_seconds"] = report["walk_seconds"]
+        out["delete_failures"] = report.get("n_delete_failures", 0)
         out["dry_run"] = report["dry_run"]
     elif args.cmd == "describe":
         t = IcepackTable.load(spark, args.table)

@@ -16,6 +16,7 @@ drop in if manifests ever outgrow the driver.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import time
@@ -23,6 +24,32 @@ import time
 from ..table.icepack import IcepackTable
 
 __all__ = ["expire_snapshots", "remove_orphans"]
+
+
+def _delete_files(root: str, rels: list[str]) -> tuple[int, list[str]]:
+    """Unlink files under ``root``; opportunistically rmdir emptied parents.
+    Returns (deleted_count, failures). A failed unlink is counted and
+    reported, never silently swallowed — at fleet scale a permissions or
+    stale-NFS error repeated across 10k files is a signal, not noise.
+    rmdir is best-effort by design (ENOTEMPTY/ENOENT are the normal case:
+    the dir still has live files, or a concurrent sweep got there first);
+    any OTHER rmdir error is reported."""
+    deleted, failures = 0, []
+    for rel in rels:
+        p = os.path.join(root, rel)
+        try:
+            os.unlink(p)
+            deleted += 1
+        except FileNotFoundError:
+            pass  # concurrent expiry/orphan sweep already removed it
+        except OSError as exc:
+            failures.append(f"unlink {rel}: {exc}")
+        try:
+            os.rmdir(os.path.dirname(p))
+        except OSError as exc:
+            if exc.errno not in (errno.ENOTEMPTY, errno.ENOENT, errno.EEXIST):
+                failures.append(f"rmdir {os.path.dirname(rel)}: {exc}")
+    return deleted, failures
 
 
 def expire_snapshots(
@@ -61,29 +88,27 @@ def expire_snapshots(
         "expired_snapshots": [s.version for s in expired],
         "retained_snapshots": [s.version for s in retained],
         "deleted_files": sorted(expired_files),
+        "n_expired_snapshots": len(expired),
+        "n_deleted_files": len(expired_files),
         "dry_run": dry_run,
     }
     if dry_run:
         return report
 
-    for rel in expired_files:
-        p = os.path.join(table.root, rel)
-        if os.path.exists(p):
-            os.unlink(p)
-        parent = os.path.dirname(p)
-        try:  # opportunistic cleanup of emptied staging dirs
-            os.rmdir(parent)
-        except OSError:
-            pass
+    n_deleted, failures = _delete_files(table.root, sorted(expired_files))
     for s in expired:
         for name in (f"snap-{s.version}.json", s.manifest):
             p = os.path.join(table.meta_dir, name)
-            if os.path.exists(p):
+            try:
                 os.unlink(p)
-    # Journal the expiry itself for audit (not a table commit: HEAD unchanged).
-    audit = os.path.join(table.meta_dir, "expiry-log.jsonl")
-    with open(audit, "a") as f:
-        f.write(json.dumps({"ts_ms": int(time.time() * 1000), **report}) + "\n")
+            except FileNotFoundError:
+                pass
+            except OSError as exc:
+                failures.append(f"unlink metadata/{name}: {exc}")
+    report["n_deleted_files"] = n_deleted
+    report["n_delete_failures"] = len(failures)
+    report["delete_failures"] = failures[:100]  # bounded for the audit log
+    _audit(table, report)
     return report
 
 
@@ -107,15 +132,23 @@ def remove_orphans(
     a short grace would sweep them mid-job and the eventual commit would
     reference deleted files. Driver-side set arithmetic over manifest
     entries + one directory walk."""
+    walk_t0 = time.time()
     referenced: set[str] = set()
     for s in table.snapshots():
         for e in table.files(s.version):
             referenced.add(e.path)
     cutoff = time.time() - grace_seconds
     orphans: list[str] = []
+    n_listed = 0
     data_root = os.path.join(table.root, "data")
+    # The walk is a full driver-side listing of data/. Cost is one stat per
+    # file: ~10k files/s on local disk, minutes per million objects on an
+    # object store — run orphan sweeps at maintenance cadence (daily), not
+    # per-commit. The listing never reads file contents, so cost scales
+    # with file COUNT, which compaction itself keeps bounded.
     for dirpath, _dirs, names in os.walk(data_root):
         for n in names:
+            n_listed += 1
             p = os.path.join(dirpath, n)
             rel = os.path.relpath(p, table.root)
             if rel in referenced:
@@ -126,18 +159,28 @@ def remove_orphans(
                 continue
             if mtime < cutoff:
                 orphans.append(rel)
-    report = {"orphans": sorted(orphans), "dry_run": dry_run}
+    report = {
+        "orphans": sorted(orphans),
+        "n_orphans": len(orphans),
+        "n_files_listed": n_listed,
+        "walk_seconds": round(time.time() - walk_t0, 3),
+        "dry_run": dry_run,
+    }
     if dry_run:
         return report
-    for rel in orphans:
-        p = os.path.join(table.root, rel)
-        if os.path.exists(p):
-            os.unlink(p)
-        try:  # opportunistic cleanup of emptied staging dirs
-            os.rmdir(os.path.dirname(p))
-        except OSError:
-            pass
-    audit = os.path.join(table.meta_dir, "expiry-log.jsonl")
-    with open(audit, "a") as f:
-        f.write(json.dumps({"ts_ms": int(time.time() * 1000), **report}) + "\n")
+    n_deleted, failures = _delete_files(table.root, sorted(orphans))
+    report["n_deleted_files"] = n_deleted
+    report["n_delete_failures"] = len(failures)
+    report["delete_failures"] = failures[:100]
+    _audit(table, report)
     return report
+
+def _audit(table: IcepackTable, report: dict) -> None:
+    """Append a BOUNDED audit line (counts + first 100 paths) to
+    metadata/expiry-log.jsonl — a 10k-orphan sweep must not write a
+    megabyte JSON line. Not a table commit: HEAD is unchanged."""
+    entry = {"ts_ms": int(time.time() * 1000)}
+    for k, v in report.items():
+        entry[k] = v[:100] if isinstance(v, list) else v
+    with open(os.path.join(table.meta_dir, "expiry-log.jsonl"), "a") as f:
+        f.write(json.dumps(entry) + "\n")

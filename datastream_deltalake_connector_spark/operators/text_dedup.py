@@ -529,6 +529,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Connected components over near-dup pair edges: (node, rep) where
     ``rep`` is the minimum node id of the component — the canonical "keeper"
@@ -548,7 +549,15 @@ def connected_components(
     label SUM — every node's label is non-increasing, so the total strictly
     decreases iff anything changed — a map-side aggregate per round instead
     of a full (old ⋈ new) comparison join. Only nodes that appear in some
-    edge are returned (singletons have no dup decision to make)."""
+    edge are returned (singletons have no dup decision to make).
+
+    ``checkpoint_every``: localCheckpoint the label frame every k-th round
+    (default 1 = every round). Each checkpoint materializes the FULL label
+    set to executor local storage — at 10^10 nodes that is real disk
+    pressure per round — while skipping it makes the next round recompute
+    the unmaterialized tail of the lineage. k=2..3 halves the storage
+    churn for graphs whose rounds are cheap; the convergence-sum action
+    still runs every round, so correctness is cadence-independent."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -569,8 +578,10 @@ def connected_components(
             F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     prev = label_sum(labels)
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -590,14 +601,14 @@ def connected_components(
         jump_src = stepped.select(
             F.col("node").alias("__rn"), F.col("rep").alias("__rrep")
         )
-        jumped = (
-            stepped.join(jump_src, stepped.rep == jump_src.__rn, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__rrep"), F.col("rep")).alias("rep"),
-            )
-            .localCheckpoint()
+        jumped = stepped.join(
+            jump_src, stepped.rep == jump_src.__rn, "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("__rrep"), F.col("rep")).alias("rep"),
         )
+        if round_no % checkpoint_every == 0:
+            jumped = jumped.localCheckpoint()
         cur = label_sum(jumped)
         labels = jumped
         if cur == prev:

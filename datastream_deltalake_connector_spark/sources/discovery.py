@@ -20,7 +20,14 @@ from typing import Iterable, Protocol, runtime_checkable
 
 from .cdc import DatastreamTable, discover_tables as _discover_local
 
-__all__ = ["TableSource", "LocalTableSource", "GCSTableSource", "GCSClientProtocol"]
+__all__ = [
+    "TableSource",
+    "LocalTableSource",
+    "GCSTableSource",
+    "GCSClientProtocol",
+    "GoogleCloudGCSClient",
+    "make_table_source",
+]
 
 
 @runtime_checkable
@@ -82,3 +89,55 @@ class GCSTableSource:
             if not token:
                 break
         return [DatastreamTable(self.root, name) for name in sorted(names)]
+
+
+class GoogleCloudGCSClient:
+    """Adapter: the official ``google-cloud-storage`` ``Client`` →
+    :class:`GCSClientProtocol` (reference: GCSClient.scala:6-17 constructs
+    the Storage service the same way — default credentials, one client per
+    job). One protocol call = one API page: ``Client.list_blobs`` returns an
+    HTTP iterator whose ``pages`` generator fetches lazily, and consuming a
+    page sets ``next_page_token`` — exactly the (names, token) contract
+    GCSTableSource's paging walk folds over.
+
+    The library is an optional dependency (absent in this container);
+    constructing without it raises ImportError with the install hint.
+    A pre-built client (or any duck-typed equivalent) can be injected for
+    tests."""
+
+    def __init__(self, client=None):
+        if client is None:
+            try:
+                from google.cloud import storage  # type: ignore
+            except ImportError as exc:  # pragma: no cover - env without lib
+                raise ImportError(
+                    "google-cloud-storage is required for table_source='gcs' "
+                    "(pip install google-cloud-storage), or inject a client"
+                ) from exc
+            client = storage.Client()
+        self._client = client
+
+    def list_blobs(
+        self, bucket: str, prefix: str, page_token: str | None
+    ) -> tuple[Iterable[str], str | None]:
+        it = self._client.list_blobs(bucket, prefix=prefix, page_token=page_token)
+        try:
+            page = next(it.pages)
+        except StopIteration:  # empty listing: no pages at all
+            return [], None
+        return [b.name for b in page], it.next_page_token
+
+
+def make_table_source(cfg, stream_root: str | None = None) -> TableSource:
+    """Config-driven discovery dispatch (reference: TableProvider.scala:11-29
+    choosing DiscoveryBucket vs local root from the config ADT).
+
+    ``cfg``: a config.ConnectorConfig (or anything with ``table_source``,
+    ``bucket``, ``prefix``); ``stream_root`` is required for 'local'."""
+    if cfg.table_source == "gcs":
+        if not cfg.bucket:
+            raise ValueError("table_source='gcs' requires bucket")
+        return GCSTableSource(GoogleCloudGCSClient(), cfg.bucket, cfg.prefix or "")
+    if stream_root is None:
+        raise ValueError("table_source='local' requires stream_root")
+    return LocalTableSource(stream_root)

@@ -239,6 +239,77 @@ def test_table_source_seam_local_and_gcs(stream_root):
     assert len(client.calls) == 2  # followed the page token
 
 
+def test_google_cloud_client_adapter_paging(stream_root):
+    """GoogleCloudGCSClient translates the official client's iterator/pages
+    shape into the (names, token) protocol — tested against a duck-typed
+    stand-in of google.cloud.storage.Client (the real lib is optional), and
+    make_table_source dispatches local|gcs from config."""
+    from datastream_deltalake_connector_spark.config import ConnectorConfig
+    from datastream_deltalake_connector_spark.sources.discovery import (
+        GCSClientProtocol,
+        GCSTableSource,
+        GoogleCloudGCSClient,
+        LocalTableSource,
+        make_table_source,
+    )
+
+    class FakeBlob:
+        def __init__(self, name):
+            self.name = name
+
+    class FakeHTTPIterator:
+        """Mimics google.api_core.page_iterator.HTTPIterator: .pages yields
+        one page per fetch; next_page_token is set after a page is read."""
+
+        def __init__(self, pages, tokens):
+            self._pages, self._tokens = pages, tokens
+            self.next_page_token = None
+
+        @property
+        def pages(self):
+            def gen():
+                for page, tok in zip(self._pages, self._tokens):
+                    self.next_page_token = tok
+                    yield [FakeBlob(n) for n in page]
+
+            return gen()
+
+    class FakeStorageClient:
+        def __init__(self):
+            self.calls = []
+
+        def list_blobs(self, bucket, prefix=None, page_token=None):
+            self.calls.append((bucket, prefix, page_token))
+            if page_token is None:
+                return FakeHTTPIterator(
+                    [["s/t1/2024/01/01/10/00/r1.avro", "s/t2/2024/01/01/10/00/r1.avro"]],
+                    ["tok-2"],
+                )
+            assert page_token == "tok-2"
+            return FakeHTTPIterator([["s/t3/2024/01/01/10/05/r2.avro"]], [None])
+
+    fake = FakeStorageClient()
+    adapter = GoogleCloudGCSClient(client=fake)
+    assert isinstance(adapter, GCSClientProtocol)
+    names, tok = adapter.list_blobs("b", "s/", None)
+    assert names == ["s/t1/2024/01/01/10/00/r1.avro", "s/t2/2024/01/01/10/00/r1.avro"]
+    assert tok == "tok-2"
+    names, tok = adapter.list_blobs("b", "s/", "tok-2")
+    assert (names, tok) == (["s/t3/2024/01/01/10/05/r2.avro"], None)
+
+    # the adapter drives the SAME paging walk as the fake-client spec
+    src = GCSTableSource(GoogleCloudGCSClient(client=FakeStorageClient()), "b", "s")
+    assert [t.table for t in src.list_tables()] == ["t1", "t2", "t3"]
+
+    # config dispatch: local needs a root; gcs needs a bucket
+    cfg = ConnectorConfig(table_source="local")
+    assert isinstance(make_table_source(cfg, stream_root), LocalTableSource)
+    with pytest.raises(ValueError, match="requires stream_root"):
+        make_table_source(cfg)
+    with pytest.raises(ValueError, match="requires bucket"):
+        make_table_source(ConnectorConfig(table_source="gcs"))
+
+
 def test_run_connector_accepts_table_source(spark, stream_root, tmp_path):
     """The connector runs against an explicit TableSource (seam used instead
     of the default local lister)."""

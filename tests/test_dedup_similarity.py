@@ -235,6 +235,29 @@ def test_connected_components_known_graph(spark):
     assert sum(1 for (_, _, k) in keep.values() if k) == 3  # one keeper per component
 
 
+def test_connected_components_checkpoint_cadence(spark):
+    """checkpoint_every=k trades executor-storage churn for lineage
+    recompute; convergence and labels must be cadence-independent."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 40)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, ["id_a", "id_b"])
+    for k in (2, 3):
+        cc = {
+            r["node"]: r["rep"]
+            for r in connected_components(pairs, checkpoint_every=k).collect()
+        }
+        assert all(cc[i] == 10 for i in range(10, 41)), f"cadence {k}"
+        assert all(cc[i] == 100 for i in (100, 101, 102)), f"cadence {k}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        connected_components(pairs, checkpoint_every=0)
+
+
 def test_corpus_filter_verdicts(spark, docs):
     """Rule precedence and keeper election on the planted-dup corpus."""
     from datastream_deltalake_connector_spark.operators.quality_filter import (

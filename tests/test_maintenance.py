@@ -8,7 +8,9 @@ idempotent replay of change batches.
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -503,6 +505,51 @@ def test_remove_orphans_respects_grace_and_references(spark, tmp_path):
     assert not any(os.path.exists(p) for p in orphan_paths)
     assert t.count_rows() == 30
     assert t.scan().count() == 30
+
+
+def test_remove_orphans_10k_staged_files(spark, tmp_path):
+    """Listing-cost hardening: a crashed fan-out job can leave O(10k) staged
+    files; the sweep must handle them in one walk, report exact counts, and
+    not touch live data. Empty staging dirs are rmdir'd opportunistically."""
+    from datastream_deltalake_connector_spark.operators.expire import remove_orphans
+
+    root = str(tmp_path / "orph10k")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 10, num_partitions=1).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=1)
+    n_live = len(t.files())
+    # fabricate 10k aged orphan files directly (a real staged write of 10k
+    # parquet files would dominate the test's runtime, not its value)
+    stage = os.path.join(root, "data", "stage-crashed")
+    os.makedirs(stage)
+    for i in range(10_000):
+        p = os.path.join(stage, f"part-{i:05d}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x")
+        os.utime(p, (1, 1))
+    t0 = time.time()
+    rep = remove_orphans(t, grace_seconds=3600)
+    elapsed = time.time() - t0
+    assert rep["n_orphans"] == 10_000
+    assert rep["n_deleted_files"] == 10_000
+    assert rep["n_delete_failures"] == 0
+    # >=: the walk also sees non-manifest sidecars (.crc checksum files)
+    assert rep["n_files_listed"] >= 10_000 + n_live
+    assert rep["walk_seconds"] <= elapsed
+    assert not os.path.exists(stage)  # emptied staging dir rmdir'd
+    assert t.scan().count() == 10  # live data untouched
+    assert elapsed < 60, f"10k-file sweep took {elapsed:.1f}s"
+    # audit line is bounded: counts + first 100 paths, not all 10k
+    with open(os.path.join(t.meta_dir, "expiry-log.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    assert last["n_orphans"] == 10_000
+    assert len(last["orphans"]) == 100
 
 
 def test_metadata_tables(spark, tmp_path):
