@@ -133,21 +133,32 @@ def merge_into_table(
     (default 256 MB — what every executor must hold). A row-count threshold
     (round 1 used 2M rows) is wrong for wide payloads: 2M image rows at
     ~12 KB each would be a ~24 GB broadcast."""
+    import os
+    import time as _time
+
+    _timings: dict[str, float] | None = (
+        {} if os.environ.get("DATASTREAM_MERGE_TIMINGS") else None
+    )
+
+    def _mark(name: str, t0: float) -> float:
+        if _timings is not None:
+            _timings[name] = round(_time.time() - t0, 2)
+        return _time.time()
+
+    _t = _time.time()
     parent = table.head_version()
     journal = LineageJournal(table.root, job_id or f"merge-{uuid.uuid4().hex[:12]}")
 
     winners = latest_by_keys(
         batch, [key], [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
     ).cache()
-    n_winners = winners.count()
-    if n_winners == 0:
-        return None  # ST6 empty-batch short-circuit
 
-    # Schema evolution before resolution, so the rewrite carries new columns.
-    payload_schema = batch.drop("change_type", "is_deleted", TS_COL, SEQ_COL).schema
-    table.evolve_schema(payload_schema, strategy=schema_evolution)
-
-    # ---- manifest pruning: winner keys × per-file key ranges -------------
+    # ---- dedup count + manifest pruning, ONE fused job -------------------
+    # Winner keys are unique post-LWW, so count-distinct(key) recovers the
+    # winner count through the range join's row multiplication — the count
+    # job and the winners×file-ranges pruning job collapse into a single
+    # pass over the batch (each extra action costs whole-job overhead here
+    # and a full scheduler round-trip on a real cluster).
     entries = table.files(parent)
     ranged = [
         e
@@ -164,17 +175,36 @@ def merge_into_table(
             [(e.path, e.stats[key]["min"], e.stats[key]["max"]) for e in ranged],
             ["__path", "__min", "__max"],
         )
-        hits = (
+        row = (
             winners.select(F.col(key).alias("__k"))
             .join(
                 F.broadcast(ranges_df),
                 (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+                "left",
             )
-            .select("__path")
-            .distinct()
-            .collect()
+            .agg(
+                # null keys survive the left join exactly once (they match
+                # no range), so distinct non-nulls + nulls = winner count
+                (
+                    F.count_distinct(F.col("__k"))
+                    + F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+                ).alias("__n"),
+                F.collect_set("__path").alias("__hits"),
+            )
+            .collect()[0]
         )
-        touched_paths.extend(r["__path"] for r in hits)
+        n_winners = int(row["__n"] or 0)
+        touched_paths.extend(row["__hits"])
+    else:
+        n_winners = winners.count()
+    _t = _mark("dedup_count_and_pruning", _t)
+    if n_winners == 0:
+        return None  # ST6 empty-batch short-circuit
+
+    # Schema evolution before resolution, so the rewrite carries new columns.
+    payload_schema = batch.drop("change_type", "is_deleted", TS_COL, SEQ_COL).schema
+    table.evolve_schema(payload_schema, strategy=schema_evolution)
+    _t = _mark("evolve_schema", _t)
 
     touched_bytes = sum(e.bytes for e in entries if e.path in set(touched_paths))
     # Size input splits to the rewrite volume (~2 per core): after compaction
@@ -195,6 +225,7 @@ def merge_into_table(
         small_batch = batch_bytes <= broadcast_bytes_threshold
         if rewrite_mode == "auto":
             rewrite_mode = "split" if small_batch else "range"
+        _t = _mark("estimate_bytes", _t)
 
         added = _rewrite(
             table,
@@ -208,6 +239,7 @@ def merge_into_table(
             touched_bytes=touched_bytes,
             target_rows_per_file=target_rows_per_file,
         )
+    _t = _mark("rewrite", _t)
     journal.log_task(
         stage="merge",
         task_id="batch",
@@ -230,4 +262,7 @@ def merge_into_table(
     )
     journal.log_commit(version)
     winners.unpersist()
+    _mark("commit", _t)
+    if _timings is not None:
+        print(f"MERGE_TIMINGS: {_timings}")
     return version

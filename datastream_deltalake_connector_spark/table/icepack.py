@@ -354,7 +354,13 @@ class IcepackTable:
             shutil.rmtree(out_dir, ignore_errors=True)
         return kept
 
-    EXECUTOR_STATS_MIN_FILES = 16
+    # Below this count, footer stats are read on the driver with a thread
+    # pool: a local footer read is ~0.2 ms (pyarrow releases the GIL), while
+    # an sc.parallelize python job costs seconds of fixed overhead — measured
+    # 3.2 s for 64 files, i.e. the RDD job was 100% overhead at bench scale.
+    # The executor fan-out still wins when a commit stages THOUSANDS of files
+    # on remote storage (per-footer latency ms-high, count large).
+    EXECUTOR_STATS_MIN_FILES = 512
 
     @staticmethod
     def _strip_partition_prefix(out_dir: str) -> None:
@@ -409,6 +415,13 @@ class IcepackTable:
                 .collect()
             )
             dicts.sort(key=lambda d: d["path"])
+        elif len(pairs) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(pairs))) as ex:
+                dicts = list(
+                    ex.map(lambda pr: _footer_stats(pr[0], pr[1], stats_cols), pairs)
+                )
         else:
             dicts = [_footer_stats(a, r, stats_cols) for a, r in pairs]
         return [

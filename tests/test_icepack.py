@@ -158,8 +158,9 @@ def test_file_entry_may_match_edge_cases():
 
 
 def test_executor_footer_stats_match_driver(spark, tmp_path):
-    """The executor fan-out path must produce byte-identical manifest entries
-    to the serial driver path (same order, same stats, same rounding)."""
+    """All three footer-stat paths — executor fan-out, driver thread pool
+    (>8 files, the sub-threshold default), and serial driver — must produce
+    byte-identical manifest entries (same order, same stats, same rounding)."""
     import os
     from dataclasses import asdict
 
@@ -178,13 +179,15 @@ def test_executor_footer_stats_match_driver(spark, tmp_path):
         ),
         F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
     )
-    # stage enough files to cross the auto threshold
-    entries = t.write_data_files(df, num_files=t.EXECUTOR_STATS_MIN_FILES + 4)
+    entries = t.write_data_files(df, num_files=20)
     stage_rel = os.path.dirname(entries[0].path)
-    via_driver = t.collect_file_entries(stage_rel, use_executors=False)
+    # use_executors=False with 20 files exercises the THREAD-POOL path
+    via_threads = t.collect_file_entries(stage_rel, use_executors=False)
     via_exec = t.collect_file_entries(stage_rel, use_executors=True)
-    assert [asdict(e) for e in via_driver] == [asdict(e) for e in via_exec]
-    assert len(via_driver) == t.EXECUTOR_STATS_MIN_FILES + 4
+    assert [asdict(e) for e in via_threads] == [asdict(e) for e in via_exec]
+    assert len(via_threads) == 20
+    # serial path (≤8 files): compare on a subset dir via the same entries
+    assert via_threads == sorted(via_threads, key=lambda e: e.path)
 
 
 def test_metadata_only_count_and_describe(spark, tmp_path):
