@@ -17,9 +17,10 @@ the first file. One driver-side header read (a few hundred bytes) pins the
 schema; no record crosses the driver.
 
 Supported: all primitive types, record/array/map/enum/fixed/union,
-nullable unions, deflate + null codecs, timestamp-millis/micros and
-date logical types. Snappy-compressed OCFs raise a clear error (no snappy
-lib in this container).
+nullable unions, null + deflate + snappy codecs (snappy via the engine's
+pure-Python block-format codec in sources/snappy_codec.py, with the Avro
+spec's big-endian CRC32-of-uncompressed block check), timestamp-millis/
+micros and date logical types.
 """
 
 from __future__ import annotations
@@ -203,12 +204,7 @@ def read_ocf_bytes(data: bytes) -> tuple[dict, list[Any]]:
     """Decode a whole OCF blob → (writer schema, records)."""
     buf = io.BytesIO(data)
     schema, codec, sync = parse_header(buf)
-    if codec == "snappy":
-        raise NotImplementedError(
-            "snappy-coded avro needs the python-snappy lib (not in this "
-            "container); use null or deflate codec dumps"
-        )
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec: {codec!r}")
     dec = _decoder(schema, {})
     records: list[Any] = []
@@ -221,6 +217,15 @@ def read_ocf_bytes(data: bytes) -> tuple[dict, list[Any]]:
         block = _read_bytes(buf)
         if codec == "deflate":
             block = zlib.decompress(block, -15)  # raw deflate per spec
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a trailing 4-byte BIG-endian
+            # CRC32 of the UNCOMPRESSED data
+            from .snappy_codec import decompress as _snappy_decompress
+
+            crc = int.from_bytes(block[-4:], "big")
+            block = _snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("avro snappy block CRC mismatch (corrupt block)")
         bbuf = io.BytesIO(block)
         for _ in range(count):
             records.append(dec(bbuf))
@@ -349,8 +354,8 @@ def write_ocf(
     records_per_block: int = 1000,
 ) -> None:
     """Minimal deterministic OCF writer (fixtures + round-trip tests; also a
-    legitimate export path). codec: 'null' or 'deflate'."""
-    if codec not in ("null", "deflate"):
+    legitimate export path). codec: 'null', 'deflate', or 'snappy'."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     enc = _encoder(schema, {})
     out = bytearray()
@@ -377,6 +382,11 @@ def write_ocf(
         if codec == "deflate":
             c = zlib.compressobj(9, zlib.DEFLATED, -15)
             payload = c.compress(payload) + c.flush()
+        elif codec == "snappy":
+            from .snappy_codec import compress as _snappy_compress
+
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            payload = _snappy_compress(payload) + crc.to_bytes(4, "big")
         _write_long(out, len(chunk))
         _write_long(out, len(payload))
         out.extend(payload)

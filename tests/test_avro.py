@@ -81,7 +81,7 @@ PRIM_RECORDS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_ocf_roundtrip(tmp_path, codec):
     p = str(tmp_path / f"prim-{codec}.avro")
     write_ocf(p, PRIM_SCHEMA, PRIM_RECORDS, codec=codec, records_per_block=1)
@@ -101,7 +101,62 @@ def test_ocf_bad_magic_and_codec(tmp_path):
         read_ocf_bytes(b"PAR1whatever")
     p = str(tmp_path / "x.avro")
     with pytest.raises(ValueError):
-        write_ocf(p, PRIM_SCHEMA, PRIM_RECORDS, codec="snappy")
+        write_ocf(p, PRIM_SCHEMA, PRIM_RECORDS, codec="lz4")
+
+
+def test_ocf_snappy_crc_guard(tmp_path):
+    """A flipped bit in a snappy block's payload trips the Avro-spec CRC32
+    (big-endian, over the UNCOMPRESSED data)."""
+    p = str(tmp_path / "s.avro")
+    write_ocf(p, PRIM_SCHEMA, PRIM_RECORDS, codec="snappy", records_per_block=1)
+    raw = bytearray(open(p, "rb").read())
+    # corrupt one literal byte inside the last block's payload (before the
+    # trailing sync marker + CRC: offset -25 lands in record data)
+    raw[-25] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|snappy|corrupt"):
+        read_ocf_bytes(bytes(raw))
+
+
+def test_snappy_block_format():
+    """The pure-Python codec: literal-only compress round-trips, and the
+    decoder handles all three copy kinds including overlapping copies
+    (the parts our encoder never emits, but real snappy writers do)."""
+    from datastream_deltalake_connector_spark.sources.snappy_codec import (
+        compress,
+        decompress,
+    )
+
+    for payload in (b"", b"a", b"hello" * 40, bytes(range(256)) * 300):
+        assert decompress(compress(payload)) == payload
+
+    # hand-built stream: literal "abcd", then an OVERLAPPING 1-byte-offset
+    # copy (len 8, offset 4) -> "abcd" + "abcdabcd"
+    stream = bytes([12, (4 - 1) << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
+    assert decompress(stream) == b"abcdabcdabcd"
+
+    # 2-byte-offset copy: literal of 64+ bytes, copy 10 from offset 64
+    lit = bytes(range(64))
+    stream2 = (
+        bytes([74, 61 << 2]) + (64 - 1).to_bytes(2, "little") + lit
+        + bytes([((10 - 1) << 2) | 2]) + (64).to_bytes(2, "little")
+    )
+    assert decompress(stream2) == lit + lit[:10]
+
+    # 4-byte-offset copy kind
+    stream3 = (
+        bytes([74, 61 << 2]) + (64 - 1).to_bytes(2, "little") + lit
+        + bytes([((10 - 1) << 2) | 3]) + (64).to_bytes(4, "little")
+    )
+    assert decompress(stream3) == lit + lit[:10]
+
+    # corrupt: copy offset beyond what's been produced
+    bad = bytes([4, (2 - 1) << 2]) + b"ab" + bytes([((4 - 4) << 2) | 1, 200])
+    with pytest.raises(ValueError, match="offset"):
+        decompress(bad)
+
+    # corrupt: preamble length disagrees with decoded size
+    with pytest.raises(ValueError, match="length mismatch"):
+        decompress(bytes([9, (4 - 1) << 2]) + b"abcd")
 
 
 AVRO_ENVELOPE = {
