@@ -222,10 +222,16 @@ def test_connected_components_known_graph(spark):
     tri = [(100, 101), (101, 102), (100, 102)]
     pair = [(200, 300)]
     pairs = spark.createDataFrame(chain + tri + pair, ["id_a", "id_b"])
-    cc = {r["node"]: r["rep"] for r in connected_components(pairs).collect()}
-    assert all(cc[i] == 10 for i in range(10, 41))
-    assert all(cc[i] == 100 for i in (100, 101, 102))
-    assert cc[200] == 200 and cc[300] == 200
+    # both paths must agree exactly: driver union-find (small-graph default)
+    # and the distributed min-label loop (forced with driver_max_edges=0)
+    for dme in (200_000, 0):
+        cc = {
+            r["node"]: r["rep"]
+            for r in connected_components(pairs, driver_max_edges=dme).collect()
+        }
+        assert all(cc[i] == 10 for i in range(10, 41)), f"driver_max_edges={dme}"
+        assert all(cc[i] == 100 for i in (100, 101, 102)), f"driver_max_edges={dme}"
+        assert cc[200] == 200 and cc[300] == 200, f"driver_max_edges={dme}"
     keep = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"], r["keep"])
             for r in dedup_keep_list(pairs).collect()}
     assert keep[10] == (10, 31, True)
@@ -248,7 +254,9 @@ def test_connected_components_checkpoint_cadence(spark):
     for k in (2, 3):
         cc = {
             r["node"]: r["rep"]
-            for r in connected_components(pairs, checkpoint_every=k).collect()
+            for r in connected_components(
+                pairs, checkpoint_every=k, driver_max_edges=0
+            ).collect()
         }
         assert all(cc[i] == 10 for i in range(10, 41)), f"cadence {k}"
         assert all(cc[i] == 100 for i in (100, 101, 102)), f"cadence {k}"
