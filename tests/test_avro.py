@@ -104,6 +104,26 @@ def test_ocf_bad_magic_and_codec(tmp_path):
         write_ocf(p, PRIM_SCHEMA, PRIM_RECORDS, codec="lz4")
 
 
+def test_snappy_roundtrip_property():
+    """Property: decompress(compress(x)) == x for arbitrary byte strings
+    (hypothesis drives sizes across the short-literal/extended-length and
+    single/multi-chunk encoder branches)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastream_deltalake_connector_spark.sources.snappy_codec import (
+        compress,
+        decompress,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=200_000))
+    def check(payload):
+        assert decompress(compress(payload)) == payload
+
+    check()
+
+
 def test_ocf_snappy_crc_guard(tmp_path):
     """A flipped bit in a snappy block's payload trips the Avro-spec CRC32
     (big-endian, over the UNCOMPRESSED data)."""

@@ -402,7 +402,9 @@ def test_connector_daemon_runtime_isolation(spark, tmp_path):
         # sink's _spark_metadata log and ignores unlisted files. Deleting
         # committed DATA files doesn't work either — an insert-only batch
         # manifest-prunes them and never reads a byte.)
-        os.remove(os.path.join(daemon.targets["beta"], "metadata", "HEAD"))
+        beta_head = os.path.join(daemon.targets["beta"], "metadata", "HEAD")
+        beta_head_txt = open(beta_head).read()
+        os.remove(beta_head)
         d_poison = root / "beta" / "2024" / "01" / "01" / "10" / "05"
         d_poison.mkdir(parents=True)
         (d_poison / "records2.json").write_text(
@@ -423,6 +425,23 @@ def test_connector_daemon_runtime_isolation(spark, tmp_path):
         )
         assert daemon.poll()["alpha"] == 2  # both alpha streams still live
         assert daemon.await_any_termination(timeout=5) == "beta"
+
+        # recovery: repair the broken table (restore the HEAD pointer; the
+        # snapshots and data files were never touched), restart beta via
+        # start_table — the merge stream resumes from its checkpoint and
+        # applies exactly the batch it died on (p3), on top of the already-
+        # committed p1. Nothing is re-ingested, nothing is double-applied.
+        with open(beta_head, "w") as f:
+            f.write(beta_head_txt)
+        for q in daemon.queries["beta"]:
+            if q.isActive:
+                q.stop()
+        tables = {t.table: t for t in daemon.table_source.list_tables()}
+        daemon.start_table(tables["beta"])
+        assert daemon.failures.get("beta") is None
+        assert wait_for(lambda: merged_count("beta") == 2), (
+            "restarted table did not catch up from its checkpointed log"
+        )
     finally:
         daemon.stop()
     assert not daemon.active()
