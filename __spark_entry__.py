@@ -1702,6 +1702,32 @@ GROUP BY p_brand
 """
 
 
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p95/p99 of value per event_type) —
+    Spark's sort-based `percentile` aggregate; both engines use the
+    (n-1)*p linear interpolation convention, so the doubles agree to ulps
+    (the checker's float compare absorbs the rest). At 100 TB exact
+    percentiles are a per-group sort: the plan shuffles (event_type, value)
+    pairs only, and a t-digest/`percentile_approx` swap is one token when
+    approximation is acceptable."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 def _avro_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF CDC dumps (the reference's DEFAULT read format,
@@ -2184,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": _cube_revenue,
         "daily_distinct_users": _daily_distinct_users,
         "promo_revenue_share": _promo_revenue,
+        "value_percentiles": _value_percentiles,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "avro_cdc_ingest": _avro_cdc_ingest,
@@ -2265,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_revenue": _CUBE_ORACLE,
         "daily_distinct_users": _DAILY_DISTINCT_ORACLE,
         "promo_revenue_share": _PROMO_ORACLE,
+        "value_percentiles": _PERCENTILES_ORACLE,
         "icepack_time_travel": _ICEPACK_TT_ORACLE,
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,

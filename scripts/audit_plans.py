@@ -216,6 +216,45 @@ AUDIT = [
         "corpus (docs side never shuffles for the final join); ReadSchema "
         "(doc_id) on the documents scan.",
     ),
+    (
+        "rollup_revenue",
+        "ROLLUP grouping sets. Expect: ONE Expand-fed aggregate pair (partial "
+        "+ final around a single exchange) — not one scan per grouping level.",
+    ),
+    (
+        "cube_revenue",
+        "CUBE grouping sets with grouping_id. Expect: same single-Expand "
+        "shape as rollup; exchange count stays 1 despite 4 grouping sets.",
+    ),
+    (
+        "daily_distinct_users",
+        "countDistinct + exact median per day. Expect: Expand for the "
+        "distinct rewrite with partial aggregation; percentile is the only "
+        "sort-bearing aggregate.",
+    ),
+    (
+        "promo_revenue_share",
+        "TPC-H Q14 conditional-aggregate shape. Expect: part dimension "
+        "BroadcastHashJoin, shipdate range pushed to the lineitem scan, one "
+        "exchange for the brand rollup.",
+    ),
+    (
+        "customers_semi_urgent",
+        "EXISTS semi-join. Expect: LeftSemi BroadcastHashJoin (orders side "
+        "reduced before broadcast), customer scan pruned to 3 columns.",
+    ),
+    (
+        "events_windowed_agg",
+        "Tumbling event-time window (batch twin). Expect: window projection "
+        "feeds a partial-agg pair around one exchange; events ReadSchema "
+        "pruned to (ts, user_id, value).",
+    ),
+    (
+        "value_percentiles",
+        "Exact grouped percentiles. Expect: (event_type, value)-only shuffle "
+        "(ReadSchema 2 columns), sort-based percentile in the final "
+        "aggregate, count still map-side combined.",
+    ),
 ]
 
 
