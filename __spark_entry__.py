@@ -1728,6 +1728,72 @@ FROM events GROUP BY event_type
 """
 
 
+def _user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (EXCEPT / INTERSECT — absent from the reference, §2.4
+    A1): users active in the first half of the window but not the second
+    (churned) vs active in both (retained). Both set ops compile to a
+    distinct-aggregate + hash join pair — one shuffle per side on user_id
+    only, no row payload carried."""
+    e = _read(spark, sf_dir, "events")
+    first = e.where(F.col("ts") < F.lit("2024-01-16")).select("user_id")
+    second = e.where(F.col("ts") >= F.lit("2024-01-16")).select("user_id")
+    churned = first.subtract(second).select(
+        "user_id", F.lit("churned").alias("status")
+    )
+    retained = first.intersect(second).select(
+        "user_id", F.lit("retained").alias("status")
+    )
+    return churned.unionByName(retained).orderBy("user_id")
+
+
+_CHURN_ORACLE = """
+WITH first AS (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+     second AS (SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+SELECT user_id, 'churned' AS status FROM (SELECT * FROM first EXCEPT SELECT * FROM second)
+UNION ALL
+SELECT user_id, 'retained' AS status FROM (SELECT * FROM first INTERSECT SELECT * FROM second)
+"""
+
+
+def _event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window over per-user event streams: inter-event gap statistics
+    per event_type. Tie-broken by event_id so the window order (and thus the
+    gaps) is deterministic; one shuffle on user_id for the window, one for
+    the rollup — the window carries (user_id, ts, event_id, event_type)
+    only."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epochs: exact BIGINTs on both engines (ts is NTZ; the
+    # session timezone is pinned UTC so the ltz hop is the identity)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        e.select("event_type", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 2).alias("avg_gap_s"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+_GAPS_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+       max(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL-expressible)
 def _avro_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF CDC dumps (the reference's DEFAULT read format,
@@ -2211,6 +2277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_distinct_users": _daily_distinct_users,
         "promo_revenue_share": _promo_revenue,
         "value_percentiles": _value_percentiles,
+        "events_user_churn": _user_churn,
+        "events_gap_stats": _event_gaps,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "avro_cdc_ingest": _avro_cdc_ingest,
@@ -2293,6 +2361,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_distinct_users": _DAILY_DISTINCT_ORACLE,
         "promo_revenue_share": _PROMO_ORACLE,
         "value_percentiles": _PERCENTILES_ORACLE,
+        "events_user_churn": _CHURN_ORACLE,
+        "events_gap_stats": _GAPS_ORACLE,
         "icepack_time_travel": _ICEPACK_TT_ORACLE,
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
