@@ -395,7 +395,18 @@ def run_scaling(root: str, low: int, high: int, rounds: int | None = None) -> di
                 **probe,
             }
         )
-    best = min(per_round, key=lambda r: abs(1.0 - r["probe_host_eff"]))
+    # The grant RATIO alone is blind to absolute contention: under heavy
+    # co-tenant load both probe levels slow ~equally (ratio stays ~1) while
+    # the pinned cores are oversubscribed and measured scaling collapses
+    # (observed: ratio 1.04 at 0.50 s absolute probe → efficiency 0.72 on a
+    # job that scales 0.99 under a 0.37 s probe). Restrict to rounds whose
+    # absolute high-level probe is within 1.5x of the quietest round's,
+    # THEN pick the ratio closest to neutral.
+    min_abs = min(r[f"probe_{high}p_sec"] for r in per_round)
+    quiet_rounds = [
+        r for r in per_round if r[f"probe_{high}p_sec"] <= 1.5 * min_abs
+    ]
+    best = min(quiet_rounds, key=lambda r: abs(1.0 - r["probe_host_eff"]))
     host_eff = best["probe_host_eff"]
     eff = best["efficiency"]
     return {

@@ -24,7 +24,10 @@ matter of the submit command, not the code:
       describe --table PATH                      manifest-only snapshot summary
       scan     --table PATH [--out PARQUET]      full scan (+ optional export)
       connector --root PATH --warehouse PATH     reference-style CDC pipeline
-                                                 (discover → log → merge)
+                                                 (discover → log → merge, one drain)
+      daemon    --root PATH --warehouse PATH     resident mode: continuous
+                [--duration S]                   per-table streams, supervised
+                                                 awaitAnyTermination parity
 
 On a cluster, ``master`` comes from spark-submit and executors bring their
 own cores; locally the SPARK_GRAFT_CPUS env picks local[k]. Every stage
@@ -105,6 +108,22 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON deployment config (config.ConnectorConfig); env vars "
         "overlay it exactly like the reference's HOCON ${?VAR} substitution",
     )
+    p = sub.add_parser(
+        "daemon",
+        help="resident multi-table connector (reference long-running mode: "
+        "continuous triggers + awaitAnyTermination, but supervised)",
+    )
+    p.add_argument("--root", required=True)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--format", default=None)
+    p.add_argument("--config", default=None)
+    p.add_argument(
+        "--duration",
+        type=float,
+        default=None,
+        help="stop after N seconds (default: run until a stream dies or "
+        "interrupt); health + failures print as JSON on exit",
+    )
     args = ap.parse_args(argv)
 
     from .config import ConnectorConfig
@@ -128,6 +147,30 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(out))
         return 0
+    if args.cmd == "daemon":
+        from .sources.discovery import make_table_source
+        from .streaming.ingest import ConnectorDaemon
+
+        daemon = ConnectorDaemon(
+            spark,
+            args.root,
+            args.warehouse,
+            fmt=args.format or cfg.read_format,
+            max_files_per_trigger=cfg.file_read_concurrency,
+            table_source=make_table_source(cfg, args.root),
+            processing_time=cfg.merge_frequency,
+            microbatch_partitions=cfg.microbatch_partitions,
+        ).start()
+        try:
+            dead = daemon.await_any_termination(timeout=args.duration)
+        finally:
+            daemon.stop()
+        out["health"] = daemon.poll()
+        out["failures"] = daemon.failures
+        out["terminated_table"] = dead
+        out["targets"] = daemon.targets
+        print(json.dumps(out))
+        return 1 if daemon.failures else 0
 
     from .table import IcepackTable
 

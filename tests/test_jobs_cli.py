@@ -58,3 +58,38 @@ def test_job_lifecycle(spark, tmp_path, capsys):
     assert desc["rows"] == 60 and desc["files"] == scan["files"]
     orph = run(capsys, "orphans", "--table", table, "--dry-run")
     assert orph["dry_run"] is True
+
+
+def test_daemon_subcommand(spark, tmp_path, capsys):
+    """`daemon` runs the resident connector under a bounded --duration and
+    reports per-table health/targets; the merged table holds the dump."""
+    root = tmp_path / "dumps"
+    d = root / "people" / "2024" / "01" / "01" / "10" / "00"
+    d.mkdir(parents=True)
+    rec = {
+        "uuid": "u1",
+        "read_timestamp": "2024-01-01T10:00:01.000Z",
+        "source_timestamp": "2024-01-01T10:00:01.000Z",
+        "object": "demo.people",
+        "read_method": "mysql-cdc-binlog",
+        "stream_name": "s",
+        "schema_key": "k0",
+        "source_metadata": {
+            "table": "people", "database": "demo", "primary_keys": ["pid"],
+            "log_file": "b.1", "log_position": 100,
+            "change_type": "INSERT", "is_deleted": False,
+        },
+        "payload": {"pid": "p1", "name": "ada", "city": "berlin"},
+    }
+    (d / "r1.json").write_text(json.dumps([rec]))
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"read_format": "json", "merge_frequency": "2 seconds"}))
+    warehouse = str(tmp_path / "wh")
+    out = run(
+        capsys, "daemon", "--root", str(root), "--warehouse", warehouse,
+        "--config", str(cfg), "--duration", "30",
+    )
+    assert out["failures"] == {}
+    assert "people" in out["targets"]
+    merged = IcepackTable.load(spark, out["targets"]["people"])
+    assert merged.scan().count() == 1

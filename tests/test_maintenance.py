@@ -552,6 +552,54 @@ def test_remove_orphans_10k_staged_files(spark, tmp_path):
     assert len(last["orphans"]) == 100
 
 
+def test_manifest_ops_at_100k_entries(spark, tmp_path):
+    """Driver-side metadata costs at 10^12-image manifest scale: 10^12 images
+    in 512 MB files is ~2.4M manifest entries; this pins the shape at 100k
+    (fabricated entries, no data bytes) — commit, reload, stats-prune, and
+    reachability expiry must all stay interactive. Documents the costs the
+    100-TB design accepts: manifest JSON write/parse is O(entries), pruning
+    is one python pass over [min,max] pairs."""
+    from datastream_deltalake_connector_spark.operators.expire import expire_snapshots
+
+    root = str(tmp_path / "bigmanifest")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    n = 100_000
+    entries = [
+        FileEntry(
+            path=f"data/gen0/part-{i:07d}.parquet",
+            bytes=512 * 1024 * 1024,
+            rows=400_000,
+            stats={"image_id": {"min": f"{i:08x}", "max": f"{i + 1:08x}"}},
+        )
+        for i in range(n)
+    ]
+    t0 = time.time()
+    v = t.commit("append", added=entries, removed_paths=[], expected_parent=0)
+    commit_s = time.time() - t0
+    t0 = time.time()
+    files = t.files(v)
+    load_s = time.time() - t0
+    assert len(files) == n
+    t0 = time.time()
+    hit = [e for e in files if e.may_match("image_id", "between", ("00010000", "000100ff"))]
+    prune_s = time.time() - t0
+    assert 0 < len(hit) < 300  # the narrow range prunes >99% of the manifest
+    # second commit dropping half the files, then reachability expiry (dry):
+    keep = entries[: n // 2]
+    t.commit("rewrite", added=keep, removed_paths=[e.path for e in entries[n // 2 :]],
+             expected_parent=v)
+    t0 = time.time()
+    rep = expire_snapshots(t, keep_last=1, dry_run=True)
+    expire_s = time.time() - t0
+    assert rep["n_expired_snapshots"] >= 1
+    assert rep["n_deleted_files"] == n // 2  # unreachable half
+    total = commit_s + load_s + prune_s + expire_s
+    assert total < 60, (
+        f"100k-entry metadata ops too slow: commit={commit_s:.1f}s "
+        f"load={load_s:.1f}s prune={prune_s:.2f}s expire={expire_s:.1f}s"
+    )
+
+
 def test_metadata_tables(spark, tmp_path):
     root = str(tmp_path / "meta")
     t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
