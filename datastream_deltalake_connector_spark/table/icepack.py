@@ -11,6 +11,10 @@ Layout under a table root::
 
     data/<commit-uuid>/part-*.parquet     immutable data files
     metadata/manifest-<version>.json      file list + per-file min/max stats
+    metadata/manifest-<version>.parquet   same, for manifests >= 50k entries
+                                          (~20x smaller, column-prunable,
+                                          Spark-readable: files_df scales
+                                          off the driver at 10^12 images)
     metadata/snap-<version>.json          snapshot: schema, parent, summary
     metadata/HEAD                         current version (atomic pointer)
     metadata/lineage/<job>.jsonl          per-partition lineage journal
@@ -168,6 +172,9 @@ class Snapshot:
 
 class IcepackTable:
     DEFAULT_TARGET_FILE_BYTES = 512 * 1024 * 1024  # north_rule: 512 MB target
+    # Manifests at/above this entry count are written as PARQUET instead of
+    # JSON (see commit()); both forms round-trip through files() identically.
+    MANIFEST_PARQUET_MIN_FILES = 50_000
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -229,7 +236,28 @@ class IcepackTable:
 
     def files(self, version: int | None = None) -> list[FileEntry]:
         snap = self.snapshot(version)
-        with open(os.path.join(self.meta_dir, snap.manifest)) as f:
+        path = os.path.join(self.meta_dir, snap.manifest)
+        if snap.manifest.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path)
+            return [
+                FileEntry(
+                    path=p,
+                    bytes=b,
+                    rows=r,
+                    stats=json.loads(sj),
+                    partition=json.loads(pj),
+                )
+                for p, b, r, sj, pj in zip(
+                    t["path"].to_pylist(),
+                    t["bytes"].to_pylist(),
+                    t["rows"].to_pylist(),
+                    t["stats_json"].to_pylist(),
+                    t["partition_json"].to_pylist(),
+                )
+            ]
+        with open(path) as f:
             return [FileEntry(**e) for e in json.load(f)["entries"]]
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -476,11 +504,24 @@ class IcepackTable:
                 old_entries = self.files(parent)
                 entries = [e for e in old_entries if e.path not in removed] + added
                 version = parent + 1
-                manifest_name = f"manifest-{version}.json"
-                self._write_json(
-                    os.path.join(self.meta_dir, manifest_name),
-                    {"entries": [asdict(e) for e in entries]},
-                )
+                # Manifest format by size: JSON for human-scale tables,
+                # PARQUET past the threshold — at 10^12 images / 512 MB
+                # files the manifest is ~2.4M entries, where JSON costs
+                # hundreds of MB and seconds of driver parse per read,
+                # while the parquet form is ~20x smaller, column-prunable,
+                # and directly readable by Spark (files_df) so maintenance
+                # policy queries scale off the driver entirely.
+                if len(entries) >= self.MANIFEST_PARQUET_MIN_FILES:
+                    manifest_name = f"manifest-{version}.parquet"
+                    self._write_manifest_parquet(
+                        os.path.join(self.meta_dir, manifest_name), entries
+                    )
+                else:
+                    manifest_name = f"manifest-{version}.json"
+                    self._write_json(
+                        os.path.join(self.meta_dir, manifest_name),
+                        {"entries": [asdict(e) for e in entries]},
+                    )
                 snap = Snapshot(
                     version=version,
                     parent=parent,
@@ -508,12 +549,46 @@ class IcepackTable:
                 os.unlink(lock_path)
         raise ConflictError("could not acquire commit lock")
 
+    def _write_manifest_parquet(self, path: str, entries: list[FileEntry]) -> None:
+        """One-row-per-file parquet manifest (path, bytes, rows, stats_json,
+        partition_json) — same columns files_df exposes, so Spark reads the
+        manifest itself at scale. Written to a temp name + os.replace so a
+        concurrent reader never sees a partial file."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "path": pa.array([e.path for e in entries], pa.string()),
+                "bytes": pa.array([e.bytes for e in entries], pa.int64()),
+                "rows": pa.array([e.rows for e in entries], pa.int64()),
+                "stats_json": pa.array(
+                    [json.dumps(e.stats, sort_keys=True) for e in entries],
+                    pa.string(),
+                ),
+                "partition_json": pa.array(
+                    [json.dumps(e.partition, sort_keys=True) for e in entries],
+                    pa.string(),
+                ),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """The `files` metadata table (Iceberg's ``table.files`` analogue):
         one row per live data file with path/bytes/rows and JSON-encoded
         per-column min/max stats — manifest-only, zero data files read.
         Lets maintenance policy itself be written as DataFrame queries
-        (small-file counts, skewed-file detection, stats coverage)."""
+        (small-file counts, skewed-file detection, stats coverage).
+        A parquet manifest (large tables) is read by Spark DIRECTLY — the
+        driver never materializes the entry list."""
+        snap = self.snapshot(version)
+        if snap.manifest.endswith(".parquet"):
+            return self.spark.read.parquet(
+                os.path.join(self.meta_dir, snap.manifest)
+            )
         rows = [
             (
                 e.path,

@@ -576,10 +576,19 @@ def test_manifest_ops_at_100k_entries(spark, tmp_path):
     t0 = time.time()
     v = t.commit("append", added=entries, removed_paths=[], expected_parent=0)
     commit_s = time.time() - t0
+    # >= 50k entries: the manifest is PARQUET (Spark-readable, ~20x smaller)
+    assert t.snapshot(v).manifest.endswith(".parquet")
     t0 = time.time()
     files = t.files(v)
     load_s = time.time() - t0
     assert len(files) == n
+    # byte-identical round-trip vs the source entries (order preserved)
+    assert files[12345] == entries[12345]
+    assert files[0].stats == entries[0].stats
+    # files_df reads the parquet manifest directly (no driver entry list)
+    fdf = t.files_df(v)
+    assert fdf.count() == n
+    assert set(fdf.columns) == {"path", "bytes", "rows", "stats_json", "partition_json"}
     t0 = time.time()
     hit = [e for e in files if e.may_match("image_id", "between", ("00010000", "000100ff"))]
     prune_s = time.time() - t0
