@@ -31,6 +31,7 @@ ENV_VARS: dict[str, tuple[str, type]] = {
     "DELTA_MICROBATCH_PARTITIONS": ("microbatch_partitions", int),
     "DELTA_SCHEMA_EVOLUTION": ("schema_evolution", str),
     "DELTA_TARGET_FILE_SIZE_MB": ("target_file_size_mb", int),
+    "DELTA_AUTO_COMPACT_MIN_FILES": ("auto_compact_min_files", int),
     "DATASTREAM_TABLE_SOURCE": ("table_source", str),
     "DATASTREAM_BUCKET": ("bucket", str),
     "DATASTREAM_PREFIX": ("prefix", str),
@@ -53,7 +54,11 @@ class ConnectorConfig:
     merge_frequency: str = "1 minute"  # processing-time trigger
     microbatch_partitions: int | None = None  # coalesce(n) small-file control
     schema_evolution: str = "merge"  # merge | overwrite | none
-    # maintenance (Config.scala:57-111 — the engine implements these natively)
+    # maintenance (Config.scala:57-111 — the engine implements these natively;
+    # auto_compact_min_files = Databricks autoCompact.enabled+minNumFiles:
+    # None disables, N compacts after any merged batch once N small files
+    # accumulate — the reference's application.conf:38-45 default is OFF)
+    auto_compact_min_files: int | None = None
     target_file_size_mb: int = 512
     broadcast_bytes_threshold_mb: int = 256
     checkpoint_dir: str | None = None

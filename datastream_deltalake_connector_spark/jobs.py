@@ -144,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=cfg.file_read_concurrency,
             microbatch_partitions=cfg.microbatch_partitions,
             table_source=make_table_source(cfg, args.root),
+            auto_compact_min_files=cfg.auto_compact_min_files,
         )
         print(json.dumps(out))
         return 0
@@ -160,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
             table_source=make_table_source(cfg, args.root),
             processing_time=cfg.merge_frequency,
             microbatch_partitions=cfg.microbatch_partitions,
+            auto_compact_min_files=cfg.auto_compact_min_files,
         ).start()
         try:
             dead = daemon.await_any_termination(timeout=args.duration)

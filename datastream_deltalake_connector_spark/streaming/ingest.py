@@ -121,6 +121,8 @@ def merge_log_to_table(
     processing_time: str | None = None,
     log_schema=None,
     query_name: str | None = None,
+    auto_compact_min_files: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream 2: log table → foreachBatch merge (reference foreachBatch sink,
     DatastreamDeltaConnector.scala:57-77). Each micro-batch flattens the
@@ -130,11 +132,26 @@ def merge_log_to_table(
     ``log_schema`` pins the log-table schema explicitly — required when the
     merge stream starts before the ingest stream's first commit (daemon
     mode), when no parquet exists to infer from; an empty log dir then
-    simply yields no batches until ingest catches up."""
+    simply yields no batches until ingest catches up.
+
+    ``auto_compact_min_files``: run ``maybe_compact`` after each merged
+    batch — the reference's Databricks ``autoCompact.enabled`` +
+    ``autoCompact.minNumFiles`` confs (application.conf:38-50,
+    Config.scala:57-87, wired at DatastreamDeltaConnector.scala:24), which
+    Delta executes post-write; this engine owns compaction so the sink
+    chains it natively. Streaming micro-batches are THE small-file source
+    the reference's README warns about (README.md:146-151); compacting in
+    the sink keeps the table scan-healthy without a second scheduler."""
     if log_schema is None:
         log_schema = spark.read.parquet(log_dir).schema
     os.makedirs(log_dir, exist_ok=True)
-    stream = spark.readStream.schema(log_schema).parquet(log_dir)
+    reader = spark.readStream.schema(log_schema)
+    if max_files_per_trigger:
+        # bound each merge batch by log-file count (the same ST8 throttle
+        # the ingest stream applies to source dumps); availableNow drains
+        # then produce several bounded batches instead of one giant one
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(log_dir)
 
     def upsert(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():  # ST6 empty-batch short-circuit
@@ -142,6 +159,14 @@ def merge_log_to_table(
         key = meta.primary_keys[0] if meta.primary_keys else "id"
         changes = flatten_envelope(batch_df, meta)
         merge_into_table(target, changes, key=key, job_id=f"stream-batch-{batch_id}")
+        if auto_compact_min_files:
+            from ..operators.compaction import maybe_compact
+
+            maybe_compact(
+                target,
+                min_num_files=auto_compact_min_files,
+                job_id=f"stream-autocompact-{batch_id}",
+            )
 
     writer = (
         stream.writeStream.foreachBatch(upsert)
@@ -164,6 +189,7 @@ def run_connector_once(
     max_files_per_trigger: int = 2,
     table_source=None,
     microbatch_partitions: int | None = None,
+    auto_compact_min_files: int | None = None,
 ) -> dict[str, str]:
     """Discover every table of the stream and drain it end-to-end
     (ingest → log → merged icepack table), one pair of availableNow streams
@@ -194,7 +220,10 @@ def run_connector_once(
             q1.awaitTermination()
 
             t, merged_root = _load_or_create_target(spark, warehouse, table.table, meta)
-            q2 = merge_log_to_table(spark, log_dir, t, ckpt, meta)
+            q2 = merge_log_to_table(
+                spark, log_dir, t, ckpt, meta,
+                auto_compact_min_files=auto_compact_min_files,
+            )
             q2.awaitTermination()
             results[table.table] = merged_root
         except Exception as exc:  # noqa: BLE001 — per-table isolation (ST7)
@@ -265,6 +294,7 @@ class ConnectorDaemon:
         table_source=None,
         processing_time: str | None = "5 seconds",
         microbatch_partitions: int | None = None,
+        auto_compact_min_files: int | None = None,
     ) -> None:
         self.spark = spark
         self.stream_root = stream_root
@@ -278,6 +308,7 @@ class ConnectorDaemon:
         self.table_source = table_source
         self.processing_time = processing_time
         self.microbatch_partitions = microbatch_partitions
+        self.auto_compact_min_files = auto_compact_min_files
         self.queries: dict[str, list] = {}
         self.targets: dict[str, str] = {}
         self.failures: dict[str, str] = {}
@@ -333,6 +364,7 @@ class ConnectorDaemon:
             available_now=False,
             processing_time=self.processing_time,
             log_schema=log_df.schema,
+            auto_compact_min_files=self.auto_compact_min_files,
             # meta.table comes from the CDC envelope and is NOT unique per
             # source dir (two streams can carry the same source table);
             # query names must be unique per SparkSession

@@ -351,6 +351,53 @@ def test_ingest_microbatch_partitions_bounds_files(spark, stream_root, tmp_path)
         assert spark.read.parquet(log_dir).count() == 8
 
 
+def test_streaming_auto_compact_in_sink(spark, tmp_path):
+    """autoCompact parity (reference application.conf:38-45 + Databricks
+    post-write compaction): with auto_compact_min_files set, the merge sink
+    chains maybe_compact after each merged batch. Batches carry DISJOINT
+    key ranges so manifest pruning leaves earlier files untouched — the
+    pure small-file-accumulation case autoCompact exists for (overlapping
+    batches self-compact through the merge rewrite)."""
+    from datastream_deltalake_connector_spark.streaming.ingest import (
+        ingest_table_to_log,
+        merge_log_to_table,
+        _load_or_create_target,
+    )
+
+    root = tmp_path / "dumps-ac"
+    for minute, (k1, k2) in zip(("00", "05", "10"), (("a1", "a2"), ("m1", "m2"), ("z1", "z2"))):
+        d = root / "people" / "2024" / "01" / "01" / "10" / minute
+        d.mkdir(parents=True)
+        recs = [
+            envelope(int(minute) * 10 + i, f"2024-01-01T10:{minute}:0{i}.000Z", k, f"n-{k}", f"c-{k}")
+            for i, k in enumerate((k1, k2), start=1)
+        ]
+        (d / "records.json").write_text(json.dumps(recs))
+
+    table = DatastreamTable(str(root), "people")
+    meta = TableMetadata.from_df(read_table_batch(spark, table, "json"))
+    warehouse = str(tmp_path / "wh-ac")
+    log_dir = os.path.join(warehouse, "people_log")
+    ckpt = os.path.join(warehouse, "_ck")
+    q1 = ingest_table_to_log(
+        spark, table, log_dir, ckpt, "json",
+        max_files_per_trigger=1, microbatch_partitions=1,
+    )
+    q1.awaitTermination()
+    t, merged_root = _load_or_create_target(spark, warehouse, "people", meta)
+    q2 = merge_log_to_table(
+        spark, log_dir, t, ckpt, meta, auto_compact_min_files=3,
+        max_files_per_trigger=1,  # one merge batch per log file
+    )
+    q2.awaitTermination()
+    assert any(
+        s.operation == "compact" for s in t.snapshots()
+    ), "sink never auto-compacted"
+    assert len(t.files()) < 3  # three insert-only batches collapsed
+    rows = {r["pid"]: r["city"] for r in t.scan().select("pid", "city").collect()}
+    assert rows == {k: f"c-{k}" for k in ("a1", "a2", "m1", "m2", "z1", "z2")}
+
+
 def test_connector_daemon_runtime_isolation(spark, tmp_path):
     """Daemon mode (reference awaitAnyTermination parity, but supervised):
     two tables' continuous streams run; poisoning ONE table's log at runtime
