@@ -327,7 +327,12 @@ class ConnectorDaemon:
 
     def start_table(self, table: DatastreamTable) -> None:
         """Start (or restart after a failure) one table's ingest + merge
-        streams. Restart resumes from the per-query checkpoints."""
+        streams. Restart resumes from the per-query checkpoints; any
+        still-live queries of the same table are stopped first (two writers
+        sharing one checkpoint would race on offsets)."""
+        for q in self.queries.get(table.table, []):
+            if q.isActive:
+                q.stop()
         probe = read_table_batch(self.spark, table, self.fmt)
         meta = TableMetadata.from_df(probe)
         if meta is None:
