@@ -1728,6 +1728,46 @@ FROM events GROUP BY event_type
 """
 
 
+def _levenshtein_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: typo-level near-dup pairs by Levenshtein
+    distance within prefix blocks (record-linkage shape; JVM codegen
+    levenshtein, no UDF). Planted variants: 25 docs re-appended with one
+    character substituted at position 40 — same block, edit distance 1."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        edit_distance_pairs,
+    )
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = d.orderBy("doc_id").limit(25).select(
+        (F.col("doc_id") + F.lit(10**7)).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 39),
+            F.lit("~"),
+            F.substring(F.col("text"), 41, 10**6),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(variants)
+    return edit_distance_pairs(corpus, max_dist=4).orderBy("id_a", "id_b")
+
+
+_LEVENSHTEIN_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents),
+v AS (SELECT doc_id + 10000000 AS doc_id,
+             substr(text, 1, 39) || '~' || substr(text, 41) AS text
+      FROM (SELECT * FROM d ORDER BY doc_id LIMIT 25)),
+c AS (SELECT * FROM d UNION ALL SELECT * FROM v),
+e AS (SELECT doc_id, substr(lower(trim(text)), 1, 16) AS blk,
+             substr(lower(trim(text)), 1, 80) AS head FROM c),
+bounded AS (
+  SELECT e.* FROM e JOIN (
+    SELECT blk FROM e GROUP BY blk HAVING count(*) <= 1000) ok USING (blk))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM bounded a JOIN bounded b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 4
+"""
+
+
 def _user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (EXCEPT / INTERSECT — absent from the reference, §2.4
     A1): users active in the first half of the window but not the second
@@ -2279,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _value_percentiles,
         "events_user_churn": _user_churn,
         "events_gap_stats": _event_gaps,
+        "levenshtein_pairs_docs": _levenshtein_pairs_docs,
         # rows-only (no SQL oracle): sketch internals are engine-specific;
         # exactness is pinned against brute-force references in tests/.
         "avro_cdc_ingest": _avro_cdc_ingest,
@@ -2363,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _PERCENTILES_ORACLE,
         "events_user_churn": _CHURN_ORACLE,
         "events_gap_stats": _GAPS_ORACLE,
+        "levenshtein_pairs_docs": _LEVENSHTEIN_ORACLE,
         "icepack_time_travel": _ICEPACK_TT_ORACLE,
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,

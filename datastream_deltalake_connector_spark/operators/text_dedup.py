@@ -561,6 +561,57 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema=schema)
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_chars: int = 16,
+    compare_chars: int = 80,
+    max_dist: int = 8,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Blocked fuzzy near-dup pairs by Levenshtein distance — the classic
+    record-linkage shape (block, compare within block) for typo-level
+    duplicates that shingle/minhash treats as identical and exact dedup
+    misses entirely.
+
+    Scale story: Levenshtein is O(len²) per comparison, so it NEVER runs
+    all-pairs — candidates come from an equi-join on a cheap blocking key
+    (the normalized ``block_chars``-char prefix), the comparison reads only
+    ``compare_chars``-char heads, and ``max_block`` caps degenerate blocks
+    (boilerplate prefixes) exactly like the LSH paths cap hot buckets. All
+    JVM codegen (``F.levenshtein``): no UDF, no Python.
+
+    Recall caveat (documented, inherent to prefix blocking): an edit inside
+    the first ``block_chars`` characters moves the row to another block; for
+    edits-anywhere recall, union pairs over a second blocking key (e.g. a
+    suffix or sorted-token prefix)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(norm, 1, block_chars).alias("__blk"),
+        F.substring(norm, 1, compare_chars).alias("__head"),
+    )
+    counts = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__n"))
+    bounded = base.join(
+        F.broadcast(counts.where(F.col("__n") <= max_block).select("__blk")), "__blk"
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__head"), F.col("b.__head")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

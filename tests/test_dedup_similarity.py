@@ -241,6 +241,33 @@ def test_connected_components_known_graph(spark):
     assert sum(1 for (_, _, k) in keep.values() if k) == 3  # one keeper per component
 
 
+def test_edit_distance_pairs_planted_and_capped(spark):
+    """Blocked Levenshtein pairs: planted one-char variants are found with
+    the right distance; a degenerate block (identical prefixes) past
+    max_block emits nothing instead of exploding n^2."""
+    from datastream_deltalake_connector_spark.operators.text_dedup import (
+        edit_distance_pairs,
+    )
+
+    base = [(i, f"document number {i:04d} about topic {i % 7} with tail text")
+            for i in range(40)]
+    # one-char substitution past the 16-char block prefix → same block
+    variants = [(i + 1000, t[:20] + "X" + t[21:]) for i, t in base[:10]]
+    df = spark.createDataFrame(base + variants, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(df, max_dist=3).collect()
+    }
+    for i in range(10):
+        assert pairs.get((i, i + 1000)) == 1, f"planted variant {i} missed"
+    # degenerate block: 50 rows sharing one block prefix, cap excludes them
+    hot = [(5000 + i, "same prefix everywhere " + "x" * i) for i in range(50)]
+    hot_df = spark.createDataFrame(hot, ["doc_id", "text"])
+    assert edit_distance_pairs(hot_df, max_block=10).count() == 0
+    # and with the cap lifted the same block produces bounded pairs
+    assert edit_distance_pairs(hot_df, max_block=100, max_dist=2).count() > 0
+
+
 def test_connected_components_checkpoint_cadence(spark):
     """checkpoint_every=k trades executor-storage churn for lineage
     recompute; convergence and labels must be cadence-independent."""
