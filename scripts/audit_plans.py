@@ -255,6 +255,12 @@ AUDIT = [
         "(ReadSchema 2 columns), sort-based percentile in the final "
         "aggregate, count still map-side combined.",
     ),
+    (
+        "levenshtein_pairs_docs",
+        "Blocked fuzzy dedup. Expect: candidates from an EQUI-join on the "
+        "block prefix (no BroadcastNestedLoopJoin / cartesian anywhere), "
+        "block-count cap joined as a broadcast, levenshtein inside codegen.",
+    ),
 ]
 
 
