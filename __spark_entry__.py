@@ -1756,15 +1756,26 @@ v AS (SELECT doc_id + 10000000 AS doc_id,
              substr(text, 1, 39) || '~' || substr(text, 41) AS text
       FROM (SELECT * FROM d ORDER BY doc_id LIMIT 25)),
 c AS (SELECT * FROM d UNION ALL SELECT * FROM v),
-e AS (SELECT doc_id, substr(lower(trim(text)), 1, 16) AS blk,
-             substr(lower(trim(text)), 1, 80) AS head FROM c),
-bounded AS (
-  SELECT e.* FROM e JOIN (
-    SELECT blk FROM e GROUP BY blk HAVING count(*) <= 1000) ok USING (blk))
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       levenshtein(a.head, b.head) AS edit_dist
-FROM bounded a JOIN bounded b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.head, b.head) <= 4
+pre AS (SELECT doc_id, substr(lower(trim(text)), 1, 16) AS blk,
+               substr(lower(trim(text)), 1, 80) AS head FROM c),
+suf AS (SELECT doc_id, substr(lower(trim(text)), -16, 16) AS blk,
+               substr(lower(trim(text)), 1, 80) AS head FROM c),
+bp AS (SELECT pre.* FROM pre JOIN (
+    SELECT blk FROM pre GROUP BY blk HAVING count(*) <= 1000) ok USING (blk)),
+bs AS (SELECT suf.* FROM suf JOIN (
+    SELECT blk FROM suf GROUP BY blk HAVING count(*) <= 1000) ok USING (blk)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.head, b.head) AS edit_dist
+  FROM bp a JOIN bp b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.head, b.head) <= 4
+  UNION
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.head, b.head) AS edit_dist
+  FROM bs a JOIN bs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.head, b.head) <= 4
+)
+SELECT id_a, id_b, edit_dist FROM pairs
 """
 
 

@@ -569,6 +569,7 @@ def edit_distance_pairs(
     compare_chars: int = 80,
     max_dist: int = 8,
     max_block: int = 1000,
+    suffix_block: bool = True,
 ) -> DataFrame:
     """Blocked fuzzy near-dup pairs by Levenshtein distance — the classic
     record-linkage shape (block, compare within block) for typo-level
@@ -582,34 +583,48 @@ def edit_distance_pairs(
     (boilerplate prefixes) exactly like the LSH paths cap hot buckets. All
     JVM codegen (``F.levenshtein``): no UDF, no Python.
 
-    Recall caveat (documented, inherent to prefix blocking): an edit inside
-    the first ``block_chars`` characters moves the row to another block; for
-    edits-anywhere recall, union pairs over a second blocking key (e.g. a
-    suffix or sorted-token prefix)."""
-    norm = F.lower(F.trim(F.col(text_col)))
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.substring(norm, 1, block_chars).alias("__blk"),
-        F.substring(norm, 1, compare_chars).alias("__head"),
-    )
-    counts = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__n"))
-    bounded = base.join(
-        F.broadcast(counts.where(F.col("__n") <= max_block).select("__blk")), "__blk"
-    )
-    a, b = bounded.alias("a"), bounded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__blk") == F.col("b.__blk"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    Recall: an edit inside the first ``block_chars`` characters moves the
+    row to another prefix block, so ``suffix_block=True`` (default) ALSO
+    blocks on the trailing ``block_chars`` characters and unions the two
+    candidate sets (a pair escapes only if edited in BOTH its head and its
+    tail — beyond typo-level distance anyway). Each blocking pass is an
+    independent capped equi-join; the union dedups on (id_a, id_b)."""
+
+    def pass_pairs(block_expr) -> DataFrame:
+        norm = F.lower(F.trim(F.col(text_col)))
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            block_expr(norm).alias("__blk"),
+            F.substring(norm, 1, compare_chars).alias("__head"),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__head"), F.col("b.__head")).alias("edit_dist"),
+        counts = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__n"))
+        bounded = base.join(
+            F.broadcast(counts.where(F.col("__n") <= max_block).select("__blk")),
+            "__blk",
         )
-        .where(F.col("edit_dist") <= max_dist)
-    )
+        a, b = bounded.alias("a"), bounded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.__blk") == F.col("b.__blk"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.levenshtein(
+                    F.col("a.__head"), F.col("b.__head")
+                ).alias("edit_dist"),
+            )
+            .where(F.col("edit_dist") <= max_dist)
+        )
+
+    out = pass_pairs(lambda n: F.substring(n, 1, block_chars))
+    if suffix_block:
+        out = out.unionByName(
+            pass_pairs(lambda n: F.substring(n, -block_chars, block_chars))
+        ).dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def connected_components(

@@ -260,6 +260,18 @@ def test_edit_distance_pairs_planted_and_capped(spark):
     }
     for i in range(10):
         assert pairs.get((i, i + 1000)) == 1, f"planted variant {i} missed"
+    # HEAD-edited variants escape the prefix block but the suffix block
+    # (default on) still pairs them; prefix-only blocking misses them
+    head_var = [(i + 2000, "X" + t[1:]) for i, t in base[:10]]
+    df2 = spark.createDataFrame(base + head_var, ["doc_id", "text"])
+    both = {(r["id_a"], r["id_b"]) for r in edit_distance_pairs(df2, max_dist=3).collect()}
+    prefix_only = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df2, max_dist=3, suffix_block=False).collect()
+    }
+    for i in range(10):
+        assert (i, i + 2000) in both, f"head-edited variant {i} missed"
+        assert (i, i + 2000) not in prefix_only
     # degenerate block: 50 rows sharing one block prefix, cap excludes them
     hot = [(5000 + i, "same prefix everywhere " + "x" * i) for i in range(50)]
     hot_df = spark.createDataFrame(hot, ["doc_id", "text"])
