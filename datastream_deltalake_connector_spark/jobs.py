@@ -165,9 +165,13 @@ def main(argv: list[str] | None = None) -> int:
         ).start()
         try:
             dead = daemon.await_any_termination(timeout=args.duration)
+            # sample health BEFORE stop(): after it every stream reads 0
+            # live and a healthy run would be indistinguishable from a
+            # fully-dead one
+            out["health"] = daemon.poll()
         finally:
             daemon.stop()
-        out["health"] = daemon.poll()
+        daemon.poll()  # reap any terminal failures surfaced by stop()
         out["failures"] = daemon.failures
         out["terminated_table"] = dead
         out["targets"] = daemon.targets

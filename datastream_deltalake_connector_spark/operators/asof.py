@@ -30,8 +30,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join"]
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort values of this type (MapType cannot,
+    recursively)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
 
 
 def asof_join(
@@ -42,15 +55,19 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     prefix: str = "asof_",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join. Returns every ``left`` row (all its
     columns) plus ``prefix + right_ts`` and ``prefix + c`` for each payload
     column — null when no right row precedes the left row in its group.
 
-    Ties inside ``right`` on (keys, right_ts) are broken by the payload
-    struct itself (the window also orders by ``__payload``, so the
-    greatest payload in struct sort order wins) — output is deterministic
-    across runs and partitionings even when right timestamps collide.
+    Ties inside ``right`` on (keys, right_ts): pass ``tiebreak`` (a right
+    column with unique values per (keys, ts), e.g. an event id) to break
+    them with a COMPACT sort key. Without it, orderable payloads fall back
+    to ordering by the payload struct itself (deterministic but the sort
+    compares full payloads — pass ``tiebreak`` when payloads are wide);
+    payloads containing maps are not orderable, so ties then resolve
+    arbitrarily rather than failing the job.
 
     Null-key and null-timestamp right rows are dropped up front: an
     equi-join (and DuckDB ASOF's ``ON l.k = r.k AND l.ts >= r.ts``) can
@@ -72,6 +89,7 @@ def asof_join(
         F.col(right_ts).alias("__evt_ts"),
         F.lit(0).alias("__side"),
         payload.alias("__payload"),
+        *( [F.col(tiebreak).alias("__tb")] if tiebreak else [] ),
     )
     left_cols = left.columns
     l = left.select(
@@ -79,6 +97,11 @@ def asof_join(
         F.col(left_ts).alias("__evt_ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *(
+            [F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb")]
+            if tiebreak
+            else []
+        ),
     )
     # align schemas: null-fill the non-key left columns on the right side
     # in ONE select (a per-column withColumn chain re-analyzes a growing
@@ -94,13 +117,17 @@ def asof_join(
     )
     u = r.select(l.columns).unionByName(l)
 
-    # __payload as the final sort key: right rows tied on (keys, ts) resolve
-    # to the greatest payload struct — deterministic regardless of input
-    # partitioning (left rows all carry null payloads, so their relative
-    # order within side=1 is irrelevant: the window only reads __payload).
+    # final sort key: explicit tiebreak > orderable payload struct > none.
+    # Left rows carry null payload/tiebreak, so their relative order within
+    # side=1 is irrelevant — the window only reads __payload.
+    order_cols = [F.col("__evt_ts"), F.col("__side")]
+    if tiebreak:
+        order_cols.append(F.col("__tb"))
+    elif _orderable(r.schema["__payload"].dataType):
+        order_cols.append(F.col("__payload"))
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__evt_ts"), F.col("__side"), F.col("__payload"))
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))

@@ -75,16 +75,22 @@ def maybe_compact(
     bounded: each data byte is rewritten O(log(target/avg_small)) times
     rather than once per drain. Returns the new version or None (no-op).
 
-    The threshold is applied PER hive partition (max over partitions), the
-    same granularity :func:`compact` bins at — a global count would fire on
-    ``min_num_files`` small files spread one-per-partition, planning zero
-    bins and paying a no-op manifest scan on every drain."""
+    The threshold counts COMPACTABLE small files: files in hive partitions
+    holding at least two of them — the exact set :func:`compact` can bin.
+    A plain global count would fire on ``min_num_files`` files spread
+    one-per-partition (zero bins plannable, a no-op scan every drain);
+    a max-over-partitions gate has the opposite failure on partitioned
+    streaming targets, where each batch adds a couple of small files per
+    ACTIVE partition and then moves on to newer partitions — no single
+    partition ever reaches the threshold while the table accumulates
+    thousands of small files (round-3 review finding)."""
     per_part: dict[tuple, int] = {}
     for e in table.files():
         if e.bytes < target_bytes:
             key = tuple(sorted(e.partition.items()))
             per_part[key] = per_part.get(key, 0) + 1
-    if not per_part or max(per_part.values()) < min_num_files:
+    compactable = sum(n for n in per_part.values() if n >= 2)
+    if compactable < max(min_num_files, 2):
         return None
     return compact(table, target_bytes=target_bytes, **compact_kwargs)
 

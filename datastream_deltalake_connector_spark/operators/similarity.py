@@ -195,22 +195,15 @@ def embedding_neardup_lsh(
     buckets = df.select(
         F.col(id_col), F.posexplode(all_buckets(F.col(vec_col))).alias("tbl", "bucket")
     )
-    ids = F.array_sort(F.collect_list(id_col))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # shared capped pair expansion (text_dedup._bucket_pairs): the cap is a
+    # COUNT pre-filter, so a degenerate bucket never materializes its member
+    # list before being dropped
+    from .text_dedup import _bucket_pairs
+
     cand = (
-        buckets.groupBy("tbl", "bucket")
-        .agg(ids.alias("__ids"))
-        .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _bucket_pairs(buckets, ["tbl", "bucket"], F.col(id_col), max_bucket)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))

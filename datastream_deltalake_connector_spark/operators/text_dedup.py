@@ -313,27 +313,14 @@ def minhash_lsh_pairs(
         .select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
     )
-    # ONE groupBy does the skew guard and the pair generation: collect each
-    # bucket's ids, drop degenerate buckets, and emit the C(n,2) pairs with
-    # an in-array nested transform — no count window (full shuffle + sort),
-    # no bucket self-join (two more shuffles). Bucket width is bounded by
-    # max_bucket, so the per-group pair fan-out is bounded by C(cap, 2).
-    ids = F.array_sort(F.collect_list(id_col))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Capped in-array pair generation (shared _bucket_pairs): the hot-bucket
+    # cap is applied via a count pre-filter BEFORE any member list is
+    # collected, so boilerplate buckets never materialize; the per-group
+    # pair fan-out is bounded by C(max_bucket, 2).
     cand = (
-        buckets.groupBy("band", "bucket")
-        .agg(ids.alias("__ids"))
-        .where((F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        _bucket_pairs(buckets, ["band", "bucket"], F.col(id_col), max_bucket)
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))  # duplicate ids sort adjacent
         .distinct()
     )
     if verify_min_jaccard_x10k is None:
@@ -355,6 +342,48 @@ def minhash_lsh_pairs(
             F.round(inter * 10000.0 / union).cast("long").alias("jaccard_x10k"),
         )
         .where(F.col("jaccard_x10k") >= verify_min_jaccard_x10k)
+    )
+
+
+def _bucket_pairs(
+    rows: DataFrame,
+    group_cols: list[str],
+    member: Column,
+    max_bucket: int,
+) -> DataFrame:
+    """Shared capped C(n,2) pair expansion within buckets: emit columns
+    ``a``/``b`` (the sorted ``member`` values) for every unordered pair that
+    shares a bucket, skipping buckets larger than ``max_bucket``.
+
+    The cap is enforced BEFORE any member list materializes: a
+    pre-aggregated COUNT (map-side-combined longs only) selects surviving
+    buckets and the rows are semi-joined to them, so a degenerate
+    boilerplate bucket of millions of members never builds a multi-GB
+    ``collect_list`` aggregation buffer on one executor just to be thrown
+    away by a post-hoc size filter. The join shares the groupBy's
+    partitioning key, so the collect needs no additional exchange.
+    Both the MinHash-LSH and Hamming-band paths route through here — the
+    skew posture is identical by construction."""
+    counts = rows.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    ok = counts.where(
+        (F.col("__n") >= 2) & (F.col("__n") <= max_bucket)
+    ).select(*group_cols)
+    bounded = rows.join(ok, group_cols)
+    members = F.array_sort(F.collect_list(member))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__m"), i + 2, F.size(F.col("__m"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        bounded.groupBy(*group_cols)
+        .agg(members.alias("__m"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
     )
 
 
@@ -492,31 +521,17 @@ def hamming_pairs(
     banded = df.select(
         F.col(id_col), F.col(hash_col), F.explode(band_structs).alias("bb")
     ).select(id_col, hash_col, "bb.band", "bb.bucket")
-    # members sorted by (id, hash) so pair expansion emits id_a < id_b
-    members = F.array_sort(
-        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h")))
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__m"), i + 2, F.size(F.col("__m"))),
-                lambda y: F.struct(
-                    x["i"].alias("id_a"),
-                    y["i"].alias("id_b"),
-                    x["h"].alias("sa"),
-                    y["h"].alias("sb"),
-                ),
-            ),
-        )
-    )
+    # shared capped pair expansion; members sorted by (id, hash) so the
+    # in-array expansion emits id_a <= id_b, strict < drops self-pairs
+    member = F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h"))
     return (
-        banded.groupBy("band", "bucket")
-        .agg(members.alias("__m"))
-        .where((F.size("__m") >= 2) & (F.size("__m") <= max_bucket))
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sa", "p.sb")
-        # duplicate input ids sort adjacent; strict < drops self-pairs
+        _bucket_pairs(banded, ["band", "bucket"], member, max_bucket)
+        .select(
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
+            F.col("a.h").alias("sa"),
+            F.col("b.h").alias("sb"),
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))

@@ -55,9 +55,17 @@ def _write_varint(out: bytearray, value: int) -> None:
 
 
 def decompress(data: bytes) -> bytes:
-    """Decode one snappy block-format stream."""
+    """Decode one snappy block-format stream. Every corruption mode —
+    truncated element, bad offset, length mismatch — raises ValueError."""
     if _HAVE_NATIVE:  # pragma: no cover - binding not in this container
         return _snappy.decompress(data)
+    try:
+        return _decompress(data)
+    except IndexError as exc:  # element truncated mid-stream
+        raise ValueError("truncated snappy block (corrupt)") from exc
+
+
+def _decompress(data: bytes) -> bytes:
     expected, pos = _read_varint(data, 0)
     out = bytearray()
     n = len(data)

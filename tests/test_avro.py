@@ -178,6 +178,13 @@ def test_snappy_block_format():
     with pytest.raises(ValueError, match="length mismatch"):
         decompress(bytes([9, (4 - 1) << 2]) + b"abcd")
 
+    # corrupt: element truncated mid-stream (copy tag present, offset byte
+    # missing) must raise the module's ValueError contract, not IndexError
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decompress(bytes([12, (4 - 1) << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1]))
+    with pytest.raises(ValueError, match="truncated|corrupt|varint"):
+        decompress(bytes([0x80]))  # truncated preamble varint
+
 
 AVRO_ENVELOPE = {
     "type": "record",

@@ -186,8 +186,15 @@ def test_executor_footer_stats_match_driver(spark, tmp_path):
     via_exec = t.collect_file_entries(stage_rel, use_executors=True)
     assert [asdict(e) for e in via_threads] == [asdict(e) for e in via_exec]
     assert len(via_threads) == 20
-    # serial path (≤8 files): compare on a subset dir via the same entries
     assert via_threads == sorted(via_threads, key=lambda e: e.path)
+    # SERIAL path (<=8 files) on a second staging: must match the executor
+    # fan-out byte for byte as well
+    small = t.write_data_files(df.limit(30), num_files=6)
+    small_rel = os.path.dirname(small[0].path)
+    via_serial = t.collect_file_entries(small_rel, use_executors=False)
+    via_exec2 = t.collect_file_entries(small_rel, use_executors=True)
+    assert [asdict(e) for e in via_serial] == [asdict(e) for e in via_exec2]
+    assert 0 < len(via_serial) <= 8
 
 
 def test_metadata_only_count_and_describe(spark, tmp_path):

@@ -90,6 +90,7 @@ def test_daemon_subcommand(spark, tmp_path, capsys):
         "--config", str(cfg), "--duration", "30",
     )
     assert out["failures"] == {}
+    assert out["health"] == {"people": 2}  # sampled BEFORE stop()
     assert "people" in out["targets"]
     merged = IcepackTable.load(spark, out["targets"]["people"])
     assert merged.scan().count() == 1

@@ -475,6 +475,31 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert len(t.files()) < 4
     assert t.count_rows() == 60
 
+    # partitioned accumulation (round-3 review finding): small files spread
+    # 2-per-partition must still trip the gate once the COMPACTABLE total
+    # reaches the threshold — no single partition ever reaches it alone
+    proot = str(tmp_path / "auto-part")
+    pt = IcepackTable.create(spark, proot, MERGED_IMAGE_SCHEMA, partition_by=["fmt"])
+    pbase = generate_images(spark, 90, num_partitions=2).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    added = pt.write_data_files(
+        pbase.repartition(3), partition_by=["fmt"]
+    )  # ~3 files per fmt partition (2 fmt values)
+    pt.commit("append", added=added, removed_paths=[], expected_parent=0)
+    per_part: dict = {}
+    for e in pt.files():
+        per_part[e.partition.get("fmt")] = per_part.get(e.partition.get("fmt"), 0) + 1
+    assert max(per_part.values()) < 5 <= sum(per_part.values())
+    pv = maybe_compact(pt, min_num_files=5)
+    assert pv is not None, "compactable-total gate did not fire"
+    assert len(pt.files()) < sum(per_part.values())
+    assert pt.count_rows() == 90
+
 
 def test_remove_orphans_respects_grace_and_references(spark, tmp_path):
     from datastream_deltalake_connector_spark.operators.expire import remove_orphans
