@@ -1851,8 +1851,12 @@ def _avro_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     application.conf:10, DatastreamIO.scala:30-34) read WITHOUT the
     spark-avro jar: binaryFile scan + executor-side pure-Python OCF decode
     (sources/avro.py), flattened to the engine change-batch shape.
-    Deterministic fixture built on the fly; rows-only (DuckDB has no OCF
-    reader here) — container round-trip is pinned in tests/test_avro.py."""
+    ORACLED: DuckDB has no OCF reader, but the fixture is generated by a
+    closed-form rule over i in range(120), so the oracle re-derives the
+    expected flattened rows from that rule — checking avro decode, envelope
+    flattening, and the Oracle-source (source_timestamp, scn) ordering-key
+    derivation end-to-end. Container round-trip also pinned in
+    tests/test_avro.py."""
     import datetime as dt
 
     from datastream_deltalake_connector_spark.sources.avro import write_ocf
@@ -1943,6 +1947,16 @@ def _avro_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.orderBy("pid", "change_seq").select(
         "pid", "balance", "change_type", "is_deleted", "change_seq"
     )
+
+
+_AVRO_CDC_ORACLE = """
+SELECT printf('a%03d', i % 40) AS pid,
+       100 * i AS balance,
+       CASE WHEN i % 7 = 0 THEN 'DELETE' ELSE 'UPSERT' END AS change_type,
+       (i % 7 = 0) AS is_deleted,
+       1000 + i AS change_seq
+FROM range(120) t(i)
+"""
 
 
 def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2416,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_churn": _CHURN_ORACLE,
         "events_gap_stats": _GAPS_ORACLE,
         "levenshtein_pairs_docs": _LEVENSHTEIN_ORACLE,
+        "avro_cdc_ingest": _AVRO_CDC_ORACLE,
         "icepack_time_travel": _ICEPACK_TT_ORACLE,
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
