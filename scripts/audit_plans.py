@@ -261,6 +261,14 @@ AUDIT = [
         "block prefix (no BroadcastNestedLoopJoin / cartesian anywhere), "
         "block-count cap joined as a broadcast, levenshtein inside codegen.",
     ),
+    (
+        "minhash_lsh_pairs_docs",
+        "MinHash LSH through the capped _bucket_pairs core. Expect: "
+        "zero-shuffle sketch (no exchange before the bucket groupBy), the "
+        "hot-bucket COUNT pre-filter aggregates before any collect_list "
+        "(degenerate buckets never materialize members), no cartesian or "
+        "nested-loop join anywhere.",
+    ),
 ]
 
 
