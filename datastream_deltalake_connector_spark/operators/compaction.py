@@ -75,22 +75,27 @@ def maybe_compact(
     bounded: each data byte is rewritten O(log(target/avg_small)) times
     rather than once per drain. Returns the new version or None (no-op).
 
-    The threshold counts COMPACTABLE small files: files in hive partitions
-    holding at least two of them — the exact set :func:`compact` can bin.
-    A plain global count would fire on ``min_num_files`` files spread
-    one-per-partition (zero bins plannable, a no-op scan every drain);
-    a max-over-partitions gate has the opposite failure on partitioned
-    streaming targets, where each batch adds a couple of small files per
-    ACTIVE partition and then moves on to newer partitions — no single
-    partition ever reaches the threshold while the table accumulates
-    thousands of small files (round-3 review finding)."""
-    per_part: dict[tuple, int] = {}
+    The threshold counts BINNABLE small files: the gate runs the SAME
+    per-partition FFD planning as :func:`compact` (driver-side over manifest
+    entries only — a few bytes per file, free to re-run) and counts members
+    of plannable multi-file bins. Anything weaker diverges from what compact
+    can actually do: a plain global count fires on ``min_num_files`` files
+    spread one-per-partition; a per-partition ``>=2`` count fires forever on
+    a partition holding two files that each exceed ``target_bytes/2`` (FFD
+    caps bins at the target and drops singletons, so such files never share
+    a bin — the permanent no-op-every-drain case, round-3 advice); a
+    max-over-partitions gate never fires on streaming targets that sprinkle
+    a couple of small files per ACTIVE partition then move on (round-3
+    review finding)."""
+    groups: dict[tuple, list[FileEntry]] = {}
     for e in table.files():
-        if e.bytes < target_bytes:
-            key = tuple(sorted(e.partition.items()))
-            per_part[key] = per_part.get(key, 0) + 1
-    compactable = sum(n for n in per_part.values() if n >= 2)
-    if compactable < max(min_num_files, 2):
+        groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
+    binnable = sum(
+        len(b)
+        for members in groups.values()
+        for b in plan_bins_ffd(members, target_bytes)
+    )
+    if binnable < max(min_num_files, 2):
         return None
     return compact(table, target_bytes=target_bytes, **compact_kwargs)
 

@@ -613,8 +613,13 @@ def edit_distance_pairs(
             F.substring(norm, 1, compare_chars).alias("__head"),
         )
         counts = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__n"))
+        # NOT F.broadcast: the counts frame has one row per DISTINCT block
+        # key — O(corpus) rows when prefixes are high-cardinality — so a
+        # forced broadcast risks driver/executor OOM at scale. A plain join
+        # lets AQE broadcast adaptively when the side is actually small,
+        # exactly like the sibling _bucket_pairs cap path (round-3 advice).
         bounded = base.join(
-            F.broadcast(counts.where(F.col("__n") <= max_block).select("__blk")),
+            counts.where(F.col("__n") <= max_block).select("__blk"),
             "__blk",
         )
         a, b = bounded.alias("a"), bounded.alias("b")

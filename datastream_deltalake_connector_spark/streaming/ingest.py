@@ -142,9 +142,20 @@ def merge_log_to_table(
     chains it natively. Streaming micro-batches are THE small-file source
     the reference's README warns about (README.md:146-151); compacting in
     the sink keeps the table scan-healthy without a second scheduler."""
-    if log_schema is None:
-        log_schema = spark.read.parquet(log_dir).schema
     os.makedirs(log_dir, exist_ok=True)
+    if log_schema is None:
+        # inference needs at least one committed log file; a missing or
+        # still-empty log dir cannot be inferred from — say so instead of
+        # surfacing Spark's AnalysisException (round-3 advice). Daemon-mode
+        # callers pass log_schema explicitly and may start on an empty dir.
+        try:
+            log_schema = spark.read.parquet(log_dir).schema
+        except Exception as exc:  # noqa: BLE001 — re-raise with the contract
+            raise ValueError(
+                f"log dir {log_dir!r} is empty or unreadable — pass "
+                "log_schema explicitly when starting the merge stream "
+                "before the ingest stream's first commit"
+            ) from exc
     reader = spark.readStream.schema(log_schema)
     if max_files_per_trigger:
         # bound each merge batch by log-file count (the same ST8 throttle
@@ -403,7 +414,15 @@ class ConnectorDaemon:
         """Block until any supervised query terminates (the reference's
         ``spark.streams.awaitAnyTermination``, scoped to THIS daemon's
         queries so co-resident streams are unaffected) or ``timeout``
-        seconds pass. Returns the terminated table's name, or None."""
+        seconds pass. Returns the terminated table's name, or None.
+
+        Zero supervised queries (every table failed setup, or discovery
+        listed nothing) returns immediately: with ``timeout=None`` the poll
+        loop would otherwise spin forever with nothing that could ever
+        terminate, silently sitting on the setup failures already recorded
+        in :attr:`failures` (round-3 advice)."""
+        if not self.queries:
+            return None
         deadline = None if timeout is None else time.time() + timeout
         while deadline is None or time.time() < deadline:
             for name, qs in self.queries.items():

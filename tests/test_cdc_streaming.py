@@ -398,6 +398,40 @@ def test_streaming_auto_compact_in_sink(spark, tmp_path):
     assert rows == {k: f"c-{k}" for k in ("a1", "a2", "m1", "m2", "z1", "z2")}
 
 
+def test_daemon_await_returns_immediately_with_no_queries(spark, tmp_path):
+    """Zero supervised queries (empty discovery root / every table failed
+    setup) + timeout=None must NOT busy-loop forever: await_any_termination
+    returns None immediately so callers can inspect .failures (r3 advice)."""
+    import time
+
+    from datastream_deltalake_connector_spark.streaming.ingest import ConnectorDaemon
+
+    root = tmp_path / "empty-root"
+    root.mkdir()
+    daemon = ConnectorDaemon(spark, str(root), str(tmp_path / "wh-empty")).start()
+    assert daemon.queries == {}
+    t0 = time.time()
+    assert daemon.await_any_termination() is None  # timeout=None
+    assert time.time() - t0 < 5
+    daemon.stop()
+
+
+def test_merge_log_requires_schema_on_empty_dir(spark, tmp_path):
+    """Starting the merge stream on a missing/empty log dir without an
+    explicit log_schema must raise a clear contract error (not Spark's
+    AnalysisException), and must create the dir first (r3 advice)."""
+    import pytest
+
+    from datastream_deltalake_connector_spark.streaming.ingest import merge_log_to_table
+
+    log_dir = str(tmp_path / "wh-nolog" / "people_log")
+    with pytest.raises(ValueError, match="log_schema"):
+        merge_log_to_table(
+            spark, log_dir, target=None, checkpoint_dir=str(tmp_path / "ck"), meta=None
+        )
+    assert os.path.isdir(log_dir)  # makedirs happened before inference
+
+
 def test_connector_daemon_runtime_isolation(spark, tmp_path):
     """Daemon mode (reference awaitAnyTermination parity, but supervised):
     two tables' continuous streams run; poisoning ONE table's log at runtime

@@ -278,6 +278,11 @@ def test_edit_distance_pairs_planted_and_capped(spark):
     assert edit_distance_pairs(hot_df, max_block=10).count() == 0
     # and with the cap lifted the same block produces bounded pairs
     assert edit_distance_pairs(hot_df, max_block=100, max_dist=2).count() > 0
+    # no FORCED broadcast of the per-block counts frame (one row per
+    # distinct block key — O(corpus) at scale); AQE may still choose a
+    # broadcast adaptively, but the plan must not pin one (r3 advice)
+    analyzed = edit_distance_pairs(df)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
 
 
 def test_connected_components_checkpoint_cadence(spark):

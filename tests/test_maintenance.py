@@ -501,6 +501,38 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert pt.count_rows() == 90
 
 
+def test_maybe_compact_unbinnable_pair_never_fires(spark, tmp_path, monkeypatch):
+    """Two files each larger than target/2 are 'small' (< target) but FFD
+    caps bins at the target and drops singletons, so they can never share a
+    bin. The gate must agree with the planner and skip compact() entirely —
+    not fire forever into a no-op plan on every drain (r3 advice)."""
+    from datastream_deltalake_connector_spark.operators import compaction
+
+    root = str(tmp_path / "unbinnable")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    base = generate_images(spark, 40, num_partitions=1).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=2)
+    sizes = sorted(e.bytes for e in t.files())
+    assert len(sizes) == 2
+    # target: each file fits alone, but the pair exceeds it
+    target = sizes[0] + sizes[1] - 1
+    assert all(s < target for s in sizes)
+
+    def boom(*a, **k):  # the gate must not even invoke compact()
+        raise AssertionError("compact() invoked for an unbinnable table")
+
+    monkeypatch.setattr(compaction, "compact", boom)
+    head = t.head_version()
+    assert compaction.maybe_compact(t, min_num_files=2, target_bytes=target) is None
+    assert t.head_version() == head
+
+
 def test_remove_orphans_respects_grace_and_references(spark, tmp_path):
     from datastream_deltalake_connector_spark.operators.expire import remove_orphans
 

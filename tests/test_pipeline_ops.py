@@ -495,6 +495,43 @@ def test_asof_join_payload_cols_dedupes_right_ts(spark):
     assert row["asof_ts"] == t("2024-01-01 12:00:00") and row["asof_v"] == 5.0
 
 
+def test_asof_join_tiebreak_deterministic(spark):
+    """Planted equal-timestamp right rows: the `tiebreak` column decides the
+    winner (largest tiebreak value — last in ascending window order), stable
+    across different input partitionings; without it, orderable payloads
+    fall back to payload-struct order (largest payload wins)."""
+    from datetime import datetime
+
+    from datastream_deltalake_connector_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(1, "u1", t("2024-01-01 12:30:00"))], ["event_id", "k", "ts"]
+    )
+    # two right rows sharing (k, ts); rid is the unique event id
+    right_rows = [
+        ("u1", t("2024-01-01 12:00:00"), 100.0, 7),
+        ("u1", t("2024-01-01 12:00:00"), 200.0, 3),
+    ]
+    for n_parts in (1, 4):  # result must not depend on partitioning
+        right = spark.createDataFrame(
+            right_rows, ["k", "ts", "v", "rid"]
+        ).repartition(n_parts)
+        row = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload_cols=["v"], tiebreak="rid",
+        ).collect()[0]
+        assert row["asof_v"] == 100.0, "max-tiebreak (rid=7) row must win"
+
+    # orderable-payload fallback (no tiebreak): payload struct is
+    # (__ts, v) — equal __ts, so the larger v sorts last and wins
+    right = spark.createDataFrame(right_rows, ["k", "ts", "v", "rid"])
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload_cols=["v"]
+    ).collect()[0]
+    assert row["asof_v"] == 200.0
+
+
 def test_range_join_boundaries_and_bucket_spans(spark):
     """Inclusive endpoints; intervals spanning multiple buckets still match
     exactly once per (point, interval) pair — no dedup needed."""
