@@ -249,7 +249,14 @@ def maintenance_bench(spark, n_images: int, rounds: int = 2) -> dict:
     return out
 
 
-def query_bench(spark, sf_dir: str) -> dict:
+def query_bench(spark, sf_dir: str, runs_per_query: int = 3) -> tuple[dict, dict]:
+    """Each headline query runs ``runs_per_query`` times (noop sink); the
+    kept number is the BEST run and every query gets its own host-grant
+    probe sampled right after it. Round-3 lesson: single-shot query numbers
+    on this shared VM are unattributable — doc_quality 'regressed' 4x
+    (1.69→6.97 s) with zero code change, and a warm micro-bench this round
+    measured the same plan at 0.30 s; run 1 also pays per-query codegen/JIT.
+    Returns (best_sec, detail) where detail carries all runs + the probe."""
     import __spark_entry__ as entrymod
 
     headline = [
@@ -270,12 +277,17 @@ def query_bench(spark, sf_dir: str) -> dict:
         "tfidf_top_terms",
     ]
     qs = entrymod.queries()
-    out = {}
+    out: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.time() - t0, 3)
-    return out
+        times = []
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times.append(round(time.time() - t0, 3))
+        out[name] = min(times)
+        detail[name] = {"runs": times, "probe_4p_sec": _stage_probe()}
+    return out, detail
 
 
 def _probe_work(n: int) -> float:
@@ -503,13 +515,26 @@ def write_bench_md(payload: dict) -> None:
             f"**{max(s['low_images_per_sec'], s['high_images_per_sec']):.0f} images/sec**.",
             "",
         ]
+    qd = payload.get("query_detail", {})
     lines += [
         "## Headline queries (seconds, forced with noop sink)",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "Best of N runs per query with a per-query host probe (same fixed",
+        "numpy workload as the stage probes — larger probe = host granting",
+        "less CPU when that query ran). Single-shot numbers proved",
+        "unattributable in r3: doc_quality read 6.97 s under contention with",
+        "zero code change; warm micro-bench of the same plan: 0.30 s.",
+        "",
+        "| query | best (s) | runs | probe (s) |",
+        "|---|---|---|---|",
     ]
-    lines += [f"| {k} | {v} |" for k, v in q.items()]
+    for k, v in q.items():
+        d = qd.get(k, {})
+        runs = " / ".join(f"{r}" for r in d.get("runs", []))
+        probe_q = d.get("probe_4p_sec")
+        lines.append(
+            f"| {k} | {v} | {runs} | {probe_q if probe_q is not None else '—'} |"
+        )
     lines.append("")
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
@@ -539,7 +564,7 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
     rounds = int(os.environ.get("BENCH_MAINT_ROUNDS", "3"))
     maintenance = maintenance_bench(spark, args.images, rounds=rounds)
-    queries = query_bench(spark, sf_dir)
+    queries, query_detail = query_bench(spark, sf_dir)
     spark.stop()
 
     scaling = None
@@ -561,6 +586,7 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "queries": queries,
+        "query_detail": query_detail,
         "sf": sf,
         "cores": cores,
         "sf_dir": sf_dir,
@@ -576,6 +602,7 @@ def main() -> None:
     # "parsed": null. Print a COMPACT line — headline metrics only — and leave
     # the full detail (per-round scaling, per-stage host probes) in BENCH.md.
     compact = dict(payload)
+    compact.pop("query_detail", None)  # per-run arrays + probes live in BENCH.md
     compact["maintenance"] = {
         k: v
         for k, v in payload["maintenance"].items()
