@@ -79,6 +79,128 @@ def test_unknown_codec_raises():
         decode_image_np(b"REAL-JPEG-BYTES-WOULD-GO-HERE")
 
 
+# --------------------------------------------------------- real PNG decode
+def _make_png(px: np.ndarray, color: int, filters: list[int],
+              plte: bytes | None = None, trns: bytes | None = None,
+              interlace: int = 0, depth: int = 8) -> bytes:
+    """Independent minimal PNG ENCODER (test-side reference implementation):
+    applies the requested filter type per scanline exactly as the spec
+    defines the forward transform, so the engine decoder must invert it."""
+    import struct as st
+    import zlib as zl
+
+    h, w = px.shape[:2]
+    bpp = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * bpp).astype(np.int32)
+    out_lines = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if w * bpp > bpp else np.zeros_like(cur)
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if w * bpp > bpp else np.zeros_like(cur)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        out_lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            st.pack(">I", len(payload)) + ctype + payload
+            + st.pack(">I", zl.crc32(ctype + payload))
+        )
+
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    body = chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    if trns is not None:
+        body += chunk(b"tRNS", trns)
+    idat = zl.compress(b"".join(out_lines))
+    # split IDAT in two chunks: decoders must concatenate
+    mid = max(1, len(idat) // 2)
+    body += chunk(b"IDAT", idat[:mid]) + chunk(b"IDAT", idat[mid:])
+    return b"\x89PNG\r\n\x1a\n" + body + chunk(b"IEND", b"")
+
+
+def test_real_png_decode_all_filters_rgb():
+    """Byte-exact reference PNG from a known matrix, every filter type
+    exercised (rows cycle 0→4), decoded back to the exact pixels."""
+    from datastream_deltalake_connector_spark.functions.image import decode_png_np
+
+    px = rand_img(w=21, h=10)  # odd width: exercises lane reshapes
+    data = _make_png(px, color=2, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png_np(data), px)
+    # decode_image_np sniffs the signature and routes to the PNG path
+    assert np.array_equal(decode_image_np(data), px)
+    # per-filter isolation: a whole image under each single filter type
+    for f in range(5):
+        data_f = _make_png(px, color=2, filters=[f])
+        assert np.array_equal(decode_png_np(data_f), px), f"filter {f} broken"
+
+
+def test_real_png_gray_rgba_palette_and_gates():
+    from datastream_deltalake_connector_spark.functions.image import decode_png_np
+
+    gray = RNG.integers(0, 256, size=(7, 5, 1)).astype(np.uint8)
+    assert np.array_equal(decode_png_np(_make_png(gray, 0, [0, 2])), gray)
+
+    rgba = RNG.integers(0, 256, size=(6, 4, 4)).astype(np.uint8)
+    assert np.array_equal(decode_png_np(_make_png(rgba, 6, [4, 3, 1])), rgba)
+
+    # palette: indices → PLTE rows; with tRNS the result gains alpha
+    pal = np.arange(256 * 3, dtype=np.uint32) % 251
+    plte = pal.astype(np.uint8).tobytes()
+    idx = RNG.integers(0, 256, size=(5, 9, 1)).astype(np.uint8)
+    rgb = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)[idx[:, :, 0]]
+    assert np.array_equal(decode_png_np(_make_png(idx, 3, [1, 4], plte=plte)), rgb)
+    out_a = decode_png_np(_make_png(idx, 3, [0], plte=plte, trns=bytes([7]) * 10))
+    assert out_a.shape == (5, 9, 4)
+    assert np.array_equal(out_a[:, :, :3], rgb)
+    assert set(np.unique(out_a[:, :, 3])) <= {7, 255}
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_np(_make_png(idx, 3, [0], plte=None))
+
+    # honest gates: interlace and 16-bit raise, not garbage
+    px = rand_img(8, 8)
+    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+        decode_png_np(_make_png(px, 2, [0], interlace=1))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png_np(_make_png(px, 2, [0], depth=16))
+
+
+def test_real_png_through_spark_udfs(spark):
+    """Real PNG bytes flow through the engine's pandas UDFs: phash matches
+    the numpy phash of the source matrix and the header probe reads IHDR."""
+    imgs = [rand_img(16 + i, 12 + i) for i in range(4)]
+    rows = [
+        (f"png{i}", _make_png(px, 2, [i % 5]), phash_np(px))
+        for i, px in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "bytes", "phash_expected"])
+    out = df.select(
+        "image_id", "phash_expected",
+        phash_udf("bytes").alias("phash"),
+        decode_dims_udf("bytes").alias("dims"),
+    ).collect()
+    for i, r in enumerate(sorted(out, key=lambda r: r["image_id"])):
+        assert r["phash"] == r["phash_expected"]
+        assert (r["dims"]["w"], r["dims"]["h"], r["dims"]["channels"], r["dims"]["lossy"]) == (
+            16 + i, 12 + i, 3, 0,
+        )
+
+
 def test_image_udfs_on_spark(spark):
     rows = []
     for i in range(20):
