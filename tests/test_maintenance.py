@@ -666,6 +666,70 @@ def test_manifest_ops_at_100k_entries(spark, tmp_path):
     )
 
 
+def _driver_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")  # pragma: no cover — Linux-only sandbox
+
+
+def test_manifest_roundtrip_at_1m_entries(spark, tmp_path):
+    """Manifest headroom at 10^12-image scale: ~2.4M entries at 10^12 images
+    / 512 MB files — this pins 1M entries (10x the sibling test) through the
+    full write → fresh reload → files_df path, with wall time and driver RSS
+    recorded (numbers documented in TESTDATA.md). The parquet manifest is
+    what keeps this off the driver for POLICY queries (files_df is a plain
+    Spark scan); the driver-side entry list is only materialized by
+    maintenance planners, and 1M dataclass entries must stay well inside a
+    normal driver heap."""
+    root = str(tmp_path / "manifest1m")
+    t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
+    n = 1_000_000
+    rss0 = _driver_rss_mb()
+    entries = [
+        FileEntry(
+            path=f"data/gen0/part-{i:07d}.parquet",
+            bytes=512 * 1024 * 1024,
+            rows=400_000,
+            stats={"image_id": {"min": f"{i:08x}", "max": f"{i + 1:08x}"}},
+        )
+        for i in range(n)
+    ]
+    rss_entries = _driver_rss_mb()
+    t0 = time.time()
+    v = t.commit("append", added=entries, removed_paths=[], expected_parent=0)
+    commit_s = time.time() - t0
+    assert t.snapshot(v).manifest.endswith(".parquet")
+    manifest_mb = os.path.getsize(
+        os.path.join(t.meta_dir, t.snapshot(v).manifest)
+    ) / 1e6
+
+    # fresh handle: no cached entry list, the read path pays full parse
+    t2 = IcepackTable.load(spark, root)
+    t0 = time.time()
+    files = t2.files(v)
+    load_s = time.time() - t0
+    assert len(files) == n
+    assert files[999_999] == entries[999_999]  # byte-identical round-trip
+    assert files[123_456].stats == entries[123_456].stats
+
+    t0 = time.time()
+    assert t2.files_df(v).count() == n  # Spark reads the manifest directly
+    filesdf_s = time.time() - t0
+    rss_peak = _driver_rss_mb()
+    print(
+        f"\n1M-manifest: commit={commit_s:.1f}s load={load_s:.1f}s "
+        f"files_df={filesdf_s:.1f}s manifest={manifest_mb:.0f}MB "
+        f"rss: base={rss0:.0f}MB +entries={rss_entries - rss0:.0f}MB "
+        f"peak={rss_peak:.0f}MB"
+    )
+    assert commit_s + load_s + filesdf_s < 60, (
+        f"1M-entry manifest ops too slow: commit={commit_s:.1f}s "
+        f"load={load_s:.1f}s files_df={filesdf_s:.1f}s"
+    )
+
+
 def test_metadata_tables(spark, tmp_path):
     root = str(tmp_path / "meta")
     t = IcepackTable.create(spark, root, MERGED_IMAGE_SCHEMA)
