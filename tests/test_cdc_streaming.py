@@ -526,3 +526,90 @@ def test_connector_daemon_runtime_isolation(spark, tmp_path):
     finally:
         daemon.stop()
     assert not daemon.active()
+
+
+def test_connector_daemon_sixteen_tables_mixed_poisoning(spark, tmp_path):
+    """Daemon breadth (ST7 at fan-out): 16 tables → exactly 32 supervised
+    streams (O(tables) state), all merging; poisoning 4 tables at runtime
+    fails exactly those 4 — one poll() reaps them in <2 s — while the other
+    12 keep 2 live streams each and keep committing new dumps."""
+    import time
+
+    from datastream_deltalake_connector_spark.streaming.ingest import ConnectorDaemon
+
+    names = [f"t{i:02d}" for i in range(16)]
+    root = tmp_path / "dumps16"
+    for tbl in names:
+        d = root / tbl / "2024" / "01" / "01" / "10" / "00"
+        d.mkdir(parents=True)
+        (d / "r1.json").write_text(
+            json.dumps([envelope(1, "2024-01-01T10:00:01.000Z", "p1", "ada", "berlin")])
+        )
+    daemon = ConnectorDaemon(
+        spark, str(root), str(tmp_path / "wh16"), processing_time=None
+    ).start()
+    try:
+        assert set(daemon.queries) == set(names)
+        assert daemon.failures == {}
+        # O(tables) supervision state: exactly two streams per table
+        assert all(len(qs) == 2 for qs in daemon.queries.values())
+
+        def merged_count(tbl: str) -> int:
+            try:
+                return IcepackTable.load(spark, daemon.targets[tbl]).scan().count()
+            except Exception:
+                return -1
+
+        def wait_for(cond, timeout=300):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if cond():
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_for(lambda: all(merged_count(t) == 1 for t in names)), (
+            "initial dumps never reached all 16 merged tables"
+        )
+        assert daemon.poll() == {t: 2 for t in names}
+
+        # poison every 4th table at runtime (see the 2-table test for why
+        # deleting HEAD + feeding a dump is the only working poison)
+        poisoned = names[::4]
+        for tbl in poisoned:
+            os.remove(os.path.join(daemon.targets[tbl], "metadata", "HEAD"))
+            d = root / tbl / "2024" / "01" / "01" / "10" / "05"
+            d.mkdir(parents=True)
+            (d / "r2.json").write_text(
+                json.dumps([envelope(2, "2024-01-01T10:05:01.000Z", "p2", "bad", "bad")])
+            )
+        dead = daemon.await_any_termination(timeout=180)
+        assert dead in poisoned
+        # wait for the remaining poisoned merge streams to die, WITHOUT
+        # poll() (merge stream is qs[1]) — then a single poll must reap
+        # all four at once, fast (reap is bookkeeping, never a Spark job)
+        assert wait_for(
+            lambda: all(not daemon.queries[t][1].isActive for t in poisoned),
+            timeout=180,
+        ), "poisoned merge streams did not all terminate"
+        t0 = time.time()
+        health = daemon.poll()
+        assert time.time() - t0 < 2.0, "poll() reap took a Spark-job-scale pause"
+        assert set(daemon.failures) == set(poisoned)
+        assert all(daemon.failures[t].startswith("runtime:") for t in poisoned)
+        assert health == {t: (1 if t in poisoned else 2) for t in names}
+
+        # breadth isolation: healthy tables still commit new dumps
+        fresh = [t for t in names if t not in poisoned][:4]
+        for tbl in fresh:
+            d = root / tbl / "2024" / "01" / "01" / "10" / "05"
+            d.mkdir(parents=True)
+            (d / "r2.json").write_text(
+                json.dumps([envelope(2, "2024-01-01T10:05:01.000Z", "p2", "grace", "oslo")])
+            )
+        assert wait_for(lambda: all(merged_count(t) == 2 for t in fresh)), (
+            "healthy tables stopped committing after sibling failures"
+        )
+    finally:
+        daemon.stop()
+    assert not daemon.active()
