@@ -2175,6 +2175,68 @@ def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(imgs)
 
 
+def _image_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-PNG ingestion, oracled: deterministic fixture images (pixel
+    [y,x,c] = (i*7 + y*3 + x*5 + c) % 251, w = 8+i%5, h = 6+i%3) are encoded
+    executor-side as standards-compliant PNGs (functions/image.encode_png_np,
+    filter type cycling i%5 so every scanline filter is exercised), then
+    decoded by the engine's from-scratch stdlib PNG decoder, emitting dims +
+    the exact pixel sum. DuckDB cannot decode PNG, but the fixture rule is
+    closed-form, so the oracle re-derives (w, h, px_sum) from the rule —
+    pinning signature sniff, chunk walk, inflate, and ALL five filter
+    reconstructions end-to-end on Spark (same trick as avro_cdc_ingest).
+    Scale shape: one mapInPandas over a range — map-only, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.image import (
+        decode_image_np,
+        encode_png_np,
+    )
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 3
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 7 + y * 3 + x * 5 + c) % 251).astype(np.uint8)
+                data = encode_png_np(px, filter_type=i % 5)
+                dec = decode_image_np(data)  # sniffs \x89PNG, real decode
+                rows.append(
+                    (
+                        f"img-{i:04d}",
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "px_sum"])
+
+    return spark.range(96, numPartitions=8).mapInPandas(
+        gen_decode, "image_id string, w int, h int, px_sum long"
+    )
+
+
+_IMAGE_PNG_INGEST_ORACLE = """
+-- DuckDB range() cannot be laterally parameterized, so the pixel grid is
+-- the max image size (12x8x3) with per-image bounds applied in the CASE
+SELECT 'img-' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS image_id,
+       CAST(8 + t.i % 5 AS INT) AS w,
+       CAST(6 + t.i % 3 AS INT) AS h,
+       CAST(sum(CASE WHEN g.y < 6 + t.i % 3 AND g.x < 8 + t.i % 5
+                     THEN (t.i*7 + g.y*3 + g.x*5 + g.c) % 251 ELSE 0 END)
+            AS BIGINT) AS px_sum
+FROM range(96) t(i),
+     (SELECT ty.range AS y, tx.range AS x, tc.range AS c
+      FROM range(8) ty, range(12) tx, range(3) tc) g
+GROUP BY t.i
+"""
+
+
 def _audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature plumbing: windowed RMS over deterministic PCM float32
     payloads via mapInPandas (real codec decode is stubbed per environment)."""
@@ -2300,7 +2362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           broadcast_join_agg, zorder_entropy, salted_group_count,
           token_count_docs, chunk_docs, source_cap_docs, hash_split_docs,
           hash_sample_docs, shipping_priority, region_nation_revenue,
-          supplier_revenue_rank (all green r1-r3).
+          supplier_revenue_rank (all green r1-r3); semantic_dedup_docs later
+          yielded its slot to the new image_png_ingest (needs its first
+          driver row).
     """
     return {
         # --- never driver-checked oracled queries (r4 rotation, first 15) ---
@@ -2319,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_time_travel": _icepack_time_travel,
         "icepack_pruned_scan": _icepack_pruned_scan,
         "icepack_expire": _icepack_expire,
+        # --- new this round (r4): needs its first driver row ---
+        "image_png_ingest": _image_png_ingest,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
@@ -2354,9 +2420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "embedding_neardup_pairs": _embedding_neardup,
         "embedding_neardup_clusters": _embedding_neardup_clusters,
-        "semantic_dedup_docs": _semantic_dedup_docs,
         # ---------------- position 51+: outside the driver's check window ---
-        # long-stable oracled rows rotated out this round (green r1-r3)
+        # long-stable oracled rows rotated out this round (green r1-r3);
+        # semantic_dedup_docs yielded its slot to the new image_png_ingest
+        "semantic_dedup_docs": _semantic_dedup_docs,
         "cdc_lww_dedup_maxby": _lww("max_by"),
         "cdc_lww_dedup_salted": _lww("salted"),
         "pricing_summary": _pricing_summary,
@@ -2457,4 +2524,5 @@ def oracle_sql() -> dict[str, str]:
         "icepack_time_travel": _ICEPACK_TT_ORACLE,
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
+        "image_png_ingest": _IMAGE_PNG_INGEST_ORACLE,
     }

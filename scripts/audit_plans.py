@@ -259,7 +259,15 @@ AUDIT = [
         "levenshtein_pairs_docs",
         "Blocked fuzzy dedup. Expect: candidates from an EQUI-join on the "
         "block prefix (no BroadcastNestedLoopJoin / cartesian anywhere), "
-        "block-count cap joined as a broadcast, levenshtein inside codegen.",
+        "block-count cap joined WITHOUT a pinned broadcast hint (counts are "
+        "O(distinct blocks); AQE broadcasts adaptively when actually small), "
+        "levenshtein inside codegen.",
+    ),
+    (
+        "image_png_ingest",
+        "Real-PNG fixture decode. Expect: map-only plan — one range source "
+        "into MapInPandas (encode+decode executor-side), ZERO exchanges; "
+        "correctness is pinned by the closed-form SQL oracle.",
     ),
     (
         "minhash_lsh_pairs_docs",
