@@ -2221,6 +2221,67 @@ def _image_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-JPEG ingestion, oracled: deterministic smooth-gradient fixtures
+    (pixel [y,x,c] = i + 3y + 3x + 30c, never wrapping — the image class
+    JPEG quantization preserves) are encoded executor-side as baseline JFIF
+    (functions/jpeg.encode_jpeg_np; odd i uses 4:2:0 subsampling, i%3==0
+    adds restart markers), then decoded by the engine's from-scratch stdlib
+    Huffman+IDCT decoder. Dims are exact per the rule; reconstruction must
+    clear the input_hint's PSNR≥40dB row-equivalence bar against the RULE-
+    regenerated pixels (not the encoder's output), so systematic decode
+    corruption cannot hide. Decoder exactness against an independent
+    spec-faithful encoder is pinned in tests/test_jpeg.py. Map-only plan."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.image import (
+        decode_image_np,
+        psnr_np,
+    )
+    from datastream_deltalake_connector_spark.functions.jpeg import encode_jpeg_np
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 5
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = (i + 3 * y + 3 * x + 30 * c).astype(np.uint8)
+                data = encode_jpeg_np(
+                    px,
+                    quality=95,
+                    subsample=bool(i % 2),
+                    restart_interval=2 if i % 3 == 0 else 0,
+                )
+                dec = decode_image_np(data)  # sniffs FFD8, real decode
+                rows.append(
+                    (
+                        f"img-{i:04d}",
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        bool(psnr_np(px, dec) >= 40.0),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "psnr_ge_40"])
+
+    return spark.range(48, numPartitions=8).mapInPandas(
+        gen_decode, "image_id string, w int, h int, psnr_ge_40 boolean"
+    )
+
+
+_IMAGE_JPEG_INGEST_ORACLE = """
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+       CAST(8 + i % 9 AS INT) AS w,
+       CAST(8 + i % 5 AS INT) AS h,
+       true AS psnr_ge_40
+FROM range(48) t(i)
+"""
+
+
 _IMAGE_PNG_INGEST_ORACLE = """
 -- DuckDB range() cannot be laterally parameterized, so the pixel grid is
 -- the max image size (12x8x3) with per-image bounds applied in the CASE
@@ -2383,8 +2444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_time_travel": _icepack_time_travel,
         "icepack_pruned_scan": _icepack_pruned_scan,
         "icepack_expire": _icepack_expire,
-        # --- new this round (r4): needs its first driver row ---
+        # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
+        "image_jpeg_ingest": _image_jpeg_ingest,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
@@ -2419,10 +2481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_docs": _token_rarity_docs,
         "tfidf_top_terms": _tfidf_top_terms,
         "embedding_neardup_pairs": _embedding_neardup,
-        "embedding_neardup_clusters": _embedding_neardup_clusters,
         # ---------------- position 51+: outside the driver's check window ---
         # long-stable oracled rows rotated out this round (green r1-r3);
-        # semantic_dedup_docs yielded its slot to the new image_png_ingest
+        # embedding_neardup_clusters and semantic_dedup_docs yielded their
+        # slots to the new image_png_ingest / image_jpeg_ingest
+        "embedding_neardup_clusters": _embedding_neardup_clusters,
         "semantic_dedup_docs": _semantic_dedup_docs,
         "cdc_lww_dedup_maxby": _lww("max_by"),
         "cdc_lww_dedup_salted": _lww("salted"),
@@ -2525,4 +2588,5 @@ def oracle_sql() -> dict[str, str]:
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
         "image_png_ingest": _IMAGE_PNG_INGEST_ORACLE,
+        "image_jpeg_ingest": _IMAGE_JPEG_INGEST_ORACLE,
     }

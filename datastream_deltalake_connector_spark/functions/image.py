@@ -43,6 +43,7 @@ __all__ = [
     "encode_image_np",
     "decode_image_np",
     "decode_png_np",
+    "encode_png_np",
     "phash_np",
     "psnr_np",
     "phash_udf",
@@ -131,6 +132,57 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def encode_png_np(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (h, w, c) uint8 (c ∈ {1, 2, 3, 4} → gray/gray+A/RGB/RGBA) as a
+    standards-compliant 8-bit PNG (stdlib zlib only). ``filter_type`` picks
+    the scanline filter applied to EVERY row (0=None … 4=Paeth) — real
+    encoders choose per-row heuristically; a fixed type keeps the output
+    deterministic and still exercises any spec-correct decoder."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3:
+        raise ValueError("encode_png_np expects (h, w, c) uint8")
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color is None or not 0 <= filter_type <= 4:
+        raise ValueError(f"unsupported channel count {c} or filter {filter_type}")
+    flat = pixels.reshape(h, w * c).astype(np.int32)
+    zeros = np.zeros(c, np.int32)
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([zeros, cur[:-c]])
+        ul = np.concatenate([zeros, prev[:-c]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth predictor
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level=6)
+    return (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
 def decode_png_np(data: bytes) -> np.ndarray:
     """Decode a real PNG (stdlib zlib + numpy only) → (h, w, c) uint8.
     Supports bit depth 8, color types 0/2/3/4/6, interlace 0; palette
@@ -200,11 +252,15 @@ def encode_image_np(pixels: np.ndarray, fmt: str) -> bytes:
 def decode_image_np(data: bytes) -> np.ndarray:
     if data[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
         return decode_png_np(data)  # real-world PNG bytes
+    if data[:2] == b"\xff\xd8":  # real-world baseline JPEG bytes
+        from .jpeg import decode_jpeg_np
+
+        return decode_jpeg_np(data)
     magic, w, h, c = struct.unpack_from(_HEADER_FMT, data)
     if magic not in (MAGIC_PNG, MAGIC_JPG):
         raise NotImplementedError(
-            "real JPEG decode requires an image library not present in "
-            "this container; PNG, FPNG and FJPG payloads are decodable"
+            "unrecognized image byte stream; PNG, baseline JPEG, FPNG and "
+            "FJPG payloads are decodable"
         )
     raw = zlib.decompress(data[_HEADER_SIZE:])
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
@@ -314,6 +370,12 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
         if b[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
             w, h, _depth, color = struct.unpack_from(">IIBB", b, 16)
             rows.append((int(w), int(h), _PNG_CHANNELS.get(color), 0))
+            continue
+        if b[:2] == b"\xff\xd8":
+            from .jpeg import jpeg_dims
+
+            w, h, nc = jpeg_dims(b)
+            rows.append((w, h, nc, 1))
             continue
         magic, w, h, c = struct.unpack_from(_HEADER_FMT, b)
         rows.append((int(w), int(h), int(c), int(magic == MAGIC_JPG)))

@@ -1,0 +1,517 @@
+"""Baseline-sequential JPEG (JFIF) decoder — pure stdlib + numpy.
+
+The container ships no image library, and the reference ingests whatever
+bytes the CDC dump contains (reference: datastream/DatastreamIO.scala:90-95),
+so the engine decodes real-world JPEGs itself: marker walk (SOI/APPn/DQT/
+SOF0/DHT/DRI/SOS/EOI), canonical Huffman decode of the entropy stream
+(byte-unstuffing + restart markers), dequantization, inverse zigzag, a
+vectorized 8x8 IDCT (all blocks of a component at once), chroma upsampling
+for any sampling factors (4:4:4, 4:2:2, 4:2:0, ...), and BT.601 YCbCr→RGB.
+
+Scope (honest gates, like the PNG decoder's): baseline sequential DCT,
+8-bit precision, 1 or 3 components, single scan. Progressive (SOF2),
+arithmetic coding, 12-bit, and hierarchical modes raise NotImplementedError.
+
+Performance posture: the per-symbol Huffman loop is Python (inherently
+bit-serial), everything after coefficient extraction is vectorized numpy —
+one batched (n_blocks, 8, 8) IDCT per component. This is the correctness
+path for real bytes; the bulk synthetic bench path stays on the zlib
+stand-in codec. At 100 TB the decode runs inside Arrow-batched mapInPandas
+on executors — the engine never ships pixels through the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg_np", "encode_jpeg_np", "jpeg_dims", "JPEG_SOI"]
+
+JPEG_SOI = b"\xff\xd8"
+
+# zigzag index: ZIGZAG[k] = natural (row-major) position of the k-th
+# zigzag-ordered coefficient
+ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_IDCT_BASIS = None
+
+
+def _idct_basis() -> np.ndarray:
+    """8x8 DCT-II basis C with C[k, n] = s(k) cos((2n+1)kπ/16); spatial
+    block = C.T @ coeffs @ C."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        k = np.arange(8)[:, None]
+        n = np.arange(8)[None, :]
+        c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+        c[0] /= np.sqrt(2.0)
+        _IDCT_BASIS = c
+    return _IDCT_BASIS
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table (from DHT BITS + HUFFVAL) with the
+    classic mincode/maxcode/valptr sequential decoder."""
+
+    def __init__(self, bits: list[int], values: bytes) -> None:
+        self.values = values
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = reader.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            if length >= 16:
+                raise ValueError("corrupt JPEG: Huffman code over 16 bits")
+            code = (code << 1) | reader.read_bit()
+            length += 1
+        return self.values[self.valptr[length] + code - self.mincode[length]]
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; RSTn markers are consumed by ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker reached by over-read (padding bits); feed
+                # 1-bits per spec — sync_restart will realign
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                # EOI or next segment: pad with 1-bits
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int, int]:
+    """Header-only probe: walk markers to the first SOF and return
+    (w, h, n_components) without touching entropy data — the cheap
+    metadata path over billions of binaries."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG byte stream")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG header")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", data, pos + 3)
+            return int(w), int(h), data[pos + 7]
+        pos += seg_len
+    raise ValueError("JPEG has no SOF segment")
+
+
+def decode_jpeg_np(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF bytes → (h, w, c) uint8 with c ∈ {1, 3}."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG byte stream")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[tid] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                huff[(cls, tid)] = _HuffTable(bits, seg[p + 17 : p + 17 + nv])
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (progressive/arithmetic/"
+                "hierarchical) not supported — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tables[cid] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                data, pos + seg_len, frame, scan_tables, qt, huff, restart_interval
+            )
+        pos += seg_len
+    raise ValueError("corrupt JPEG: no SOS segment")
+
+
+def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    # per-component zigzag coefficient store: (blocks_per_mcu * n_mcus, 64)
+    store = [
+        np.zeros((c["h"] * c["v"] * n_mcus, 64), dtype=np.int32) for c in comps
+    ]
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart()
+            pred = [0] * len(comps)
+        for ci, c in enumerate(comps):
+            dc_t = huff[(0, scan_tables[c["id"]][0])]
+            ac_t = huff[(1, scan_tables[c["id"]][1])]
+            for b in range(c["h"] * c["v"]):
+                row = store[ci][m * c["h"] * c["v"] + b]
+                t = dc_t.decode(reader)
+                pred[ci] += _extend(reader.receive(t), t)
+                row[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = ac_t.decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index past 63")
+                    row[k] = _extend(reader.receive(s), s)
+                    k += 1
+    # vectorized: dequantize + inverse zigzag + batched IDCT per component
+    planes = []
+    basis = _idct_basis()
+    for ci, c in enumerate(comps):
+        nat = np.zeros_like(store[ci])
+        nat[:, ZIGZAG] = store[ci]
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64) * qt[c["tq"]]
+        spatial = np.einsum("km,bkl,ln->bmn", basis, blocks, basis)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        # assemble the component plane from per-MCU block grids
+        bw, bh = c["h"], c["v"]
+        grid = spatial.reshape(mcuy, mcux, bh, bw, 8, 8)
+        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(mcuy * bh * 8, mcux * bw * 8)
+        # upsample to full resolution (sample replication), then crop
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encoder
+# T.81 Annex K example quantization tables (public spec constants), the
+# quality scaling used by every mainstream encoder, and simple fixed-length
+# canonical Huffman tables (any spec-valid DHT is a legal JPEG; fixed-length
+# codes trade a few percent of size for obviously-correct table handling).
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_Q_CHROMA = np.full((8, 8), 99, dtype=np.int32)
+_Q_CHROMA[:4, :4] = [[17, 18, 24, 47], [18, 21, 26, 66], [24, 26, 56, 99], [47, 66, 99, 99]]
+
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12           # 12 categories @ 4 bits
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_BITS = [0] * 8 + [255, 1] + [0] * 6       # 256 run/size symbols @ 9-10 bits
+_ENC_AC_VALS = bytes(range(256))
+
+
+def _canonical_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_ENC_DC_CODE = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC_CODE = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def align(self) -> None:  # pad final byte with 1-bits (spec F.1.2.3)
+        while self._n:
+            self.put(1, 1)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) -> int:
+    basis = _idct_basis()
+    coef = np.round((basis @ (block - 128.0) @ basis.T) / q).astype(int)
+    zz = coef.reshape(-1)[ZIGZAG]
+
+    def put_sym(code_table, sym, extra, s):
+        code, length = code_table[sym]
+        w.put(code, length)
+        if s:
+            w.put(extra if extra >= 0 else extra + (1 << s) - 1, s)
+
+    diff = int(zz[0]) - pred
+    s = int(abs(diff)).bit_length()
+    put_sym(_ENC_DC_CODE, s, diff, s)
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            put_sym(_ENC_AC_CODE, 0xF0, 0, 0)  # ZRL
+            run -= 16
+        s = int(abs(v)).bit_length()
+        put_sym(_ENC_AC_CODE, (run << 4) | s, v, s)
+        run = 0
+    if last < 63:
+        put_sym(_ENC_AC_CODE, 0x00, 0, 0)  # EOB
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_np(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w, c) uint8 with c ∈ {1, 3} as baseline sequential JFIF.
+    ``subsample=True`` emits 4:2:0 (chroma = 2x2 block means); the output is
+    standards-compliant and decodable by any JPEG reader."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg_np expects (h, w, 1|3) uint8")
+    h, w, nc = pixels.shape
+    ql = _scaled_quant(_Q_LUMA, quality)
+    qc = _scaled_quant(_Q_CHROMA, quality)
+    if nc == 1:
+        planes = [pixels[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = (pixels[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            def half(p: np.ndarray) -> np.ndarray:
+                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4
+
+            planes = [y, half(cb), half(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        np.pad(
+            np.clip(np.round(p), 0, 255),
+            ((0, mcuy * s[1] * 8 - p.shape[0]), (0, mcux * s[0] * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for p, s in zip(planes, samp)
+    ]
+
+    out = bytearray(JPEG_SOI)
+    out += _seg(0xDB, bytes([0]) + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    if nc == 3:
+        out += _seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, s in enumerate(samp):
+        sof += bytes([i + 1, (s[0] << 4) | s[1], qids[i]])
+    out += _seg(0xC0, sof)
+    for cls in (0, 1):
+        for tid in (0,) if nc == 1 else (0, 1):
+            bits, vals = (
+                (_ENC_DC_BITS, _ENC_DC_VALS) if cls == 0 else (_ENC_AC_BITS, _ENC_AC_VALS)
+            )
+            out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + vals)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        tid = 0 if (nc == 1 or i == 0) else 1
+        sos += bytes([i + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    writer = _BitWriter()
+    preds = [0] * nc
+    qs = [ql if qid == 0 else qc for qid in qids]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.align()
+            out += writer.out
+            writer = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci, (p, s) in enumerate(zip(padded, samp)):
+            for by in range(s[1]):
+                for bx in range(s[0]):
+                    y0 = (my * s[1] + by) * 8
+                    x0 = (mx * s[0] + bx) * 8
+                    preds[ci] = _encode_block(
+                        writer, p[y0 : y0 + 8, x0 : x0 + 8], qs[ci], preds[ci]
+                    )
+    writer.align()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

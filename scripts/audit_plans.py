@@ -270,6 +270,12 @@ AUDIT = [
         "correctness is pinned by the closed-form SQL oracle.",
     ),
     (
+        "image_jpeg_ingest",
+        "Real-JPEG fixture decode (Huffman+IDCT in the engine). Expect: the "
+        "same map-only MapInPandas shape, ZERO exchanges; dims + PSNR>=40dB "
+        "vs the closed-form rule in the oracle.",
+    ),
+    (
         "minhash_lsh_pairs_docs",
         "MinHash LSH through the capped _bucket_pairs core. Expect: "
         "zero-shuffle sketch (no exchange before the bucket groupBy), the "

@@ -180,6 +180,39 @@ def test_real_png_gray_rgba_palette_and_gates():
         decode_png_np(_make_png(px, 2, [0], depth=16))
 
 
+def test_engine_png_encoder_roundtrip_all_filters_and_channels():
+    """Engine-side encode_png_np: standards-compliant output (signature,
+    IHDR, CRCs) that the engine decoder inverts exactly, for every filter
+    type and channel count."""
+    from datastream_deltalake_connector_spark.functions.image import (
+        PNG_SIGNATURE,
+        decode_png_np,
+        encode_png_np,
+    )
+    import zlib as zl
+    import struct as st
+
+    for c in (1, 2, 3, 4):
+        px = RNG.integers(0, 256, size=(9, 13, c)).astype(np.uint8)
+        for f in range(5):
+            data = encode_png_np(px, filter_type=f)
+            assert data[:8] == PNG_SIGNATURE
+            # chunk CRCs are spec-correct (a strict reader would verify)
+            pos = 8
+            while pos < len(data):
+                (length,) = st.unpack_from(">I", data, pos)
+                ctype = data[pos + 4 : pos + 8]
+                payload = data[pos + 8 : pos + 8 + length]
+                (crc,) = st.unpack_from(">I", data, pos + 8 + length)
+                assert crc == zl.crc32(ctype + payload), f"bad CRC on {ctype}"
+                pos += 12 + length
+            assert np.array_equal(decode_png_np(data), px), f"c={c} f={f}"
+    with pytest.raises(ValueError):
+        encode_png_np(np.zeros((4, 4, 5), np.uint8))
+    with pytest.raises(ValueError):
+        encode_png_np(np.zeros((4, 4, 3), np.uint8), filter_type=7)
+
+
 def test_real_png_through_spark_udfs(spark):
     """Real PNG bytes flow through the engine's pandas UDFs: phash matches
     the numpy phash of the source matrix and the header probe reads IHDR."""
