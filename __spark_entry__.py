@@ -2282,6 +2282,132 @@ FROM range(48) t(i)
 """
 
 
+def _audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WAV ingestion, oracled: deterministic square-wave fixtures
+    (amplitude (1 + i%7)/8, so windowed RMS is EXACTLY the amplitude) are
+    written executor-side as standards-compliant RIFF/WAVE by the engine
+    encoder — cycling 16/24/32-bit PCM and float32, mono and stereo — then
+    decoded by the from-scratch stdlib RIFF parser and windowed through the
+    production ``audio_features`` operator. n_windows is exact per the rule;
+    rms_ok requires every window's RMS within 1e-3 of the closed-form value,
+    so a channel-interleave or sign/scale decode bug cannot hide. Decoder
+    exactness vs stdlib ``wave`` is pinned in tests/test_gif_wav.py.
+    Map-only plan: generate → mapInPandas(audio_features), zero exchanges."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.audio import encode_wav_np
+    from datastream_deltalake_connector_spark.functions.multimodal import (
+        audio_features,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                amp = (1 + i % 7) / 8.0
+                n = 256 * (2 + i % 3)
+                sq = np.tile([amp, -amp], n // 2)
+                ch = 1 + i % 2
+                x = sq if ch == 1 else np.stack([sq, sq], axis=1)
+                bits = (16, 24, 32, 33)[i % 4]
+                rows.append((f"aud-{i:04d}", encode_wav_np(x, 16000, bits=bits)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    raw = spark.range(40, numPartitions=8).mapInPandas(
+        gen, "audio_id string, bytes binary"
+    )
+    feats = audio_features(raw, window=256)
+    amp = (1 + F.substring("audio_id", 5, 4).cast("int") % 7) / 8.0
+    return feats.select(
+        "audio_id",
+        "n_windows",
+        F.aggregate(
+            "rms", F.lit(True), lambda ok, v: ok & (F.abs(v - amp) < 1e-3)
+        ).alias("rms_ok"),
+    )
+
+
+_AUDIO_WAV_INGEST_ORACLE = """
+SELECT 'aud-' || lpad(CAST(i AS VARCHAR), 4, '0') AS audio_id,
+       CAST(2 + i % 3 AS INT) AS n_windows,
+       true AS rms_ok
+FROM range(40) t(i)
+"""
+
+
+def _video_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-GIF frame sampling, oracled: deterministic paletted animations
+    (pixel[f, y, x, :] = ((x + y + f) % 6) * 40 — ≤6 colors, exact-palette)
+    are encoded executor-side as GIF89a by the engine encoder (odd i
+    interlaced), then exploded through the production ``sample_video_frames``
+    operator, whose from-scratch LZW decoder must reproduce every sampled
+    frame EXACTLY (GIF is lossless) — `exact` compares the decoded frame
+    against rule-regenerated pixels, catching palette, interlace, or LZW
+    bugs. Frame indices/counts are closed-form in the oracle. Decoder parity
+    with hand-assembled spec bytes is pinned in tests/test_gif_wav.py."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.gif import encode_gif_np
+    from datastream_deltalake_connector_spark.functions.image import decode_image_np
+    from datastream_deltalake_connector_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    def rule_frames(i: int) -> np.ndarray:
+        n, h, w = 3 + i % 4, 6 + i % 3, 7 + i % 2
+        f, y, x = np.meshgrid(np.arange(n), np.arange(h), np.arange(w), indexing="ij")
+        return (((x + y + f) % 6) * 40).astype(np.uint8)[..., None].repeat(3, axis=3)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    f"vid-{int(i):04d}",
+                    encode_gif_np(rule_frames(int(i)), interlace=bool(int(i) % 2)),
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    raw = spark.range(24, numPartitions=8).mapInPandas(
+        gen, "video_id string, bytes binary"
+    )
+    frames = sample_video_frames(raw, every_nth=2)
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for vid, idx, fb, w, h in zip(
+                pdf["video_id"], pdf["frame_index"], pdf["frame_bytes"], pdf["w"], pdf["h"]
+            ):
+                i = int(vid[4:])
+                exact = bool(
+                    np.array_equal(decode_image_np(fb), rule_frames(i)[int(idx)])
+                )
+                rows.append((vid, int(idx), int(w), int(h), exact))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_index", "w", "h", "exact"]
+            )
+
+    return frames.mapInPandas(
+        check, "video_id string, frame_index int, w int, h int, exact boolean"
+    )
+
+
+_VIDEO_GIF_FRAMES_ORACLE = """
+SELECT 'vid-' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS video_id,
+       CAST(fi.f AS INT) AS frame_index,
+       CAST(7 + t.i % 2 AS INT) AS w,
+       CAST(6 + t.i % 3 AS INT) AS h,
+       true AS exact
+FROM range(24) t(i),
+     LATERAL (SELECT unnest(generate_series(0, CAST(2 + t.i % 4 AS BIGINT), 2)) AS f) fi
+"""
+
+
 _IMAGE_PNG_INGEST_ORACLE = """
 -- DuckDB range() cannot be laterally parameterized, so the pixel grid is
 -- the max image size (12x8x3) with per-image bounds applied in the CASE
@@ -2447,12 +2573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
+        "audio_wav_ingest": _audio_wav_ingest,
+        "video_gif_frames": _video_gif_frames,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
-        "zorder_key": _zorder_key,
         "exact_dedup_docs": _exact_dedup_docs,
-        "fingerprint_docs": _fingerprint_docs,
         "doc_quality": _doc_quality,
         "corpus_filter_docs": _corpus_filter_docs,
         "segment_dedup_docs": _segment_dedup_docs,
@@ -2483,10 +2609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _embedding_neardup,
         # ---------------- position 51+: outside the driver's check window ---
         # long-stable oracled rows rotated out this round (green r1-r3);
-        # embedding_neardup_clusters and semantic_dedup_docs yielded their
-        # slots to the new image_png_ingest / image_jpeg_ingest
+        # embedding_neardup_clusters, semantic_dedup_docs, zorder_key and
+        # fingerprint_docs yielded their slots to the new real-codec ingest
+        # queries (image_png/image_jpeg/audio_wav/video_gif)
         "embedding_neardup_clusters": _embedding_neardup_clusters,
         "semantic_dedup_docs": _semantic_dedup_docs,
+        "zorder_key": _zorder_key,
+        "fingerprint_docs": _fingerprint_docs,
         "cdc_lww_dedup_maxby": _lww("max_by"),
         "cdc_lww_dedup_salted": _lww("salted"),
         "pricing_summary": _pricing_summary,
@@ -2589,4 +2718,6 @@ def oracle_sql() -> dict[str, str]:
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
         "image_png_ingest": _IMAGE_PNG_INGEST_ORACLE,
         "image_jpeg_ingest": _IMAGE_JPEG_INGEST_ORACLE,
+        "audio_wav_ingest": _AUDIO_WAV_INGEST_ORACLE,
+        "video_gif_frames": _VIDEO_GIF_FRAMES_ORACLE,
     }

@@ -1,0 +1,161 @@
+"""REAL WAV (RIFF/WAVE) codec — pure stdlib ``struct`` + numpy.
+
+The reference connector ingests whatever bytes Datastream lands in GCS
+(`DatastreamIO.scala:90-95` is payload-agnostic); a real engine must read
+real audio bytes, not just raw float buffers. This module parses the RIFF
+container from scratch:
+
+- ``decode_wav_np``: chunk walk (handles non-fmt/data chunks like LIST and
+  odd-length padding), PCM integer 8/16/24/32-bit and IEEE float 32/64-bit,
+  any channel count → float64 samples in [-1, 1], shape (n_samples, ch).
+- ``encode_wav_np``: standards-compliant writer for the same sample space
+  (16/24/32-bit PCM or float32), used by tests and synthetic generators.
+
+Compressed formats (ADPCM, MP3-in-WAV, A-law/µ-law) are honestly gated
+behind ``NotImplementedError`` — the container lacks codec libraries.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_wav_np", "encode_wav_np", "wav_info"]
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _parse_chunks(data: bytes) -> dict[bytes, tuple[int, int]]:
+    """RIFF chunk walk → {chunk_id: (offset, size)} for fmt/data (first of
+    each wins, per spec). Tolerates trailing junk and odd-size padding."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    chunks: dict[bytes, tuple[int, int]] = {}
+    pos = 12
+    end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid not in chunks:
+            chunks[cid] = (pos + 8, size)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("WAVE stream missing fmt or data chunk")
+    return chunks
+
+
+def wav_info(data: bytes) -> dict:
+    """Header probe without decoding samples: sample rate, channels, bit
+    depth, sample count — the audio analogue of the image dims probe."""
+    chunks = _parse_chunks(data)
+    off, size = chunks[b"fmt "]
+    fmt_tag, ch, rate, _brate, block, bits = struct.unpack_from("<HHIIHH", data, off)
+    if fmt_tag == _WAVE_FORMAT_EXTENSIBLE and size >= 40:
+        # true format lives in the first 2 bytes of the SubFormat GUID
+        (fmt_tag,) = struct.unpack_from("<H", data, off + 24)
+    _doff, dsize = chunks[b"data"]
+    n = dsize // block if block else 0
+    return {
+        "format": int(fmt_tag),
+        "channels": int(ch),
+        "sample_rate": int(rate),
+        "bits": int(bits),
+        "n_samples": int(n),
+    }
+
+
+def decode_wav_np(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode → (samples float64 in [-1, 1], shape (n, channels); rate)."""
+    chunks = _parse_chunks(data)
+    info = wav_info(data)
+    fmt_tag, ch, bits = info["format"], info["channels"], info["bits"]
+    doff, dsize = chunks[b"data"]
+    dsize = min(dsize, len(data) - doff)
+    raw = data[doff : doff + dsize]
+
+    if fmt_tag == _WAVE_FORMAT_PCM:
+        if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw[: (len(raw) // 3) * 3], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits} not supported")
+    elif fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"IEEE float WAV with bits={bits}")
+    else:
+        raise NotImplementedError(
+            f"compressed WAV format tag 0x{fmt_tag:04x} requires a codec "
+            "library not present in this container (PCM and IEEE float decode)"
+        )
+    n = len(x) // ch
+    return x[: n * ch].reshape(n, ch), info["sample_rate"]
+
+
+def encode_wav_np(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
+    """Encode float samples in [-1, 1] (shape (n,) or (n, ch)) as a
+    standards-compliant WAV. ``bits``: 16/24/32 (PCM) or 33 → float32."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    x = np.clip(x, -1.0, 1.0)
+    # Quantize symmetrically with the decoder (x * 2^(bits-1), clipped to the
+    # signed range) so decode(encode(decode(d))) is byte-identical to d.
+    if bits == 16:
+        q = np.clip(np.round(x * 32768.0), -32768, 32767)
+        fmt_tag, payload, bytes_per = _WAVE_FORMAT_PCM, q.astype("<i2").tobytes(), 2
+    elif bits == 24:
+        v = np.clip(np.round(x * float(1 << 23)), -(1 << 23), (1 << 23) - 1).astype(
+            np.int32
+        )
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        b = np.empty((v.size, 3), dtype=np.uint8)
+        flat = v.reshape(-1)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        fmt_tag, payload, bytes_per = _WAVE_FORMAT_PCM, b.tobytes(), 3
+    elif bits == 32:
+        q = np.clip(np.round(x * float(1 << 31)), -(1 << 31), (1 << 31) - 1)
+        fmt_tag, payload, bytes_per = _WAVE_FORMAT_PCM, q.astype("<i4").tobytes(), 4
+    elif bits == 33:  # float32 convention
+        fmt_tag, payload, bytes_per, bits = (
+            _WAVE_FORMAT_IEEE_FLOAT,
+            x.astype("<f4").tobytes(),
+            4,
+            32,
+        )
+    else:
+        raise ValueError(f"unsupported encode bit depth {bits}")
+    block = ch * bytes_per
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, ch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body

@@ -256,11 +256,15 @@ def decode_image_np(data: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg_np
 
         return decode_jpeg_np(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):  # real-world GIF: first frame
+        from .gif import decode_gif_np
+
+        return decode_gif_np(data)[0][0]
     magic, w, h, c = struct.unpack_from(_HEADER_FMT, data)
     if magic not in (MAGIC_PNG, MAGIC_JPG):
         raise NotImplementedError(
-            "unrecognized image byte stream; PNG, baseline JPEG, FPNG and "
-            "FJPG payloads are decodable"
+            "unrecognized image byte stream; PNG, baseline JPEG, GIF, FPNG "
+            "and FJPG payloads are decodable"
         )
     raw = zlib.decompress(data[_HEADER_SIZE:])
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
@@ -376,6 +380,10 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
 
             w, h, nc = jpeg_dims(b)
             rows.append((w, h, nc, 1))
+            continue
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", b, 6)
+            rows.append((int(w), int(h), 3, 0))
             continue
         magic, w, h, c = struct.unpack_from(_HEADER_FMT, b)
         rows.append((int(w), int(h), int(c), int(magic == MAGIC_JPG)))

@@ -165,12 +165,17 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Explode each video row into one row per sampled frame. The container
-    parse for real MP4/WebM requires a media library this container lacks —
-    only the FVID fake decodes; anything else raises NotImplementedError.
-    The row-explosion plumbing (1→N rows inside mapInPandas, typed schema,
-    frame re-encode to the image codec) is the real, tested part."""
+    """Explode each video row into one row per sampled frame. REAL animated
+    GIF bitstreams (GIF87a/GIF89a sniff) decode through the from-scratch LZW
+    decoder in functions/gif — palette, interlace, transparency, disposal —
+    so frame sampling runs on genuine real-world bytes. MP4/WebM require a
+    media library this container lacks; those and anything else non-FVID
+    raise NotImplementedError. The row-explosion plumbing (1→N rows inside
+    mapInPandas, typed schema, frame re-encode to the image codec) is shared
+    by both paths."""
     import struct
+
+    from .gif import GIF_SIGNATURES, decode_gif_np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -178,13 +183,20 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             for vid, data in zip(b["video_id"], b["bytes"]):
                 if data is None:
                     continue
-                magic, n, w, h = struct.unpack_from("<4sIII", data)
-                if magic != FAKE_VIDEO_MAGIC:
-                    raise NotImplementedError(
-                        "real video decode requires a media library not in "
-                        "this container; only FVID fake containers decode"
+                if bytes(data[:6]) in GIF_SIGNATURES:
+                    gif_frames, _delays = decode_gif_np(bytes(data))
+                    n, h, w = gif_frames.shape[:3]
+                    frames = gif_frames
+                else:
+                    magic, n, w, h = struct.unpack_from("<4sIII", data)
+                    if magic != FAKE_VIDEO_MAGIC:
+                        raise NotImplementedError(
+                            "real MP4/WebM decode requires a media library not "
+                            "in this container; animated GIF and FVID decode"
+                        )
+                    frames = np.frombuffer(data, dtype=np.uint8, offset=16).reshape(
+                        n, h, w, 3
                     )
-                frames = np.frombuffer(data, dtype=np.uint8, offset=16).reshape(n, h, w, 3)
                 for i in range(0, n, every_nth):
                     rows.append(
                         (vid, i, encode_image_np(frames[i], "png"), int(w), int(h))
@@ -208,9 +220,12 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def audio_features(df: DataFrame, window: int = 1024) -> DataFrame:
-    """Windowed RMS over PCM float32 payloads (raw little-endian; a real
-    WAV/FLAC/MP3 decode would go where the frombuffer is). Expects
+    """Windowed RMS per audio row. REAL WAV bytes (RIFF sniff) decode through
+    the from-scratch stdlib parser in functions/audio (PCM 8/16/24/32-bit and
+    IEEE float, any channel count — multichannel is averaged to mono before
+    windowing); anything else is treated as a raw float32 LE buffer. Expects
     (audio_id, bytes)."""
+    from .audio import decode_wav_np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -219,7 +234,10 @@ def audio_features(df: DataFrame, window: int = 1024) -> DataFrame:
                 if data is None:
                     rows.append((aid, None, None))
                     continue
-                pcm = np.frombuffer(data, dtype=np.float32)
+                if data[:4] == b"RIFF":
+                    pcm = decode_wav_np(data)[0].mean(axis=1)
+                else:
+                    pcm = np.frombuffer(data, dtype=np.float32)
                 n = len(pcm) // window
                 if n == 0:
                     rows.append((aid, 0, []))

@@ -276,6 +276,19 @@ AUDIT = [
         "vs the closed-form rule in the oracle.",
     ),
     (
+        "audio_wav_ingest",
+        "Real-WAV fixture decode (RIFF parse in the engine) through the "
+        "production audio_features operator. Expect: map-only chained "
+        "MapInPandas, ZERO exchanges; exact windowed RMS vs the rule.",
+    ),
+    (
+        "video_gif_frames",
+        "Real-GIF frame sampling (LZW decode in the engine) through the "
+        "production sample_video_frames explode. Expect: map-only chained "
+        "MapInPandas (1-to-N rows inside the UDF), ZERO exchanges; frames "
+        "byte-exact vs the rule.",
+    ),
+    (
         "minhash_lsh_pairs_docs",
         "MinHash LSH through the capped _bucket_pairs core. Expect: "
         "zero-shuffle sketch (no exchange before the bucket groupBy), the "
