@@ -2224,14 +2224,17 @@ def _image_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _image_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-JPEG ingestion, oracled: deterministic smooth-gradient fixtures
     (pixel [y,x,c] = i + 3y + 3x + 30c, never wrapping — the image class
-    JPEG quantization preserves) are encoded executor-side as baseline JFIF
+    JPEG quantization preserves) are encoded executor-side as JFIF
     (functions/jpeg.encode_jpeg_np; odd i uses 4:2:0 subsampling, i%3==0
-    adds restart markers), then decoded by the engine's from-scratch stdlib
-    Huffman+IDCT decoder. Dims are exact per the rule; reconstruction must
-    clear the input_hint's PSNR≥40dB row-equivalence bar against the RULE-
-    regenerated pixels (not the encoder's output), so systematic decode
-    corruption cannot hide. Decoder exactness against an independent
-    spec-faithful encoder is pinned in tests/test_jpeg.py. Map-only plan."""
+    adds restart markers, i%4==1 emits PROGRESSIVE SOF2 with the full
+    successive-approximation scan ladder — how most web JPEGs are saved),
+    then decoded by the engine's from-scratch stdlib Huffman+IDCT decoder.
+    Dims are exact per the rule; reconstruction must clear the input_hint's
+    PSNR≥40dB row-equivalence bar against the RULE-regenerated pixels (not
+    the encoder's output), so systematic decode corruption cannot hide.
+    Decoder exactness against an independent spec-faithful encoder and
+    progressive==baseline decode identity are pinned in tests/test_jpeg.py.
+    Map-only plan."""
     import numpy as np
     import pandas as pd
 
@@ -2251,11 +2254,13 @@ def _image_jpeg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 px = (i + 3 * y + 3 * x + 30 * c).astype(np.uint8)
+                progressive = i % 4 == 1
                 data = encode_jpeg_np(
                     px,
                     quality=95,
                     subsample=bool(i % 2),
-                    restart_interval=2 if i % 3 == 0 else 0,
+                    restart_interval=0 if progressive else (2 if i % 3 == 0 else 0),
+                    progressive=progressive,
                 )
                 dec = decode_image_np(data)  # sniffs FFD8, real decode
                 rows.append(

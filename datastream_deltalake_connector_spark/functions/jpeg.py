@@ -1,16 +1,23 @@
-"""Baseline-sequential JPEG (JFIF) decoder — pure stdlib + numpy.
+"""Baseline-sequential AND progressive JPEG (JFIF) codec — pure stdlib + numpy.
 
 The container ships no image library, and the reference ingests whatever
 bytes the CDC dump contains (reference: datastream/DatastreamIO.scala:90-95),
 so the engine decodes real-world JPEGs itself: marker walk (SOI/APPn/DQT/
-SOF0/DHT/DRI/SOS/EOI), canonical Huffman decode of the entropy stream
+SOF0/SOF2/DHT/DRI/SOS/EOI), canonical Huffman decode of the entropy stream
 (byte-unstuffing + restart markers), dequantization, inverse zigzag, a
 vectorized 8x8 IDCT (all blocks of a component at once), chroma upsampling
 for any sampling factors (4:4:4, 4:2:2, 4:2:0, ...), and BT.601 YCbCr→RGB.
 
-Scope (honest gates, like the PNG decoder's): baseline sequential DCT,
-8-bit precision, 1 or 3 components, single scan. Progressive (SOF2),
-arithmetic coding, 12-bit, and hierarchical modes raise NotImplementedError.
+Progressive (SOF2, how most web JPEGs are saved) implements the full T.81
+Annex G.1.2 successive-approximation decoder: multi-scan coefficient
+accumulation, interleaved DC scans (first + refinement), non-interleaved
+spectral-selection AC scans with EOB-run coding, AC refinement with
+correction bits (including the ZRL-with-history and attach-to-EOBRUN
+paths), per-scan restart intervals, and point transforms (Ah/Al).
+
+Scope (honest gates, like the PNG decoder's): sequential + progressive DCT,
+8-bit precision, 1 or 3 components. Arithmetic coding, 12-bit, lossless and
+hierarchical modes raise NotImplementedError.
 
 Performance posture: the per-symbol Huffman loop is Python (inherently
 bit-serial), everything after coefficient extraction is vectorized numpy —
@@ -216,7 +223,7 @@ def decode_jpeg_np(data: bytes) -> np.ndarray:
                 nv = sum(bits)
                 huff[(cls, tid)] = _HuffTable(bits, seg[p + 17 : p + 17 + nv])
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -224,11 +231,13 @@ def decode_jpeg_np(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                store, eob_hint = _alloc_store(frame), None
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0x{marker:02x} (progressive/arithmetic/"
-                "hierarchical) not supported — baseline sequential only"
+                f"JPEG SOF marker 0x{marker:02x} (arithmetic/lossless/"
+                "hierarchical) not supported — sequential + progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -236,28 +245,60 @@ def decode_jpeg_np(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tables[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                data, pos + seg_len, frame, scan_tables, qt, huff, restart_interval
+                scan_comps.append((cid, tt >> 4, tt & 0xF))
+            if not frame.get("progressive"):
+                scan_tables = {cid: (td, ta) for cid, td, ta in scan_comps}
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan_tables, qt, huff, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data,
+                pos + seg_len,
+                frame,
+                scan_comps,
+                huff,
+                restart_interval,
+                store,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0xF,
             )
+            continue
         pos += seg_len
+    if frame is not None and frame.get("progressive"):
+        return _reconstruct(frame, store, qt)
     raise ValueError("corrupt JPEG: no SOS segment")
 
 
-def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _geometry(frame) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
-    # per-component zigzag coefficient store: (blocks_per_mcu * n_mcus, 64)
-    store = [
-        np.zeros((c["h"] * c["v"] * n_mcus, 64), dtype=np.int32) for c in comps
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_store(frame) -> list[np.ndarray]:
+    """Per-component zigzag coefficient store: (blocks_per_mcu * n_mcus, 64).
+    Progressive scans accumulate into it across the whole frame."""
+    _, _, mcux, mcuy = _geometry(frame)
+    return [
+        np.zeros((c["h"] * c["v"] * mcux * mcuy, 64), dtype=np.int32)
+        for c in frame["comps"]
     ]
+
+
+def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    n_mcus = mcux * mcuy
+    store = _alloc_store(frame)
     reader = _BitReader(data, pos)
     pred = [0] * len(comps)
     for m in range(n_mcus):
@@ -286,7 +327,14 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
                         raise ValueError("corrupt JPEG: AC index past 63")
                     row[k] = _extend(reader.receive(s), s)
                     k += 1
-    # vectorized: dequantize + inverse zigzag + batched IDCT per component
+    return _reconstruct(frame, store, qt)
+
+
+def _reconstruct(frame, store, qt):
+    """Dequantize + inverse zigzag + batched IDCT per component, assemble
+    planes, chroma-upsample, color-convert. Shared by baseline/progressive."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
     planes = []
     basis = _idct_basis()
     for ci, c in enumerate(comps):
@@ -309,6 +357,153 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy data to the next true marker (skips stuffed
+    0xFF00 and RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_comps, huff, restart_interval, store, ss, se, ah, al
+):
+    """One SOF2 scan per T.81 G.1.2: DC scans are (possibly) interleaved,
+    AC scans cover exactly one component in its own block-raster order.
+    Returns the byte offset of the next marker."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    cidx = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    eobrun = 0
+
+    if ss == 0 and len(scan_comps) > 1:  # ---- interleaved DC scan (MCU order)
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        members = [(cidx[cid], td) for cid, td, _ta in scan_comps]
+        pred = [0] * len(comps)
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.sync_restart()
+                pred = [0] * len(comps)
+            for ci, td in members:
+                c = comps[ci]
+                for b in range(c["h"] * c["v"]):
+                    row = store[ci][m * c["h"] * c["v"] + b]
+                    if ah == 0:  # first DC scan: diff-coded, point transform Al
+                        t = huff[(0, td)].decode(reader)
+                        pred[ci] += _extend(reader.receive(t), t)
+                        row[0] = pred[ci] << al
+                    else:  # refinement: one bit per block
+                        if reader.read_bit():
+                            row[0] |= 1 << al
+        return _next_marker(data, reader.pos)
+
+    # ---- non-interleaved scan: single component, block-raster order
+    if len(scan_comps) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC progressive scan")
+    cid, td, ta = scan_comps[0]
+    ci = cidx[cid]
+    c = comps[ci]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("corrupt JPEG: DC scan with Se != 0")
+    ac_t = huff.get((1, ta))
+    dc_pred = 0
+    # blocks covering the component's sample region (NOT the MCU-padded grid)
+    comp_w = -(-(frame["w"] * c["h"]) // hmax)
+    comp_h = -(-(frame["h"] * c["v"]) // vmax)
+    bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+    p1, m1 = 1 << al, -1 << al
+    for bi in range(bw * bh):
+        if restart_interval and bi and bi % restart_interval == 0:
+            reader.sync_restart()
+            eobrun = 0
+            dc_pred = 0
+        by, bx = divmod(bi, bw)
+        my, sy = divmod(by, c["v"])
+        mx, sx = divmod(bx, c["h"])
+        row = store[ci][(my * mcux + mx) * c["h"] * c["v"] + sy * c["h"] + sx]
+
+        if is_dc:  # non-interleaved DC scan, component-raster order
+            if ah == 0:
+                t = huff[(0, td)].decode(reader)
+                dc_pred += _extend(reader.receive(t), t)
+                row[0] = dc_pred << al
+            elif reader.read_bit():
+                row[0] |= 1 << al
+            continue
+
+        if ah == 0:  # ---- first AC scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = ac_t.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:  # EOBn: run of 2^r + extension bits blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC index past Se")
+                row[k] = _extend(reader.receive(s), s) << al
+                k += 1
+            continue
+
+        # ---- AC refinement (G.1.2.3): correction bits on history-nonzero
+        # coefficients, newly-nonzero insertions of ±2^Al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_t.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15 → ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("corrupt JPEG: refinement size != 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if row[k] != 0:
+                        if reader.read_bit() and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                row[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # inside an EOB run: only correction bits for nonzero history
+            while k <= se:
+                if row[k] != 0:
+                    if reader.read_bit() and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+    return _next_marker(data, reader.pos)
 
 
 # ------------------------------------------------------------------ encoder
@@ -383,10 +578,11 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) -> int:
-    basis = _idct_basis()
-    coef = np.round((basis @ (block - 128.0) @ basis.T) / q).astype(int)
-    zz = coef.reshape(-1)[ZIGZAG]
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    """Sequential-mode symbol emission for one block's zigzag coefficients
+    (already quantized by the shared vectorized forward pass, so baseline
+    and progressive encodings of the same pixels carry IDENTICAL
+    coefficients — the tests pin decode equality on that)."""
 
     def put_sym(code_table, sym, extra, s):
         code, length = code_table[sym]
@@ -420,15 +616,250 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+# ----------------------------------------------------- progressive encoder
+def _quantized_blocks(padded, samp, qs, mcux, mcuy) -> list[np.ndarray]:
+    """Vectorized forward path: every 8x8 block of every component DCT'd,
+    quantized, zigzagged in ONE einsum per component → (n_blocks, 64) int32
+    in MCU order (MCU-major, then row-major sub-blocks)."""
+    basis = _idct_basis()
+    out = []
+    for p, (sh, sv), q in zip(padded, samp, qs):
+        grid = (
+            p.reshape(mcuy, sv, 8, mcux, sh, 8)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.einsum("km,bmn,ln->bkl", basis, grid - 128.0, basis)
+        zz = np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        out.append(zz)
+    return out
+
+
+class _ACScanState:
+    """EOB-run + buffered-correction-bit state shared across the blocks of
+    one progressive AC scan (T.81 G.1.2.2-3 encode side). Two classes of
+    pending bits, exactly as the spec's decoder consumes them: bits PROMOTED
+    at block end (``be``-counted prefix) ride the EOBn symbol; the current
+    block's bits ride its own next ZRL / newly-nonzero symbol."""
+
+    def __init__(self, writer: _BitWriter) -> None:
+        self.w = writer
+        self.eobrun = 0
+        self.bits: list[int] = []
+        self.be = 0  # prefix of `bits` attached to the pending EOB run
+
+    def flush_bits(self) -> None:
+        for b in self.bits:
+            self.w.put(b, 1)
+        self.bits = []
+        self.be = 0
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = _ENC_AC_CODE[r << 4]
+            self.w.put(code, length)
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            # only the promoted (block-terminating) correction bits ride the
+            # EOBn; the current block's bits wait for its own symbol
+            for b in self.bits[: self.be]:
+                self.w.put(b, 1)
+            self.bits = self.bits[self.be :]
+            self.be = 0
+
+    def bump_eobrun(self) -> None:
+        self.eobrun += 1
+        self.be = len(self.bits)  # promote this block's pending bits
+        if self.eobrun == 0x7FFF:  # EOBn caps at r=14
+            self.flush_eobrun()
+
+
+def _enc_ac_first(state: _ACScanState, band: np.ndarray, al: int) -> None:
+    """First AC scan of a band: point transform |v| >> al (toward zero),
+    run/size symbols with shared EOB runs."""
+    shifted = np.sign(band) * (np.abs(band) >> al)
+    nz = np.nonzero(shifted)[0]
+    if nz.size == 0:
+        state.bump_eobrun()
+        return
+    state.flush_eobrun()
+    w = state.w
+    run = 0
+    last = int(nz[-1])
+    for k in range(last + 1):
+        v = int(shifted[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _ENC_AC_CODE[0xF0]
+            w.put(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = _ENC_AC_CODE[(run << 4) | s]
+        w.put(code, length)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < len(band) - 1:
+        state.bump_eobrun()
+
+
+def _enc_ac_refine(state: _ACScanState, band: np.ndarray, al: int) -> None:
+    """AC refinement (T.81 G.1.2.3 encode side): newly-nonzero coefficients
+    as (run,1)+sign, history coefficients as buffered correction bits riding
+    the next emitted symbol (ZRL / newly-nonzero / EOBn). The ZRL check runs
+    at EVERY nonzero position — corrections included — so the zero-run is
+    paid down before a correction bit is buffered past it."""
+    w = state.w
+    absv = np.abs(band) >> al
+    newly = np.nonzero(absv == 1)[0]
+    eob = int(newly[-1]) if newly.size else -1  # last newly-nonzero index
+    run = 0
+    for k in range(len(band)):
+        t = int(absv[k])
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            state.flush_eobrun()
+            code, length = _ENC_AC_CODE[0xF0]
+            w.put(code, length)
+            run -= 16
+            state.flush_bits()
+        if t > 1:  # history-nonzero: one correction bit
+            state.bits.append(t & 1)
+            continue
+        # newly nonzero (magnitude exactly 1 at this approximation level)
+        state.flush_eobrun()
+        code, length = _ENC_AC_CODE[(run << 4) | 1]
+        w.put(code, length)
+        w.put(1 if band[k] > 0 else 0, 1)
+        state.flush_bits()
+        run = 0
+    if run > 0 or state.bits:
+        state.bump_eobrun()
+
+
+def _encode_progressive_scans(
+    coefs: list[np.ndarray],
+    samp,
+    mcux,
+    mcuy,
+    nc: int,
+    successive: bool,
+    dims: list[tuple[int, int]],
+) -> bytes:
+    """Emit the scan sequence: interleaved DC first (+ refinement when
+    ``successive``), then per-component spectral-band AC scans (+ mirrored
+    refinements). Returns the concatenated SOS segments + entropy data."""
+    al = 1 if successive else 0
+    out = bytearray()
+
+    def sos(members: list[int], ss: int, se: int, ah: int, a: int) -> bytes:
+        seg = bytes([len(members)])
+        for ci in members:
+            tid = 0 if nc == 1 or ci == 0 else 1
+            seg += bytes([ci + 1, (tid << 4) | tid])
+        return _seg(0xDA, seg + bytes([ss, se, (ah << 4) | a]))
+
+    # ---- DC first scan (interleaved, diff-coded in the shifted domain)
+    out += sos(list(range(nc)), 0, 0, 0, al)
+    w = _BitWriter()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            for b in range(sh * sv):
+                dc = int(coefs[ci][m * sh * sv + b, 0]) >> al
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = abs(diff).bit_length()
+                code, length = _ENC_DC_CODE[s]
+                w.put(code, length)
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.align()
+    out += w.out
+
+    # ---- AC first scans: per component, luma split into two bands
+    bands = {ci: ([(1, 5), (6, 63)] if ci == 0 else [(1, 63)]) for ci in range(nc)}
+    for ci in range(nc):
+        for ss, se in bands[ci]:
+            out += sos([ci], ss, se, 0, al)
+            w = _BitWriter()
+            state = _ACScanState(w)
+            for row in _comp_raster(coefs[ci], samp[ci], mcux, mcuy, dims[ci]):
+                _enc_ac_first(state, row[ss : se + 1], al)
+            state.flush_eobrun()
+            w.align()
+            out += w.out
+
+    if not successive:
+        return bytes(out)
+
+    # ---- DC refinement (one raw bit per block)
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    w = _BitWriter()
+    for m in range(mcux * mcuy):
+        for ci in range(nc):
+            sh, sv = samp[ci]
+            for b in range(sh * sv):
+                w.put(int(coefs[ci][m * sh * sv + b, 0]) & 1, 1)
+    w.align()
+    out += w.out
+
+    # ---- AC refinement scans (mirror the first-scan bands)
+    for ci in range(nc):
+        for ss, se in bands[ci]:
+            out += sos([ci], ss, se, 1, 0)
+            w = _BitWriter()
+            state = _ACScanState(w)
+            for row in _comp_raster(coefs[ci], samp[ci], mcux, mcuy, dims[ci]):
+                _enc_ac_refine(state, row[ss : se + 1], 0)
+            state.flush_eobrun()
+            w.align()
+            out += w.out
+    return bytes(out)
+
+
+def _comp_raster(
+    coef: np.ndarray,
+    samp: tuple[int, int],
+    mcux: int,
+    mcuy: int,
+    dims: tuple[int, int],
+):
+    """Yield a component's blocks in its own raster order — ONLY the blocks
+    covering the component's sample region (``dims`` = (bw, bh)), which is
+    what non-interleaved progressive scans cover per T.81 A.2.2 (MCU padding
+    blocks get DC only) — from the MCU-ordered store."""
+    sh, sv = samp
+    bw, bh = dims
+    for by in range(bh):
+        my, sy = divmod(by, sv)
+        for bx in range(bw):
+            mx, sx = divmod(bx, sh)
+            yield coef[(my * mcux + mx) * sh * sv + sy * sh + sx]
+
+
 def encode_jpeg_np(
     pixels: np.ndarray,
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
+    successive: bool = True,
 ) -> bytes:
-    """Encode (h, w, c) uint8 with c ∈ {1, 3} as baseline sequential JFIF.
-    ``subsample=True`` emits 4:2:0 (chroma = 2x2 block means); the output is
-    standards-compliant and decodable by any JPEG reader."""
+    """Encode (h, w, c) uint8 with c ∈ {1, 3} as standards-compliant JFIF.
+    ``subsample=True`` emits 4:2:0 (chroma = 2x2 block means).
+    ``progressive=True`` emits SOF2 with spectral-selection scans (luma AC
+    split 1-5/6-63) and, when ``successive`` (default), a full successive-
+    approximation ladder (Al=1 first scans + DC/AC refinement scans) —
+    ``successive=False`` emits Al=0 scans only, which must decode EXACTLY
+    like the baseline encoding of the same pixels (the cross-check the
+    tests pin). ``restart_interval`` applies to the baseline path."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] not in (1, 3):
         raise ValueError("encode_jpeg_np expects (h, w, 1|3) uint8")
     h, w, nc = pixels.shape
@@ -474,13 +905,25 @@ def encode_jpeg_np(
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, s in enumerate(samp):
         sof += bytes([i + 1, (s[0] << 4) | s[1], qids[i]])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     for cls in (0, 1):
         for tid in (0,) if nc == 1 else (0, 1):
             bits, vals = (
                 (_ENC_DC_BITS, _ENC_DC_VALS) if cls == 0 else (_ENC_AC_BITS, _ENC_AC_VALS)
             )
             out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + vals)
+    if progressive:
+        qs = [ql if qid == 0 else qc for qid in qids]
+        coefs = _quantized_blocks(padded, samp, qs, mcux, mcuy)
+        # per-component block coverage: ceil(ceil(dim * sampling / max) / 8)
+        dims = []
+        for s in samp:
+            comp_w = -(-(w * s[0]) // hmax)
+            comp_h = -(-(h * s[1]) // vmax)
+            dims.append((-(-comp_w // 8), -(-comp_h // 8)))
+        out += _encode_progressive_scans(coefs, samp, mcux, mcuy, nc, successive, dims)
+        out += b"\xff\xd9"
+        return bytes(out)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
@@ -493,6 +936,7 @@ def encode_jpeg_np(
     writer = _BitWriter()
     preds = [0] * nc
     qs = [ql if qid == 0 else qc for qid in qids]
+    coefs = _quantized_blocks(padded, samp, qs, mcux, mcuy)
     rst = 0
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
@@ -502,15 +946,11 @@ def encode_jpeg_np(
             out += bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             preds = [0] * nc
-        my, mx = divmod(m, mcux)
-        for ci, (p, s) in enumerate(zip(padded, samp)):
-            for by in range(s[1]):
-                for bx in range(s[0]):
-                    y0 = (my * s[1] + by) * 8
-                    x0 = (mx * s[0] + bx) * 8
-                    preds[ci] = _encode_block(
-                        writer, p[y0 : y0 + 8, x0 : x0 + 8], qs[ci], preds[ci]
-                    )
+        for ci, s in enumerate(samp):
+            for b in range(s[0] * s[1]):
+                preds[ci] = _encode_block(
+                    writer, coefs[ci][m * s[0] * s[1] + b], preds[ci]
+                )
     writer.align()
     out += writer.out
     out += b"\xff\xd9"

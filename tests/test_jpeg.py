@@ -308,10 +308,16 @@ def test_jpeg_dispatch_and_gates():
     assert np.array_equal(decode_image_np(data), decode_jpeg_np(data))
     with pytest.raises(ValueError):
         decode_jpeg_np(b"NOPE")
-    # progressive (SOF2) is honestly gated, not mis-decoded
+    # a baseline stream relabeled SOF2 is CORRUPT progressive (its single
+    # scan claims Ss=0, Se=63 — illegal for a progressive DC scan) and must
+    # be rejected, not mis-decoded
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se != 0"):
         decode_jpeg_np(prog)
+    # arithmetic coding stays honestly gated
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_np(arith)
 
 
 def test_engine_jpeg_encoder_roundtrip():
@@ -350,3 +356,55 @@ def test_jpeg_dims_probe(spark):
     df = spark.createDataFrame([("j1", _make_jpeg(px))], ["image_id", "bytes"])
     d = df.select(decode_dims_udf("bytes").alias("d")).collect()[0]["d"]
     assert (d["w"], d["h"], d["channels"], d["lossy"]) == (26, 18, 3, 1)
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """Progressive (SOF2) and baseline encodings share ONE vectorized
+    forward pass, so their coefficients are identical and the two decodes
+    must match EXACTLY — any spectral-selection, EOB-run, or successive-
+    approximation bug shows up as a pixel diff. Covers: plain spectral
+    selection (successive=False), the full SA ladder (Al=1 firsts + DC/AC
+    refinement scans), 4:2:0, grayscale, odd dims, dense (low quality) and
+    sparse (long EOB run) coefficient populations."""
+    from datastream_deltalake_connector_spark.functions.jpeg import encode_jpeg_np
+
+    rng = np.random.default_rng(19)
+    cases = []
+    for h, w, c in [(16, 16, 3), (17, 23, 3), (8, 9, 3), (21, 19, 1)]:
+        cases.append((_smooth_img(h, w, c=c), 92))
+    cases.append((rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8), 40))
+    cases.append((rng.integers(0, 256, size=(24, 31, 3)).astype(np.uint8), 85))
+    sparse = np.zeros((48, 64, 3), np.uint8)
+    sparse[10, 50], sparse[30, 5] = 255, 128
+    cases.append((sparse, 95))
+    for px, q in cases:
+        subs = (False, True) if px.shape[2] == 3 else (False,)
+        for sub in subs:
+            base = decode_jpeg_np(encode_jpeg_np(px, quality=q, subsample=sub))
+            for successive in (False, True):
+                prog = decode_jpeg_np(
+                    encode_jpeg_np(
+                        px,
+                        quality=q,
+                        subsample=sub,
+                        progressive=True,
+                        successive=successive,
+                    )
+                )
+                assert np.array_equal(base, prog), (px.shape, q, sub, successive)
+
+
+def test_progressive_marker_and_quality():
+    """The progressive stream really is SOF2 (a naive baseline-only reader
+    must not mistake it) and reconstructs the source above the 40 dB bar."""
+    from datastream_deltalake_connector_spark.functions.jpeg import (
+        encode_jpeg_np,
+        jpeg_dims,
+    )
+
+    px = _smooth_img(26, 34)
+    data = encode_jpeg_np(px, quality=95, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") >= 6  # DC + split AC scans + refinements
+    assert jpeg_dims(data) == (34, 26, 3)
+    assert psnr_np(px, decode_jpeg_np(data)) >= 40
