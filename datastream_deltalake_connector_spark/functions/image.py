@@ -183,10 +183,42 @@ def encode_png_np(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unpack_samples(
+    rec: np.ndarray, ph: int, pw: int, depth: int, ch: int
+) -> np.ndarray:
+    """(ph, scanline_bytes) reconstructed bytes → (ph, pw, ch) uint8 samples.
+    16-bit channels take the big-endian high byte (the standard 16→8
+    downsample); 1/2/4-bit samples unpack MSB-first within each byte."""
+    if depth == 8:
+        return rec[:, : pw * ch].reshape(ph, pw, ch)
+    if depth == 16:
+        return rec[:, : pw * ch * 2].reshape(ph, pw * ch, 2)[:, :, 0].reshape(
+            ph, pw, ch
+        )
+    bits = np.unpackbits(rec.astype(np.uint8), axis=1)
+    n = bits.shape[1] // depth
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[:, : n * depth].reshape(ph, n, depth) * weights).sum(axis=2)
+    return vals[:, :pw].astype(np.uint8).reshape(ph, pw, 1)
+
+
 def decode_png_np(data: bytes) -> np.ndarray:
     """Decode a real PNG (stdlib zlib + numpy only) → (h, w, c) uint8.
-    Supports bit depth 8, color types 0/2/3/4/6, interlace 0; palette
-    images are expanded through PLTE (+tRNS alpha when present)."""
+    Supports every standard bit depth (1/2/4/8/16 — 16-bit channels are
+    downsampled to their high byte), color types 0/2/3/4/6, interlace 0 and
+    Adam7; palette images expand through PLTE (+tRNS alpha when present)."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG byte stream")
     ihdr = plte = trns = None
@@ -203,19 +235,40 @@ def decode_png_np(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {color} not supported "
-            "(8-bit color types 0/2/3/4/6 only)"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    bpp = _PNG_CHANNELS[color]
-    stride = w * bpp
+    if color not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color not in (0, 3)):
+        raise ValueError(f"invalid PNG bit depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    ch = _PNG_CHANNELS[color]
+    bpp_bits = ch * depth
+    filter_bpp = max(1, bpp_bits // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG pixel payload size mismatch")
-    px = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+
+    def decode_region(off: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
+        sbytes = (pw * bpp_bits + 7) // 8
+        need = ph * (1 + sbytes)
+        if off + need > raw.size:
+            raise ValueError("PNG pixel payload size mismatch")
+        rec = _png_unfilter(raw[off : off + need], ph, sbytes, filter_bpp)
+        return _png_unpack_samples(rec, ph, pw, depth, ch), off + need
+
+    if interlace == 0:
+        px, off = decode_region(0, w, h)
+        if off != raw.size:
+            raise ValueError("PNG pixel payload size mismatch")
+    else:  # Adam7: seven independently-filtered sub-images, one zlib stream
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = decode_region(off, pw, ph)
+            px[y0::dy, x0::dx] = sub
+
     if color == 3:  # palette lookup (and optional tRNS alpha)
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -228,6 +281,8 @@ def decode_png_np(data: bytes) -> np.ndarray:
             alpha[: len(t)] = t
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if depth < 8:  # scale sub-byte grayscale to full 8-bit range
+        return (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return px
 
 

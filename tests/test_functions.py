@@ -172,12 +172,99 @@ def test_real_png_gray_rgba_palette_and_gates():
     with pytest.raises(ValueError, match="PLTE"):
         decode_png_np(_make_png(idx, 3, [0], plte=None))
 
-    # honest gates: interlace and 16-bit raise, not garbage
+    # corrupt streams are rejected, not mis-decoded: these declare Adam7 /
+    # 16-bit in IHDR but carry non-interlaced 8-bit pixel data
     px = rand_img(8, 8)
-    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+    with pytest.raises(ValueError, match="size mismatch|filter type"):
         decode_png_np(_make_png(px, 2, [0], interlace=1))
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(ValueError, match="size mismatch|filter type"):
         decode_png_np(_make_png(px, 2, [0], depth=16))
+
+
+def test_real_png_adam7_16bit_and_subbyte_depths():
+    """The decoder covers EVERY standard PNG shape: Adam7 interlacing (seven
+    independently filtered sub-images in one zlib stream), 16-bit channels
+    (high-byte downsample), and 1/2/4-bit gray + palette packing — fixtures
+    built here from the spec, independent of the engine encoder."""
+    import struct as st
+    import zlib as zl
+
+    from datastream_deltalake_connector_spark.functions.image import decode_png_np
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            st.pack(">I", len(payload)) + ctype + payload
+            + st.pack(">I", zl.crc32(ctype + payload))
+        )
+
+    def png(w, h, depth, color, idat, interlace=0, plte=None):
+        sig = bytes([137, 80, 78, 71, 13, 10, 26, 10])
+        ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        out = sig + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zl.compress(idat)) + chunk(b"IEND", b"")
+
+    # ---- Adam7 RGB: emit the 7 passes in spec order, filter 0 rows
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    h, w = 13, 11
+    px = RNG.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    parts = []
+    for x0, y0, dx, dy in ADAM7:
+        sub = px[y0::dy, x0::dx]
+        for row in sub:
+            parts.append(b"\x00" + row.tobytes())
+    assert np.array_equal(decode_png_np(png(w, h, 8, 2, b"".join(parts), interlace=1)), px)
+
+    # ---- Adam7 with filter 2 (Up) inside a pass: prior row is the PASS row
+    parts = []
+    for x0, y0, dx, dy in ADAM7:
+        sub = px[y0::dy, x0::dx].astype(np.int32)
+        prev = np.zeros_like(sub[0]) if len(sub) else None
+        for row in sub:
+            parts.append(b"\x02" + ((row - prev) & 0xFF).astype(np.uint8).tobytes())
+            prev = row
+    assert np.array_equal(decode_png_np(png(w, h, 8, 2, b"".join(parts), interlace=1)), px)
+
+    # ---- 16-bit gray and RGB → high byte
+    g16 = RNG.integers(0, 65536, size=(6, 5), dtype=np.uint16)
+    idat = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in g16)
+    out = decode_png_np(png(5, 6, 16, 0, idat))
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+    rgb16 = RNG.integers(0, 65536, size=(4, 3, 3), dtype=np.uint16)
+    idat = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in rgb16)
+    assert np.array_equal(decode_png_np(png(3, 4, 16, 2, idat)), (rgb16 >> 8).astype(np.uint8))
+
+    # ---- 1/2/4-bit grayscale: MSB-first packing, scaled to full range
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        vals = RNG.integers(0, 1 << depth, size=(5, 11)).astype(np.uint8)
+        rows = []
+        for row in vals:
+            bits = np.zeros(((11 * depth + 7) // 8) * 8, np.uint8)
+            for i, v in enumerate(row):
+                for j in range(depth):
+                    bits[i * depth + j] = (v >> (depth - 1 - j)) & 1
+            rows.append(b"\x00" + np.packbits(bits).tobytes())
+        out = decode_png_np(png(11, 5, depth, 0, b"".join(rows)))
+        assert np.array_equal(out[:, :, 0], vals * scale), f"depth {depth}"
+
+    # ---- 4-bit palette (no scaling: values are PLTE indices)
+    pal = np.arange(16 * 3, dtype=np.uint8).tobytes()
+    idx = RNG.integers(0, 16, size=(3, 7)).astype(np.uint8)
+    rows = []
+    for row in idx:
+        packed = np.zeros(4, np.uint8)
+        for i, v in enumerate(row):
+            packed[i // 2] |= v << (4 if i % 2 == 0 else 0)
+        rows.append(b"\x00" + packed.tobytes())
+    out = decode_png_np(png(7, 3, 4, 3, b"".join(rows), plte=pal))
+    exp = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(out, exp)
+
+    # invalid depth/color combos rejected
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_np(png(4, 4, 2, 2, b"\x00" * 20))
 
 
 def test_engine_png_encoder_roundtrip_all_filters_and_channels():
