@@ -290,6 +290,97 @@ def query_bench(spark, sf_dir: str, runs_per_query: int = 3) -> tuple[dict, dict
     return out, detail
 
 
+def real_codec_bench(spark, n_images: int = 1024, px: int = 192) -> dict:
+    """Decode throughput of the REAL codecs (from-scratch stdlib PNG / JPEG
+    baseline / JPEG progressive / GIF) through the production mapInPandas
+    path: photo-like fixtures are encoded once into a cached binary column,
+    then a timed decode-and-reduce pass (best of 2 — run 1 pays worker
+    spin-up) measures images/sec across all cores. This is the honest
+    correctness path for real-world bytes; the bulk synthetic maintenance
+    bench stays on the fast stand-in codec, and these numbers bound what a
+    100-TB ingest of genuine web images would sustain per executor."""
+    import pandas as pd
+
+    def gen(codec):
+        def run(batches):
+            import numpy as np
+
+            from datastream_deltalake_connector_spark.functions.gif import (
+                encode_gif_np,
+            )
+            from datastream_deltalake_connector_spark.functions.image import (
+                encode_png_np,
+            )
+            from datastream_deltalake_connector_spark.functions.jpeg import (
+                encode_jpeg_np,
+            )
+
+            for b in batches:
+                rows = []
+                for i in b["id"]:
+                    rng = np.random.default_rng(int(i))
+                    y, x = np.meshgrid(np.arange(px), np.arange(px), indexing="ij")
+                    img = (
+                        128
+                        + 60 * np.sin(y / (20 + int(i) % 30))
+                        + 60 * np.cos(x / (15 + int(i) % 20))
+                    )[:, :, None] + rng.normal(0, 12, (px, px, 3))
+                    img = np.clip(img, 0, 255).astype(np.uint8)
+                    if codec == "png":
+                        data = encode_png_np(img, filter_type=2)
+                    elif codec == "jpeg":
+                        data = encode_jpeg_np(img, quality=85, subsample=True)
+                    elif codec == "jpeg_progressive":
+                        data = encode_jpeg_np(
+                            img, quality=85, subsample=True, progressive=True
+                        )
+                    else:  # gif (exact palette: quantize to 6 levels/channel)
+                        data = encode_gif_np(img // 43 * 43)
+                    rows.append((f"i{int(i)}", data))
+                yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+        return run
+
+    def decode_pass(df):
+        def run(batches):
+            import numpy as np
+
+            from datastream_deltalake_connector_spark.functions.image import (
+                decode_image_np,
+            )
+
+            for b in batches:
+                sums = [int(decode_image_np(d).sum()) for d in b["bytes"]]
+                yield pd.DataFrame({"s": sums})
+
+        return df.mapInPandas(run, "s long")
+
+    out = {}
+    for codec in ("png", "jpeg", "jpeg_progressive", "gif"):
+        df = (
+            spark.range(n_images, numPartitions=spark.sparkContext.defaultParallelism)
+            .mapInPandas(gen(codec), "image_id string, bytes binary")
+            .cache()
+        )
+        total_bytes = df.selectExpr("sum(length(bytes))").collect()[0][0]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            decode_pass(df).write.mode("overwrite").format("noop").save()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        df.unpersist()
+        out[codec] = {
+            "images_per_sec": round(n_images / best, 1),
+            "mb_per_sec": round(total_bytes / best / 1e6, 1),
+            "sec": round(best, 2),
+            "n": n_images,
+            "px": px,
+        }
+    out["probe_4p_sec"] = _stage_probe()
+    return out
+
+
 def _probe_work(n: int) -> float:
     import numpy as np
 
@@ -536,6 +627,28 @@ def write_bench_md(payload: dict) -> None:
             f"| {k} | {v} | {runs} | {probe_q if probe_q is not None else '—'} |"
         )
     lines.append("")
+    rc = payload.get("real_codecs")
+    if rc:
+        lines += [
+            "## Real-codec decode throughput (from-scratch stdlib codecs)",
+            "",
+            "Photo-like fixtures encoded once into a cached binary column,",
+            "then a timed decode-and-reduce mapInPandas pass (best of 2) —",
+            "the production real-bytes ingest path across all cores. The",
+            "maintenance bench above uses the fast stand-in codec by design;",
+            "these bound genuine web-image ingest per executor.",
+            "",
+            "| codec | images/sec | MB/s | n × px | probe (s) |",
+            "|---|---|---|---|---|",
+        ]
+        for codec, row in rc.items():
+            if codec == "probe_4p_sec":
+                continue
+            lines.append(
+                f"| {codec} | {row['images_per_sec']} | {row['mb_per_sec']} | "
+                f"{row['n']} × {row['px']}² | {rc.get('probe_4p_sec', '—')} |"
+            )
+        lines.append("")
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 
@@ -565,6 +678,7 @@ def main() -> None:
     rounds = int(os.environ.get("BENCH_MAINT_ROUNDS", "3"))
     maintenance = maintenance_bench(spark, args.images, rounds=rounds)
     queries, query_detail = query_bench(spark, sf_dir)
+    real_codecs = real_codec_bench(spark)
     spark.stop()
 
     scaling = None
@@ -591,6 +705,7 @@ def main() -> None:
         "cores": cores,
         "sf_dir": sf_dir,
         "maintenance": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in maintenance.items() if k != "root"},
+        "real_codecs": real_codecs,
         "scaling": scaling,
     }
     payload["maintenance"]["root"] = maintenance["root"]

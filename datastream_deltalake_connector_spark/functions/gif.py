@@ -37,25 +37,35 @@ GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 # ----------------------------------------------------------------- LZW core
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """GIF-flavored LZW: LSB-first bitstream, variable code width starting at
-    min_code_size+1, dictionary grows to 4096 then freezes until CLEAR."""
+    min_code_size+1, dictionary grows to 4096 then freezes until CLEAR.
+    Hot-loop posture: an int accumulator feeds codes (no per-bit work), and
+    decoded entries are joined ONCE at the end (no per-code numpy calls)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    out = np.empty(n_pixels, dtype=np.uint8)
+    parts: list[bytes] = []
     n_out = 0
-
-    # bit reader over the whole byte string via numpy — index math per code
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
-    pos = 0
-    total = len(bits)
+    acc = 0
+    nbits = 0
+    bpos = 0
+    total = len(data)
 
     def reset_table() -> tuple[list[bytes], int]:
         return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
 
     table, width = reset_table()
     prev: bytes | None = None
-    while pos + width <= total and n_out < n_pixels:
-        code = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
-        pos += width
+    while n_out < n_pixels:
+        while nbits < width:
+            if bpos >= total:
+                break
+            acc |= data[bpos] << nbits
+            bpos += 1
+            nbits += 8
+        if nbits < width:
+            break  # stream exhausted mid-code
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
         if code == clear:
             table, width = reset_table()
             prev = None
@@ -73,15 +83,14 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             table.append(entry)
         else:
             raise ValueError(f"corrupt LZW stream: code {code} beyond table")
-        take = min(len(entry), n_pixels - n_out)
-        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
-        n_out += take
+        parts.append(entry)
+        n_out += len(entry)
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
     if n_out < n_pixels:
         raise ValueError(f"LZW stream ended early: {n_out}/{n_pixels} pixels")
-    return out
+    return np.frombuffer(b"".join(parts), dtype=np.uint8)[:n_pixels]
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

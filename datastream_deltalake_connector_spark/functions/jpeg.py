@@ -70,35 +70,46 @@ def _idct_basis() -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical JPEG Huffman table (from DHT BITS + HUFFVAL) with the
-    classic mincode/maxcode/valptr sequential decoder."""
+    """Canonical JPEG Huffman table (from DHT BITS + HUFFVAL) decoded via a
+    full 16-bit peek LUT: one table index replaces the per-bit tree walk
+    (codes are ≤16 bits, so every 16-bit window maps to exactly one symbol
+    and its length). Plain Python lists — scalar list indexing beats numpy
+    scalars in this bit-serial loop."""
+
+    _lut_cache: dict[tuple, tuple[list[int], list[int]]] = {}
 
     def __init__(self, bits: list[int], values: bytes) -> None:
-        self.values = values
-        code = 0
-        k = 0
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
-        for length in range(1, 17):
-            n = bits[length - 1]
-            if n:
-                self.valptr[length] = k
-                self.mincode[length] = code
-                code += n
-                k += n
-                self.maxcode[length] = code - 1
-            code <<= 1
+        key = (tuple(bits), values)
+        cached = self._lut_cache.get(key)
+        if cached is None:
+            lut_len = np.zeros(1 << 16, dtype=np.uint8)
+            lut_val = np.zeros(1 << 16, dtype=np.uint8)
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    base = code << (16 - length)
+                    span = 1 << (16 - length)
+                    lut_len[base : base + span] = length
+                    lut_val[base : base + span] = values[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            cached = (lut_len.tolist(), lut_val.tolist())
+            if len(self._lut_cache) < 64:  # bound worker memory
+                self._lut_cache[key] = cached
+        self.lut_len, self.lut_val = cached
 
     def decode(self, reader: "_BitReader") -> int:
-        code = reader.read_bit()
-        length = 1
-        while code > self.maxcode[length]:
-            if length >= 16:
-                raise ValueError("corrupt JPEG: Huffman code over 16 bits")
-            code = (code << 1) | reader.read_bit()
-            length += 1
-        return self.values[self.valptr[length] + code - self.mincode[length]]
+        while reader.nbits < 16:
+            reader._fill()
+        idx = (reader.acc >> (reader.nbits - 16)) & 0xFFFF
+        length = self.lut_len[idx]
+        if length == 0:
+            raise ValueError("corrupt JPEG: Huffman code over 16 bits")
+        reader.nbits -= length
+        reader.acc &= (1 << reader.nbits) - 1
+        return self.lut_val[idx]
 
 
 class _BitReader:
@@ -143,9 +154,13 @@ class _BitReader:
         return bit
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self) -> None:
@@ -465,7 +480,10 @@ def _decode_progressive_scan(
             continue
 
         # ---- AC refinement (G.1.2.3): correction bits on history-nonzero
-        # coefficients, newly-nonzero insertions of ±2^Al
+        # coefficients, newly-nonzero insertions of ±2^Al. The walk reads
+        # nearly every band position, so it runs on a plain-list working
+        # copy (numpy scalar getitem is ~5x a list index) written back once.
+        rl = row.tolist()
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -484,13 +502,14 @@ def _decode_progressive_scan(
                         raise ValueError("corrupt JPEG: refinement size != 1")
                     val = p1 if reader.read_bit() else m1
                 while k <= se:
-                    if row[k] != 0:
-                        if reader.read_bit() and (row[k] & p1) == 0:
-                            row[k] += p1 if row[k] >= 0 else m1
+                    v = rl[k]
+                    if v != 0:
+                        if reader.read_bit() and (v & p1) == 0:
+                            rl[k] = v + (p1 if v >= 0 else m1)
                     else:
                         if r == 0:
                             if val:
-                                row[k] = val
+                                rl[k] = val
                             k += 1
                             break
                         r -= 1
@@ -498,11 +517,13 @@ def _decode_progressive_scan(
         if eobrun > 0:
             # inside an EOB run: only correction bits for nonzero history
             while k <= se:
-                if row[k] != 0:
-                    if reader.read_bit() and (row[k] & p1) == 0:
-                        row[k] += p1 if row[k] >= 0 else m1
+                v = rl[k]
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        rl[k] = v + (p1 if v >= 0 else m1)
                 k += 1
             eobrun -= 1
+        row[ss : se + 1] = rl[ss : se + 1]
     return _next_marker(data, reader.pos)
 
 
