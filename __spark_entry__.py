@@ -120,6 +120,40 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read twin of `cdc_merge_upsert`: the same even/odd batch
+    framing, but driven through the REAL table with equality-delete files
+    (operators/mor.py) instead of copy-on-write rewrites — the scan the
+    driver hashes is resolved through the broadcast anti-join over pending
+    delete files (IcepackTable._scan_with_deletes), so the oracle pins the
+    whole MoR read path, not just the merge math. Shares `_MERGE_ORACLE`:
+    MoR and CoW must be visible-row identical by construction."""
+    from datastream_deltalake_connector_spark.operators.mor import (
+        merge_into_table_mor,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    cdc = _events_cdc(spark, sf_dir)
+    b0 = cdc.where(F.col("change_seq") % 2 == 0)
+    b1 = cdc.where(F.col("change_seq") % 2 == 1)
+    w0 = latest_by_keys(b0, ["user_id"], ["source_timestamp", "change_seq"])
+    base = winners_as_merged(w0.where(~F.col("is_deleted")), ["user_id"]).drop(
+        "is_deleted", "change_type"
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-mor-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base, num_files=4)
+    merge_into_table_mor(t, b1, key="user_id")
+    assert t.describe()["delete_files"] > 0  # resolution path actually used
+    return t.scan().select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col(TS_META).alias("ts"),
+        F.col(SEQ_META).alias("seq"),
+    )
+
+
 _MERGE_ORACLE = f"""
 WITH cdc AS ({_CDC_SQL}),
 b0 AS (SELECT * FROM cdc WHERE change_seq % 2 = 0),
@@ -2556,7 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           hash_sample_docs, shipping_priority, region_nation_revenue,
           supplier_revenue_rank (all green r1-r3); semantic_dedup_docs later
           yielded its slot to the new image_png_ingest (needs its first
-          driver row).
+          driver row); embedding_neardup_pairs (green r3) yielded its slot
+          to the new cdc_merge_upsert_mor.
     """
     return {
         # --- never driver-checked oracled queries (r4 rotation, first 15) ---
@@ -2580,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_jpeg_ingest": _image_jpeg_ingest,
         "audio_wav_ingest": _audio_wav_ingest,
         "video_gif_frames": _video_gif_frames,
+        "cdc_merge_upsert_mor": _merge_upsert_mor,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
@@ -2611,12 +2647,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_docs": _url_dedup_docs,
         "token_rarity_docs": _token_rarity_docs,
         "tfidf_top_terms": _tfidf_top_terms,
-        "embedding_neardup_pairs": _embedding_neardup,
         # ---------------- position 51+: outside the driver's check window ---
         # long-stable oracled rows rotated out this round (green r1-r3);
-        # embedding_neardup_clusters, semantic_dedup_docs, zorder_key and
-        # fingerprint_docs yielded their slots to the new real-codec ingest
-        # queries (image_png/image_jpeg/audio_wav/video_gif)
+        # embedding_neardup_clusters, semantic_dedup_docs, zorder_key,
+        # fingerprint_docs and embedding_neardup_pairs yielded their slots to
+        # the new real-codec ingest queries (image_png/image_jpeg/audio_wav/
+        # video_gif) and the merge-on-read twin (cdc_merge_upsert_mor)
+        "embedding_neardup_pairs": _embedding_neardup,
         "embedding_neardup_clusters": _embedding_neardup_clusters,
         "semantic_dedup_docs": _semantic_dedup_docs,
         "zorder_key": _zorder_key,
@@ -2660,6 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_dedup_maxby": _LWW_ORACLE,
         "cdc_lww_dedup_salted": _LWW_ORACLE,
         "cdc_merge_upsert": _MERGE_ORACLE,
+        "cdc_merge_upsert_mor": _MERGE_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

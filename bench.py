@@ -136,6 +136,10 @@ def _maintenance_chain(spark, n_images: int) -> dict:
     """One full maintenance chain on a fresh table; per-stage times + probes."""
     from datastream_deltalake_connector_spark.operators.clustering import cluster
     from datastream_deltalake_connector_spark.operators.compaction import compact
+    from datastream_deltalake_connector_spark.operators.mor import (
+        apply_deletes,
+        merge_into_table_mor,
+    )
     from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
     from datastream_deltalake_connector_spark.sources.generator import generate_change_batch
     from datastream_deltalake_connector_spark.table import IcepackTable
@@ -176,6 +180,34 @@ def _maintenance_chain(spark, n_images: int) -> dict:
     probes["merge"] = _stage_probe()
     shutil.rmtree(os.path.dirname(batch_dir), ignore_errors=True)
 
+    # 2b. the SAME-SIZE batch merged MERGE-ON-READ (operators/mor.py): the
+    # batch lands as O(batch) new files + one key-only delete file — no
+    # table rewrite. This is the latency story at 100 TB (a sub-percent CDC
+    # batch shouldn't pay for the table); the deferred rewrite is then paid
+    # once, measured separately as apply_deletes.
+    batch_dir = os.path.join(tempfile.mkdtemp(prefix="bench-batch-"), "batch")
+    generate_change_batch(
+        spark,
+        n_images,
+        batch_index=1,
+        updates=n_changes // 2,
+        inserts=n_changes // 4,
+        deletes=n_changes // 4,
+    ).write.parquet(batch_dir)
+    batch = spark.read.parquet(batch_dir)
+    t0 = time.time()
+    merge_into_table_mor(
+        t, batch, target_rows_per_file=max(n_images // (2 * cores), 500)
+    )
+    merge_mor_sec = time.time() - t0
+    probes["merge_mor"] = _stage_probe()
+    shutil.rmtree(os.path.dirname(batch_dir), ignore_errors=True)
+
+    t0 = time.time()
+    apply_deletes(t)
+    apply_deletes_sec = time.time() - t0
+    probes["apply_deletes"] = _stage_probe()
+
     # 3. Z-order rewrite; 2 files per core keeps the post-maintenance scan
     # fully parallel at bench scale (at 100 TB file count does this naturally)
     t0 = time.time()
@@ -194,6 +226,12 @@ def _maintenance_chain(spark, n_images: int) -> dict:
         # overlaps the batch), so the merge is a full-table rewrite — report
         # the rewrite bandwidth, not just changes/sec
         "merge_gb_per_min": gb / (merge_sec / 60),
+        "merge_mor_sec": merge_mor_sec,
+        "merge_mor_changes_per_sec": n_changes / merge_mor_sec,
+        "apply_deletes_sec": apply_deletes_sec,
+        # the deferred rewrite: uniform-key batches overlap every file, so
+        # apply_deletes rewrites the whole table — table GB over its wall time
+        "apply_deletes_gb_per_min": gb / (apply_deletes_sec / 60),
         "compact_sec": compact_sec,
         "compact_gb_per_min": gb / (compact_sec / 60),
         "cluster_sec": cluster_sec,
@@ -209,6 +247,8 @@ def _maintenance_chain(spark, n_images: int) -> dict:
 _BEST_OF_STAGES = [
     ("ingest_sec", min), ("ingest_images_per_sec", max),
     ("merge_sec", min), ("merge_changes_per_sec", max), ("merge_gb_per_min", max),
+    ("merge_mor_sec", min), ("merge_mor_changes_per_sec", max),
+    ("apply_deletes_sec", min), ("apply_deletes_gb_per_min", max),
     ("compact_sec", min), ("compact_gb_per_min", max),
     ("cluster_sec", min), ("cluster_gb_per_min", max),
     ("scan_sec", min), ("scan_images_per_sec", max),
@@ -239,6 +279,8 @@ def maintenance_bench(spark, n_images: int, rounds: int = 2) -> dict:
         "ingest": "ingest_images_per_sec",
         "compact": "compact_gb_per_min",
         "merge": "merge_gb_per_min",
+        "merge_mor": "merge_mor_changes_per_sec",
+        "apply_deletes": "apply_deletes_gb_per_min",
         "cluster": "cluster_gb_per_min",
         "scan": "scan_images_per_sec",
     }
@@ -557,6 +599,11 @@ def write_bench_md(payload: dict) -> None:
         f"| ingest (gen+append) | {m['ingest_sec']:.1f} | {m['ingest_images_per_sec']:.0f} images/sec | {probe('ingest')} |",
         f"| CDC merge batch (uniform keys → full rewrite) | {m['merge_sec']:.1f} | "
         f"{m['merge_changes_per_sec']:.0f} changes/sec ({m['merge_gb_per_min']:.2f} GB/min rewrite) | {probe('merge')} |",
+        f"| CDC merge, MERGE-ON-READ (same-size batch, O(batch) writes) | {m['merge_mor_sec']:.1f} | "
+        f"{m['merge_mor_changes_per_sec']:.0f} changes/sec "
+        f"({m['merge_sec']/m['merge_mor_sec']:.1f}x the CoW merge) | {probe('merge_mor')} |",
+        f"| apply_deletes (deferred MoR rewrite, uniform keys → full table) | {m['apply_deletes_sec']:.1f} | "
+        f"{m['apply_deletes_gb_per_min']:.2f} GB/min | {probe('apply_deletes')} |",
         f"| compaction (FFD→512MB) | {m['compact_sec']:.1f} | {m['compact_gb_per_min']:.2f} GB/min | {probe('compact')} |",
         f"| Z-order cluster | {m['cluster_sec']:.1f} | {m['cluster_gb_per_min']:.2f} GB/min | {probe('cluster')} |",
         f"| post-maintenance full scan (decode+phash) | {m['scan_sec']:.1f} | {m['scan_images_per_sec']:.0f} images/sec | {probe('scan')} |",

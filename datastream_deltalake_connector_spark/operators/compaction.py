@@ -89,6 +89,8 @@ def maybe_compact(
     review finding)."""
     groups: dict[tuple, list[FileEntry]] = {}
     for e in table.files():
+        if e.content != "data":
+            continue  # equality-delete files are maybe_apply_deletes' job
         groups.setdefault(tuple(sorted(e.partition.items())), []).append(e)
     binnable = sum(
         len(b)
@@ -112,6 +114,16 @@ def compact(
     journal = LineageJournal(table.root, job_id)
     parent = table.head_version()
     entries = table.files(parent)
+    # Pending equality deletes must be applied BEFORE any data-file rewrite:
+    # commit() stamps rewritten files with a fresh data-sequence number, which
+    # would lift them above the delete files' seq and un-shadow dead rows.
+    # (Iceberg's rewrite_data_files applies deletes for the same reason.)
+    if any(e.content == "eq_deletes" for e in entries):
+        from .mor import apply_deletes
+
+        apply_deletes(table)
+        parent = table.head_version()
+        entries = table.files(parent)
     # partition-aware: bins never mix hive partitions, so rewrites preserve
     # the layout and each output file stays single-partition (unpartitioned
     # tables collapse to one group — behavior unchanged)

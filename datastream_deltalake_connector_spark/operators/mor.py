@@ -1,0 +1,318 @@
+"""Merge-on-read MERGE INTO: equality-delete files instead of file rewrites.
+
+The copy-on-write merge (operators/table_merge.py) re-expresses the
+reference's ``MergeQueries.upsertToDelta`` (reference: MergeQueries.scala:
+33-106) by rewriting every data file a change batch touches. That is the
+right plan when batches are large relative to the table — but the common CDC
+shape at 100 TB is the opposite: a sub-percent change batch against a huge
+table of image rows, where copy-on-write decodes, shuffles nothing, yet still
+re-ENCODES and re-writes hundreds of gigabytes of untouched pixels that
+happen to share files with touched keys.
+
+This module implements the Iceberg-v2 answer — equality deletes — natively
+on icepack:
+
+1. LWW-dedup the batch (same winners as CoW, MergeQueries.scala:108-121).
+2. Enforce the ``<=`` replay guard (MergeQueries.scala:124-129) by reading
+   ONLY (key, ts) of the manifest-pruned candidate files — parquet column
+   pruning means the image bytes are never touched — resolved through the
+   snapshot's own merge-on-read view so shadowed rows cannot veto.
+3. Append the surviving upserts as new data files, and ONE equality-delete
+   file holding the keys whose older versions must stop being visible
+   (updates and deletes that actually hit an existing row; pure inserts
+   write no tombstone at all).
+4. Commit both with the snapshot's data-sequence stamp: a delete file
+   shadows exactly the data files with a LOWER sequence number, so the rows
+   co-committed with it are never shadowed by it (IcepackTable.scan
+   resolves this with a broadcast anti-join over candidate files only).
+
+Write amplification per batch: O(batch) instead of O(touched files). The
+deferred cost is paid once, in bulk, by :func:`apply_deletes` (major
+compaction), which rewrites only the data files a delete file can actually
+hit and drops the delete files — policy-driven via :func:`maybe_apply_deletes`
+exactly like ``maybe_compact``.
+
+Semantics parity with CoW (pinned by tests/test_mor.py): same visible rows
+for any batch sequence, idempotent replay, older-batch discard, delete via
+``is_deleted`` with unmatched-delete no-op, and tombstone-then-reinsert
+matching the reference's "not matched → insert" clause.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..table.icepack import FileEntry, IcepackTable
+from ..table.lineage import LineageJournal
+from .dedup import latest_by_keys
+from .merge import DELETED_COL, SEQ_COL, TS_COL, TS_META, winners_as_merged
+
+__all__ = ["merge_into_table_mor", "apply_deletes", "maybe_apply_deletes"]
+
+
+def _candidate_paths(
+    entries: list[FileEntry], winners: DataFrame, key: str
+) -> tuple[list[str], int]:
+    """Manifest pruning + winner count in ONE fused Spark job (same plan as
+    the CoW merge): broadcast the per-file [min,max] key ranges, range-join
+    the winner keys, aggregate distinct-count + hit set."""
+    ranged = [
+        e
+        for e in entries
+        if e.stats.get(key, {}).get("min") is not None
+        and e.stats.get(key, {}).get("max") is not None
+    ]
+    ranged_paths = {e.path for e in ranged}
+    touched: list[str] = [e.path for e in entries if e.path not in ranged_paths]
+    if not ranged:
+        return touched, -1  # caller counts winners itself
+    spark = winners.sparkSession
+    ranges_df = spark.createDataFrame(
+        [(e.path, e.stats[key]["min"], e.stats[key]["max"]) for e in ranged],
+        ["__path", "__min", "__max"],
+    )
+    row = (
+        winners.select(F.col(key).alias("__k"))
+        .join(
+            F.broadcast(ranges_df),
+            (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+            "left",
+        )
+        .agg(
+            (
+                F.count_distinct(F.col("__k"))
+                + F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+            ).alias("__n"),
+            F.collect_set("__path").alias("__hits"),
+        )
+        .collect()[0]
+    )
+    touched.extend(row["__hits"])
+    return touched, int(row["__n"] or 0)
+
+
+def merge_into_table_mor(
+    table: IcepackTable,
+    batch: DataFrame,
+    key: str = "image_id",
+    dedup_strategy: str = "salted",
+    salt_buckets: int = 32,
+    target_rows_per_file: int | None = None,
+    job_id: str | None = None,
+    schema_evolution: str = "merge",
+) -> int | None:
+    """Apply one CDC change batch merge-on-read; returns the committed
+    version (None if the batch had no effect).
+
+    Result-equivalent to ``merge_into_table`` (CoW) — same LWW dedup, same
+    ``<=`` guard, same delete semantics — but the only data written is the
+    batch itself plus a compact key-only delete file. Existing files are
+    read once, column-pruned to (key, ts), and never rewritten."""
+    parent = table.head_version()
+    journal = LineageJournal(table.root, job_id or f"merge-mor-{uuid.uuid4().hex[:12]}")
+
+    recorded = table.snapshot(parent).summary.get("eq_delete_cols")
+    if recorded and recorded != [key]:
+        raise ValueError(
+            f"table already carries equality deletes on {recorded}; "
+            f"merge key [{key!r}] must match until they are applied"
+        )
+
+    winners = latest_by_keys(
+        batch, [key], [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
+    ).cache()
+
+    all_entries = table.files(parent)
+    pending_deletes = [e for e in all_entries if e.content == "eq_deletes"]
+    entries = [e for e in all_entries if e.content == "data"]
+    touched_paths, n_winners = _candidate_paths(entries, winners, key)
+    if n_winners < 0:
+        n_winners = winners.count()
+    if n_winners == 0:
+        winners.unpersist()
+        return None  # ST6 empty-batch short-circuit
+
+    payload_schema = batch.drop("change_type", DELETED_COL, TS_COL, SEQ_COL).schema
+    table.evolve_schema(payload_schema, strategy=schema_evolution)
+
+    # ---- replay guard against the VISIBLE (merge-on-read-resolved) rows ----
+    # Scoped to the manifest-pruned candidate files only, resolved through
+    # the same equality-delete anti-join scan() uses: a key whose old row is
+    # already shadowed compares against its live version, and a key deleted
+    # earlier compares against nothing (reinsert at any ts — reference
+    # insert-clause parity). Catalyst prunes the read to (key, ts): the
+    # image bytes in the candidate files are never fetched.
+    if touched_paths:
+        touched_set = set(touched_paths)
+        cand_entries = [e for e in entries if e.path in touched_set]
+        schema = table.schema(parent)
+        if pending_deletes:
+            cand_df = table._scan_with_deletes(
+                cand_entries, pending_deletes, schema, recorded or [key]
+            )
+        else:
+            paths = [os.path.join(table.root, e.path) for e in cand_entries]
+            cand_df = table.spark.read.schema(schema).parquet(*paths)
+        visible = cand_df.groupBy(key).agg(F.max(TS_META).alias("__t_ts"))
+        guarded = (
+            winners.join(visible, key, "left")
+            .where(F.col("__t_ts").isNull() | (F.col("__t_ts") <= F.col(TS_COL)))
+            .cache()
+        )
+        # Tombstones only for keys that actually shadow an existing row;
+        # pure inserts (no visible match) write none.
+        tombstones = guarded.where(F.col("__t_ts").isNotNull()).select(key)
+        guarded = guarded.drop("__t_ts")
+    else:
+        guarded = winners
+        tombstones = guarded.limit(0).select(key)
+
+    upserts = guarded.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+    merged = winners_as_merged(upserts, [key])
+    if target_rows_per_file:
+        n_files = max(1, math.ceil(n_winners / target_rows_per_file))
+    else:
+        n_files = max(
+            1,
+            round(
+                n_winners
+                * _avg_row_bytes(winners)
+                / table.DEFAULT_TARGET_FILE_BYTES
+            ),
+        )
+    merged = merged.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
+    added = table.write_data_files(merged, partition_by=table.partition_spec() or None)
+
+    # The delete file is tiny (keys only): a single sorted file keeps its
+    # footer stats tight so scan-side candidate pruning stays sharp.
+    del_entries: list[FileEntry] = []
+    if touched_paths:
+        del_df = tombstones.orderBy(key).coalesce(1)
+        del_entries = table.write_data_files(del_df)
+        for e in del_entries:
+            e.content = "eq_deletes"
+
+    if not added and not del_entries:
+        winners.unpersist()
+        return None  # every batch row lost the replay guard
+
+    journal.log_task(
+        stage="merge-mor",
+        task_id="batch",
+        files_in=touched_paths,
+        files_out=[e.path for e in added + del_entries],
+        rows_in=n_winners,
+        rows_out=sum(e.rows for e in added),
+    )
+    version = table.commit(
+        "merge-mor",
+        added=added + del_entries,
+        # re-resolved, not the captured parent: evolve_schema may have
+        # committed a metadata-only version in between (CoW merge does the
+        # same at table_merge.py:255)
+        expected_parent=table.head_version(),
+        summary={
+            "batch_winners": n_winners,
+            "candidate_files": len(touched_paths),
+            "eq_delete_cols": [key],
+            "tombstone_rows": sum(e.rows for e in del_entries),
+        },
+    )
+    journal.log_commit(version)
+    winners.unpersist()
+    return version
+
+
+def _avg_row_bytes(df: DataFrame) -> float:
+    from ..operators.table_merge import _estimate_row_bytes
+
+    return _estimate_row_bytes(df)
+
+
+def apply_deletes(
+    table: IcepackTable,
+    job_id: str | None = None,
+) -> int | None:
+    """Major compaction of equality deletes: rewrite exactly the data files a
+    pending delete file can hit (newer delete seq + overlapping key range),
+    drop every delete file, and restore the pure-data manifest. Returns the
+    new version, or None when no delete files are pending.
+
+    The rewrite reads each affected file through the same broadcast anti-join
+    scan() uses, at its natural splits (one output per split, pixels never
+    cross an exchange). Unaffected files are carried over untouched, so the
+    cost is proportional to the churned working set — the same bound the
+    merge itself had."""
+    parent = table.head_version()
+    entries = table.files(parent)
+    deletes = [e for e in entries if e.content == "eq_deletes"]
+    if not deletes:
+        return None
+    data = [e for e in entries if e.content == "data"]
+    key_cols = table.snapshot(parent).summary.get("eq_delete_cols") or []
+    journal = LineageJournal(table.root, job_id or f"apply-del-{uuid.uuid4().hex[:12]}")
+
+    hit = [
+        e
+        for e in data
+        if any(
+            d.seq > e.seq and table._ranges_overlap(e, d, key_cols) for d in deletes
+        )
+    ]
+    removed = [e.path for e in hit] + [e.path for e in deletes]
+    added: list[FileEntry] = []
+    if hit:
+        resolved = table._scan_with_deletes(hit, deletes, table.schema(parent), key_cols)
+        added = table.write_data_files(
+            resolved, partition_by=table.partition_spec() or None
+        )
+    journal.log_task(
+        stage="apply-deletes",
+        task_id="all",
+        files_in=removed,
+        files_out=[e.path for e in added],
+        rows_in=sum(e.rows for e in hit),
+        rows_out=sum(e.rows for e in added),
+    )
+    version = table.commit(
+        "apply-deletes",
+        added=added,
+        removed_paths=removed,
+        expected_parent=parent,
+        summary={
+            "eq_delete_cols": None,
+            "applied_delete_files": len(deletes),
+            "rewritten_files": len(hit),
+        },
+    )
+    journal.log_commit(version)
+    return version
+
+
+def maybe_apply_deletes(
+    table: IcepackTable,
+    max_delete_files: int = 8,
+    max_delete_ratio: float = 0.05,
+    **kwargs,
+) -> int | None:
+    """Auto-maintenance policy for pending equality deletes, the MoR analogue
+    of ``maybe_compact``: apply when delete files pile up (every one joins the
+    scan's broadcast side) or when tombstones exceed ``max_delete_ratio`` of
+    the table's rows (scan-side anti-join cost grows with churn). Driver-side
+    manifest math only; returns the new version or None (no-op)."""
+    entries = table.files()
+    dels = [e for e in entries if e.content == "eq_deletes"]
+    if not dels:
+        return None
+    data_rows = sum(e.rows for e in entries if e.content == "data") or 1
+    if (
+        len(dels) >= max_delete_files
+        or sum(e.rows for e in dels) / data_rows >= max_delete_ratio
+    ):
+        return apply_deletes(table, **kwargs)
+    return None

@@ -147,6 +147,15 @@ def merge_into_table(
 
     _t = _time.time()
     parent = table.head_version()
+    # A CoW merge rewrites touched data files with a fresh data-sequence
+    # stamp, which would un-shadow rows a pending equality-delete file
+    # (operators/mor.py) killed — apply the deletes first, same guard as
+    # compact()/cluster_table().
+    if any(e.content == "eq_deletes" for e in table.files(parent)):
+        from .mor import apply_deletes
+
+        apply_deletes(table)
+        parent = table.head_version()
     journal = LineageJournal(table.root, job_id or f"merge-{uuid.uuid4().hex[:12]}")
 
     winners = latest_by_keys(

@@ -125,6 +125,18 @@ class FileEntry:
     # grouping/observability; PRUNING uses `stats` — partition columns are
     # duplicated into the data files, so their min==max stats prune exactly)
     partition: dict[str, str] = field(default_factory=dict)
+    # Iceberg-v2-style merge-on-read support:
+    #   content: "data" (row files) | "eq_deletes" (equality-delete files —
+    #            parquet of key tuples that SHADOW every older data row with
+    #            a matching key).
+    #   seq:     data sequence number, stamped by commit() with the committing
+    #            snapshot version. A delete file applies to a data file iff
+    #            delete.seq > data.seq — rows co-committed with their delete
+    #            file (a MoR upsert) are never shadowed by it. Manifests
+    #            written before this field existed load as seq=0 ("older than
+    #            any delete"), which is exactly right.
+    content: str = "data"
+    seq: int = 0
 
     def may_match(self, col: str, op: str, value: Any) -> bool:
         """Conservative: False only when stats PROVE no row can match."""
@@ -241,6 +253,12 @@ class IcepackTable:
             import pyarrow.parquet as pq
 
             t = pq.read_table(path)
+            n = t.num_rows
+            # columns added after round 3 — old parquet manifests lack them
+            contents = (
+                t["content"].to_pylist() if "content" in t.column_names else ["data"] * n
+            )
+            seqs = t["seq"].to_pylist() if "seq" in t.column_names else [0] * n
             return [
                 FileEntry(
                     path=p,
@@ -248,13 +266,17 @@ class IcepackTable:
                     rows=r,
                     stats=json.loads(sj),
                     partition=json.loads(pj),
+                    content=c,
+                    seq=s,
                 )
-                for p, b, r, sj, pj in zip(
+                for p, b, r, sj, pj, c, s in zip(
                     t["path"].to_pylist(),
                     t["bytes"].to_pylist(),
                     t["rows"].to_pylist(),
                     t["stats_json"].to_pylist(),
                     t["partition_json"].to_pylist(),
+                    contents,
+                    seqs,
                 )
             ]
         with open(path) as f:
@@ -285,9 +307,21 @@ class IcepackTable:
         Files whose min/max stats cannot satisfy every filter are skipped
         before Spark sees them; surviving files get the same predicates
         pushed into the parquet scan by Catalyst.
+
+        Merge-on-read: when the snapshot carries equality-delete files
+        (``FileEntry.content == "eq_deletes"``, written by
+        ``operators.mor.merge_into_table_mor``), shadowed rows are resolved
+        out here — a data row is dropped iff some delete file with a HIGHER
+        data sequence number contains its key. The anti-join is scoped to
+        the candidate data files whose key range overlaps a newer delete
+        file's range (manifest stats, driver-side); every other file streams
+        through untouched, so at 100 TB the resolution cost is proportional
+        to the recent-churn working set, not the table.
         """
         snap = self.snapshot(version)
         entries = self.files(snap.version)
+        deletes = [e for e in entries if e.content == "eq_deletes"]
+        entries = [e for e in entries if e.content == "data"]
         if filters:
             entries = [
                 e
@@ -297,6 +331,13 @@ class IcepackTable:
         schema = snap.schema
         if not entries:
             df = self.spark.createDataFrame([], schema)
+        elif deletes:
+            df = self._scan_with_deletes(
+                entries,
+                deletes,
+                schema,
+                snap.summary.get("eq_delete_cols") or [],
+            )
         else:
             paths = [os.path.join(self.root, e.path) for e in entries]
             # Explicit schema: files written before a schema evolution lack the
@@ -320,6 +361,104 @@ class IcepackTable:
         if columns:
             df = df.select(*columns)
         return df
+
+    @staticmethod
+    def _ranges_overlap(a: FileEntry, b: FileEntry, cols: list[str]) -> bool:
+        """Conservative: False only when the two files' [min,max] stats PROVE
+        they share no key tuple on ``cols``."""
+        for c in cols:
+            sa, sb = a.stats.get(c) or {}, b.stats.get(c) or {}
+            alo, ahi = sa.get("min"), sa.get("max")
+            blo, bhi = sb.get("min"), sb.get("max")
+            if alo is None or ahi is None or blo is None or bhi is None:
+                continue
+            try:
+                if ahi < blo or bhi < alo:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    def _scan_with_deletes(
+        self,
+        data: list[FileEntry],
+        deletes: list[FileEntry],
+        schema: T.StructType,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Merge-on-read resolution: anti-join candidate data files against
+        the equality-delete files that can shadow them.
+
+        Plan shape (the one you'd want at 100 TB): data files proven
+        unaffected by every delete file (older-or-equal seq, or disjoint key
+        range) are read as ONE plain parquet scan with no join at all. The
+        remaining candidates are read grouped by data-sequence number (one
+        ``lit(seq)`` per group — a handful of recent commits, never a
+        per-file plan node), and anti-joined against the (small, broadcast)
+        union of delete-file keys with ``delete.seq > data.seq``. Image
+        bytes in the candidate files cross no exchange: an anti-join only
+        filters the probe side."""
+        from pyspark.sql import functions as F
+
+        if not key_cols:
+            raise ValueError(
+                "snapshot has equality-delete files but no eq_delete_cols "
+                "recorded — corrupt metadata"
+            )
+        cand = [
+            e
+            for e in data
+            if any(
+                d.seq > e.seq and self._ranges_overlap(e, d, key_cols)
+                for d in deletes
+            )
+        ]
+        cand_paths = {e.path for e in cand}
+        plain = [e for e in data if e.path not in cand_paths]
+
+        if plain:
+            paths = [os.path.join(self.root, e.path) for e in plain]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        if not cand:
+            return df
+
+        def by_seq(entries: list[FileEntry]) -> dict[int, list[str]]:
+            groups: dict[int, list[str]] = {}
+            for e in entries:
+                groups.setdefault(e.seq, []).append(
+                    os.path.join(self.root, e.path)
+                )
+            return groups
+
+        cand_df = None
+        for seq, paths in sorted(by_seq(cand).items()):
+            part = self.spark.read.schema(schema).parquet(*paths).withColumn(
+                "__ds", F.lit(seq)
+            )
+            cand_df = part if cand_df is None else cand_df.unionByName(part)
+
+        del_schema = T.StructType(
+            [f for f in schema.fields if f.name in key_cols]
+        )
+        del_df = None
+        for seq, paths in sorted(by_seq(deletes).items()):
+            part = (
+                self.spark.read.schema(del_schema)
+                .parquet(*paths)
+                .select(
+                    *[F.col(c).alias(f"__del_{c}") for c in key_cols],
+                    F.lit(seq).alias("__es"),
+                )
+            )
+            del_df = part if del_df is None else del_df.unionByName(part)
+
+        cond = F.col("__es") > F.col("__ds")
+        for c in key_cols:
+            cond = cond & (F.col(c) == F.col(f"__del_{c}"))
+        resolved = cand_df.join(F.broadcast(del_df), cond, "left_anti").drop("__ds")
+        return df.unionByName(resolved)
 
     # ---------------------------------------------------------------- write
     def write_data_files(
@@ -502,8 +641,13 @@ class IcepackTable:
                     continue  # re-resolve under next loop iteration
                 prev = self.snapshot(parent)
                 old_entries = self.files(parent)
-                entries = [e for e in old_entries if e.path not in removed] + added
                 version = parent + 1
+                # Stamp the data sequence number: every file added by this
+                # commit is "as of" this snapshot. Carried-over entries keep
+                # theirs — the seq ordering is what scopes equality deletes.
+                for e in added:
+                    e.seq = version
+                entries = [e for e in old_entries if e.path not in removed] + added
                 # Manifest format by size: JSON for human-scale tables,
                 # PARQUET past the threshold — at 10^12 images / 512 MB
                 # files the manifest is ~2.4M entries, where JSON costs
@@ -535,8 +679,15 @@ class IcepackTable:
                         "added_files": len(added),
                         "removed_files": len(removed),
                         "total_files": len(entries),
-                        "total_rows": sum(e.rows for e in entries),
-                        "total_bytes": sum(e.bytes for e in entries),
+                        # data-file totals; with pending equality deletes the
+                        # row total is GROSS (shadowed rows still counted —
+                        # count_rows() nets them out)
+                        "total_rows": sum(e.rows for e in entries if e.content == "data"),
+                        "total_bytes": sum(e.bytes for e in entries if e.content == "data"),
+                        "delete_files": sum(1 for e in entries if e.content == "eq_deletes"),
+                        "delete_rows": sum(
+                            e.rows for e in entries if e.content == "eq_deletes"
+                        ),
                     },
                 )
                 self._write_json(
@@ -570,6 +721,8 @@ class IcepackTable:
                     [json.dumps(e.partition, sort_keys=True) for e in entries],
                     pa.string(),
                 ),
+                "content": pa.array([e.content for e in entries], pa.string()),
+                "seq": pa.array([e.seq for e in entries], pa.int64()),
             }
         )
         tmp = path + ".tmp"
@@ -646,14 +799,25 @@ class IcepackTable:
     def count_rows(self, version: int | None = None) -> int:
         """Exact row count from manifest entries alone — zero data files
         read (the metadata-only COUNT(*) pushdown a table format owes its
-        users; footer-derived row counts are exact)."""
-        return sum(e.rows for e in self.files(version))
+        users; footer-derived row counts are exact).
+
+        With pending equality-delete files the manifest total is gross
+        (shadowed rows still counted), so this falls back to counting the
+        resolved scan — still column-pruned to nothing by Catalyst, but a
+        data pass. ``operators.mor.apply_deletes`` restores the
+        metadata-only path."""
+        entries = self.files(version)
+        if any(e.content == "eq_deletes" for e in entries):
+            return self.scan(version).count()
+        return sum(e.rows for e in entries)
 
     def describe(self, version: int | None = None) -> dict:
         """Observability summary of a snapshot: file/row/byte totals and
         file-size distribution — all from the manifest, no data read."""
         snap = self.snapshot(version)
-        entries = self.files(snap.version)
+        all_entries = self.files(snap.version)
+        entries = [e for e in all_entries if e.content == "data"]
+        dels = [e for e in all_entries if e.content == "eq_deletes"]
         sizes = sorted(e.bytes for e in entries)
 
         def pct(p: float) -> int:
@@ -663,6 +827,7 @@ class IcepackTable:
             "version": snap.version,
             "operation": snap.operation,
             "files": len(entries),
+            # gross when delete files are pending (shadowed rows included)
             "rows": sum(e.rows for e in entries),
             "bytes": sum(sizes),
             "file_bytes_min": sizes[0] if sizes else 0,
@@ -670,6 +835,8 @@ class IcepackTable:
             "file_bytes_p90": pct(0.9),
             "file_bytes_max": sizes[-1] if sizes else 0,
             "columns": len(snap.schema.fields),
+            "delete_files": len(dels),
+            "delete_rows": sum(e.rows for e in dels),
         }
 
     # ------------------------------------------------------- common actions

@@ -18,6 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     (
+        "cdc_merge_upsert_mor",
+        "Merge-on-read resolved scan. Expect: plain parquet scan of "
+        "unaffected files unioned with candidate files anti-joined against "
+        "the broadcast delete-key set (BroadcastHashJoin LeftAnti) — zero "
+        "exchanges, payload bytes never shuffle.",
+    ),
+    (
         "pricing_summary",
         "Filter + two-stage agg. Expect: shipdate filter pushed to parquet, "
         "ReadSchema pruned to the 7 used columns, partial HashAggregate "

