@@ -32,6 +32,8 @@ ENV_VARS: dict[str, tuple[str, type]] = {
     "DELTA_SCHEMA_EVOLUTION": ("schema_evolution", str),
     "DELTA_TARGET_FILE_SIZE_MB": ("target_file_size_mb", int),
     "DELTA_AUTO_COMPACT_MIN_FILES": ("auto_compact_min_files", int),
+    "DELTA_MERGE_MODE": ("merge_mode", str),
+    "DELTA_MOR_MAX_DELETE_FILES": ("mor_max_delete_files", int),
     "DATASTREAM_TABLE_SOURCE": ("table_source", str),
     "DATASTREAM_BUCKET": ("bucket", str),
     "DATASTREAM_PREFIX": ("prefix", str),
@@ -54,6 +56,11 @@ class ConnectorConfig:
     merge_frequency: str = "1 minute"  # processing-time trigger
     microbatch_partitions: int | None = None  # coalesce(n) small-file control
     schema_evolution: str = "merge"  # merge | overwrite | none
+    # cow: rewrite touched files per batch (reference semantics);
+    # mor: merge-on-read equality deletes (operators/mor.py) — O(batch)
+    # writes per micro-batch, deferred rewrite via maybe_apply_deletes
+    merge_mode: str = "cow"
+    mor_max_delete_files: int = 8
     # maintenance (Config.scala:57-111 — the engine implements these natively;
     # auto_compact_min_files = Databricks autoCompact.enabled+minNumFiles:
     # None disables, N compacts after any merged batch once N small files
@@ -74,6 +81,8 @@ class ConnectorConfig:
             raise ValueError(f"table_source must be local|gcs: {self.table_source!r}")
         if self.file_read_concurrency < 1:
             raise ValueError("file_read_concurrency must be >= 1")
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor: {self.merge_mode!r}")
 
     @property
     def target_file_bytes(self) -> int:

@@ -145,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
             microbatch_partitions=cfg.microbatch_partitions,
             table_source=make_table_source(cfg, args.root),
             auto_compact_min_files=cfg.auto_compact_min_files,
+            merge_mode=cfg.merge_mode,
+            mor_max_delete_files=cfg.mor_max_delete_files,
         )
         print(json.dumps(out))
         return 0
@@ -162,6 +164,8 @@ def main(argv: list[str] | None = None) -> int:
             processing_time=cfg.merge_frequency,
             microbatch_partitions=cfg.microbatch_partitions,
             auto_compact_min_files=cfg.auto_compact_min_files,
+            merge_mode=cfg.merge_mode,
+            mor_max_delete_files=cfg.mor_max_delete_files,
         ).start()
         try:
             dead = daemon.await_any_termination(timeout=args.duration)

@@ -123,6 +123,9 @@ def merge_log_to_table(
     query_name: str | None = None,
     auto_compact_min_files: int | None = None,
     max_files_per_trigger: int | None = None,
+    merge_mode: str = "cow",
+    mor_max_delete_files: int = 8,
+    mor_max_delete_ratio: float = 0.05,
 ):
     """Stream 2: log table → foreachBatch merge (reference foreachBatch sink,
     DatastreamDeltaConnector.scala:57-77). Each micro-batch flattens the
@@ -141,7 +144,17 @@ def merge_log_to_table(
     Delta executes post-write; this engine owns compaction so the sink
     chains it natively. Streaming micro-batches are THE small-file source
     the reference's README warns about (README.md:146-151); compacting in
-    the sink keeps the table scan-healthy without a second scheduler."""
+    the sink keeps the table scan-healthy without a second scheduler.
+
+    ``merge_mode``: ``"cow"`` (default) rewrites touched files per batch;
+    ``"mor"`` applies each batch merge-on-read (operators/mor.py) — O(batch)
+    writes + one equality-delete file, the latency answer when micro-batches
+    are sub-percent of a huge table — and chains ``maybe_apply_deletes``
+    (thresholds ``mor_max_delete_files`` / ``mor_max_delete_ratio``) so the
+    deferred rewrite is paid in bulk once tombstones pile up, exactly as
+    ``auto_compact_min_files`` amortizes small files."""
+    if merge_mode not in ("cow", "mor"):
+        raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
     os.makedirs(log_dir, exist_ok=True)
     if log_schema is None:
         # inference needs at least one committed log file; a missing or
@@ -169,7 +182,22 @@ def merge_log_to_table(
             return
         key = meta.primary_keys[0] if meta.primary_keys else "id"
         changes = flatten_envelope(batch_df, meta)
-        merge_into_table(target, changes, key=key, job_id=f"stream-batch-{batch_id}")
+        if merge_mode == "mor":
+            from ..operators.mor import maybe_apply_deletes, merge_into_table_mor
+
+            merge_into_table_mor(
+                target, changes, key=key, job_id=f"stream-batch-{batch_id}"
+            )
+            maybe_apply_deletes(
+                target,
+                max_delete_files=mor_max_delete_files,
+                max_delete_ratio=mor_max_delete_ratio,
+                job_id=f"stream-applydel-{batch_id}",
+            )
+        else:
+            merge_into_table(
+                target, changes, key=key, job_id=f"stream-batch-{batch_id}"
+            )
         if auto_compact_min_files:
             from ..operators.compaction import maybe_compact
 
@@ -201,6 +229,8 @@ def run_connector_once(
     table_source=None,
     microbatch_partitions: int | None = None,
     auto_compact_min_files: int | None = None,
+    merge_mode: str = "cow",
+    mor_max_delete_files: int = 8,
 ) -> dict[str, str]:
     """Discover every table of the stream and drain it end-to-end
     (ingest → log → merged icepack table), one pair of availableNow streams
@@ -234,6 +264,8 @@ def run_connector_once(
             q2 = merge_log_to_table(
                 spark, log_dir, t, ckpt, meta,
                 auto_compact_min_files=auto_compact_min_files,
+                merge_mode=merge_mode,
+                mor_max_delete_files=mor_max_delete_files,
             )
             q2.awaitTermination()
             results[table.table] = merged_root
@@ -306,6 +338,8 @@ class ConnectorDaemon:
         processing_time: str | None = "5 seconds",
         microbatch_partitions: int | None = None,
         auto_compact_min_files: int | None = None,
+        merge_mode: str = "cow",
+        mor_max_delete_files: int = 8,
     ) -> None:
         self.spark = spark
         self.stream_root = stream_root
@@ -320,6 +354,8 @@ class ConnectorDaemon:
         self.processing_time = processing_time
         self.microbatch_partitions = microbatch_partitions
         self.auto_compact_min_files = auto_compact_min_files
+        self.merge_mode = merge_mode
+        self.mor_max_delete_files = mor_max_delete_files
         self.queries: dict[str, list] = {}
         self.targets: dict[str, str] = {}
         self.failures: dict[str, str] = {}
@@ -381,6 +417,8 @@ class ConnectorDaemon:
             processing_time=self.processing_time,
             log_schema=log_df.schema,
             auto_compact_min_files=self.auto_compact_min_files,
+            merge_mode=self.merge_mode,
+            mor_max_delete_files=self.mor_max_delete_files,
             # meta.table comes from the CDC envelope and is NOT unique per
             # source dir (two streams can carry the same source table);
             # query names must be unique per SparkSession

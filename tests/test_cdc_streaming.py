@@ -613,3 +613,73 @@ def test_connector_daemon_sixteen_tables_mixed_poisoning(spark, tmp_path):
     finally:
         daemon.stop()
     assert not daemon.active()
+
+
+def test_streaming_connector_merge_on_read_mode(spark, stream_root, tmp_path):
+    """merge_mode='mor' end-to-end: the same two-dump CDC drain, one merge
+    batch per log file (batch 2 then hits rows batch 1 committed), lands
+    merge-on-read (operators/mor.py) — O(batch) writes + equality-delete
+    tombstones — and the resolved scan must match the CoW golden outcome
+    exactly. With mor_max_delete_files=1 the sink's maybe_apply_deletes
+    chain fires once tombstones exist, so the drain ends with the deferred
+    rewrite paid and zero pending delete files."""
+    from datastream_deltalake_connector_spark.streaming.ingest import (
+        _load_or_create_target,
+        ingest_table_to_log,
+        merge_log_to_table,
+    )
+
+    table = DatastreamTable(stream_root, "people")
+    meta = TableMetadata.from_df(read_table_batch(spark, table, "json"))
+    warehouse = str(tmp_path / "warehouse-mor")
+    log_dir = os.path.join(warehouse, "people_log")
+    ckpt = os.path.join(warehouse, "_ck")
+    q1 = ingest_table_to_log(
+        spark, table, log_dir, ckpt, "json",
+        max_files_per_trigger=1, microbatch_partitions=1,
+    )
+    q1.awaitTermination()
+    t, merged_root = _load_or_create_target(spark, warehouse, "people", meta)
+    q2 = merge_log_to_table(
+        spark, log_dir, t, ckpt, meta,
+        max_files_per_trigger=1,  # one merge batch per log file
+        merge_mode="mor", mor_max_delete_files=1,
+    )
+    q2.awaitTermination()
+
+    # the MoR path actually ran (not silently CoW)
+    ops = [s.operation for s in t.snapshots()]
+    assert "merge-mor" in ops
+    # batch 2 carries updates+deletes against rows batch 1 committed →
+    # tombstones were written, and max_delete_files=1 applied them in-sink
+    assert "apply-deletes" in ops
+    assert t.describe()["delete_files"] == 0
+
+    # golden outcome identical to the CoW e2e test: p1 updated, stale p2
+    # discarded, p3 deleted, ghost-delete no-op
+    rows = {
+        r["pid"]: (r["name"], r["city"])
+        for r in t.scan().select("pid", "name", "city").collect()
+    }
+    assert rows == {"p1": ("ada l", "zurich"), "p2": ("grace", "paris")}
+
+    # replay the drain: checkpoints make it a no-op, table unchanged
+    v = t.head_version()
+    q3 = merge_log_to_table(
+        spark, log_dir, t, ckpt, meta,
+        max_files_per_trigger=1, merge_mode="mor", mor_max_delete_files=1,
+    )
+    q3.awaitTermination()
+    assert t.head_version() == v
+
+
+def test_merge_log_rejects_unknown_merge_mode(spark, tmp_path):
+    from datastream_deltalake_connector_spark.streaming.ingest import (
+        merge_log_to_table,
+    )
+
+    with pytest.raises(ValueError, match="merge_mode"):
+        merge_log_to_table(
+            spark, str(tmp_path / "nolog"), None, str(tmp_path / "ck"),
+            None, merge_mode="sideways",
+        )

@@ -74,3 +74,15 @@ def test_json_roundtrip(tmp_path):
     p = tmp_path / "rt.json"
     p.write_text(cfg.to_json())
     assert ConnectorConfig.load(str(p), env={}) == cfg
+
+
+def test_merge_mode_knob(tmp_path):
+    # default is the reference's copy-on-write semantics
+    assert ConnectorConfig().merge_mode == "cow"
+    with pytest.raises(ValueError, match="merge_mode"):
+        ConnectorConfig(merge_mode="sideways")
+    # env overlay, PureConfig ${?VAR} spirit
+    cfg = ConnectorConfig.load(
+        None, env={"DELTA_MERGE_MODE": "mor", "DELTA_MOR_MAX_DELETE_FILES": "3"}
+    )
+    assert (cfg.merge_mode, cfg.mor_max_delete_files) == ("mor", 3)
