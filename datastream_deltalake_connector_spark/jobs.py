@@ -16,6 +16,8 @@ matter of the submit command, not the code:
       init     --table PATH [--partition-by fmt]  create an empty image table
       ingest   --table PATH --batch PARQUET      append a generated/base batch
       merge    --table PATH --batch PARQUET      CDC merge a change batch
+               [--mode cow|mor]                  (mor = equality deletes)
+      apply-deletes --table PATH [--if-needed]   pay the deferred MoR rewrite
       compact  --table PATH [--target-mb N]      FFD bin-pack small files
       autocompact --table PATH [--min-num-files N]  compact only past threshold
       cluster  --table PATH [--curve zorder|hilbert]
@@ -73,6 +75,26 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--batch", required=True)
     p.add_argument("--rewrite-mode", default="auto", choices=["auto", "split", "range"])
+    p.add_argument(
+        "--mode",
+        default=None,
+        choices=["cow", "mor"],
+        help="cow rewrites touched files; mor lands equality deletes "
+        "(operators/mor.py). Default: config merge_mode",
+    )
+    p = sub.add_parser(
+        "apply-deletes",
+        help="major compaction of pending merge-on-read equality deletes "
+        "(rewrite hit data files, drop delete files)",
+    )
+    common(p)
+    p.add_argument(
+        "--if-needed",
+        action="store_true",
+        help="apply only past the maybe_apply_deletes thresholds",
+    )
+    p.add_argument("--max-delete-files", type=int, default=8)
+    p.add_argument("--max-delete-ratio", type=float, default=0.05)
     p = sub.add_parser("compact")
     common(p)
     p.add_argument("--target-mb", type=int, default=512)
@@ -197,18 +219,41 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.batch)
         out["version"] = t.append(df, num_files=args.num_files)
     elif args.cmd == "merge":
-        from .operators.table_merge import merge_into_table
-
         t = IcepackTable.load(spark, args.table)
         batch = spark.read.parquet(args.batch)
-        out["version"] = merge_into_table(
-            t,
-            batch,
-            job_id=args.job_id,
-            rewrite_mode=args.rewrite_mode,
-            schema_evolution=cfg.schema_evolution,
-            broadcast_bytes_threshold=cfg.broadcast_bytes_threshold,
-        )
+        if (args.mode or cfg.merge_mode) == "mor":
+            from .operators.mor import merge_into_table_mor
+
+            out["version"] = merge_into_table_mor(
+                t,
+                batch,
+                job_id=args.job_id,
+                schema_evolution=cfg.schema_evolution,
+            )
+        else:
+            from .operators.table_merge import merge_into_table
+
+            out["version"] = merge_into_table(
+                t,
+                batch,
+                job_id=args.job_id,
+                rewrite_mode=args.rewrite_mode,
+                schema_evolution=cfg.schema_evolution,
+                broadcast_bytes_threshold=cfg.broadcast_bytes_threshold,
+            )
+    elif args.cmd == "apply-deletes":
+        from .operators.mor import apply_deletes, maybe_apply_deletes
+
+        t = IcepackTable.load(spark, args.table)
+        if args.if_needed:
+            out["version"] = maybe_apply_deletes(
+                t,
+                max_delete_files=args.max_delete_files,
+                max_delete_ratio=args.max_delete_ratio,
+                job_id=args.job_id,
+            )
+        else:
+            out["version"] = apply_deletes(t, job_id=args.job_id)
     elif args.cmd == "compact":
         from .operators.compaction import compact
 
