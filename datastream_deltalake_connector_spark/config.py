@@ -34,6 +34,7 @@ ENV_VARS: dict[str, tuple[str, type]] = {
     "DELTA_AUTO_COMPACT_MIN_FILES": ("auto_compact_min_files", int),
     "DELTA_MERGE_MODE": ("merge_mode", str),
     "DELTA_MOR_MAX_DELETE_FILES": ("mor_max_delete_files", int),
+    "DELTA_MOR_MAX_DELETE_RATIO": ("mor_max_delete_ratio", float),
     "DATASTREAM_TABLE_SOURCE": ("table_source", str),
     "DATASTREAM_BUCKET": ("bucket", str),
     "DATASTREAM_PREFIX": ("prefix", str),
@@ -61,6 +62,7 @@ class ConnectorConfig:
     # writes per micro-batch, deferred rewrite via maybe_apply_deletes
     merge_mode: str = "cow"
     mor_max_delete_files: int = 8
+    mor_max_delete_ratio: float = 0.05
     # maintenance (Config.scala:57-111 — the engine implements these natively;
     # auto_compact_min_files = Databricks autoCompact.enabled+minNumFiles:
     # None disables, N compacts after any merged batch once N small files

@@ -273,7 +273,9 @@ def decode_png_np(data: bytes) -> np.ndarray:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = px[:, :, 0]
+        # clamp out-of-palette indices (malformed/truncated PLTE) instead of
+        # surfacing a raw numpy IndexError — same policy as the GIF decoder
+        idx = np.minimum(px[:, :, 0], len(pal) - 1)
         rgb = pal[idx]
         if trns is not None:
             alpha = np.full(len(pal), 255, dtype=np.uint8)

@@ -187,6 +187,10 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG header")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — the marker code is the first non-FF byte of the run
+        while data[pos + 1] == 0xFF and pos + 4 <= len(data):
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -212,6 +216,9 @@ def decode_jpeg_np(data: bytes) -> np.ndarray:
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2 fill bytes: skip extra 0xFFs preceding the marker code
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -248,7 +255,7 @@ def decode_jpeg_np(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
             if frame["progressive"]:
-                store, eob_hint = _alloc_store(frame), None
+                store = _alloc_store(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} (arithmetic/lossless/"

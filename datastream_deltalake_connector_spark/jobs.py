@@ -93,8 +93,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="apply only past the maybe_apply_deletes thresholds",
     )
-    p.add_argument("--max-delete-files", type=int, default=8)
-    p.add_argument("--max-delete-ratio", type=float, default=0.05)
+    p.add_argument(
+        "--max-delete-files", type=int, default=None,
+        help="default: config mor_max_delete_files",
+    )
+    p.add_argument(
+        "--max-delete-ratio", type=float, default=None,
+        help="default: config mor_max_delete_ratio",
+    )
     p = sub.add_parser("compact")
     common(p)
     p.add_argument("--target-mb", type=int, default=512)
@@ -169,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
             auto_compact_min_files=cfg.auto_compact_min_files,
             merge_mode=cfg.merge_mode,
             mor_max_delete_files=cfg.mor_max_delete_files,
+            mor_max_delete_ratio=cfg.mor_max_delete_ratio,
         )
         print(json.dumps(out))
         return 0
@@ -188,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             auto_compact_min_files=cfg.auto_compact_min_files,
             merge_mode=cfg.merge_mode,
             mor_max_delete_files=cfg.mor_max_delete_files,
+            mor_max_delete_ratio=cfg.mor_max_delete_ratio,
         ).start()
         try:
             dead = daemon.await_any_termination(timeout=args.duration)
@@ -248,8 +256,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.if_needed:
             out["version"] = maybe_apply_deletes(
                 t,
-                max_delete_files=args.max_delete_files,
-                max_delete_ratio=args.max_delete_ratio,
+                max_delete_files=(
+                    args.max_delete_files
+                    if args.max_delete_files is not None
+                    else cfg.mor_max_delete_files
+                ),
+                max_delete_ratio=(
+                    args.max_delete_ratio
+                    if args.max_delete_ratio is not None
+                    else cfg.mor_max_delete_ratio
+                ),
                 job_id=args.job_id,
             )
         else:

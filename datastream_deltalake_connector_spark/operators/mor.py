@@ -51,49 +51,9 @@ from ..table.icepack import FileEntry, IcepackTable
 from ..table.lineage import LineageJournal
 from .dedup import latest_by_keys
 from .merge import DELETED_COL, SEQ_COL, TS_COL, TS_META, winners_as_merged
+from .table_merge import prune_candidates
 
 __all__ = ["merge_into_table_mor", "apply_deletes", "maybe_apply_deletes"]
-
-
-def _candidate_paths(
-    entries: list[FileEntry], winners: DataFrame, key: str
-) -> tuple[list[str], int]:
-    """Manifest pruning + winner count in ONE fused Spark job (same plan as
-    the CoW merge): broadcast the per-file [min,max] key ranges, range-join
-    the winner keys, aggregate distinct-count + hit set."""
-    ranged = [
-        e
-        for e in entries
-        if e.stats.get(key, {}).get("min") is not None
-        and e.stats.get(key, {}).get("max") is not None
-    ]
-    ranged_paths = {e.path for e in ranged}
-    touched: list[str] = [e.path for e in entries if e.path not in ranged_paths]
-    if not ranged:
-        return touched, -1  # caller counts winners itself
-    spark = winners.sparkSession
-    ranges_df = spark.createDataFrame(
-        [(e.path, e.stats[key]["min"], e.stats[key]["max"]) for e in ranged],
-        ["__path", "__min", "__max"],
-    )
-    row = (
-        winners.select(F.col(key).alias("__k"))
-        .join(
-            F.broadcast(ranges_df),
-            (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
-            "left",
-        )
-        .agg(
-            (
-                F.count_distinct(F.col("__k"))
-                + F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
-            ).alias("__n"),
-            F.collect_set("__path").alias("__hits"),
-        )
-        .collect()[0]
-    )
-    touched.extend(row["__hits"])
-    return touched, int(row["__n"] or 0)
 
 
 def merge_into_table_mor(
@@ -130,7 +90,8 @@ def merge_into_table_mor(
     all_entries = table.files(parent)
     pending_deletes = [e for e in all_entries if e.content == "eq_deletes"]
     entries = [e for e in all_entries if e.content == "data"]
-    touched_paths, n_winners = _candidate_paths(entries, winners, key)
+    # shared with the CoW merge: identical candidate sets by construction
+    touched_paths, n_winners = prune_candidates(entries, winners, key)
     if n_winners < 0:
         n_winners = winners.count()
     if n_winners == 0:
@@ -159,16 +120,19 @@ def merge_into_table_mor(
             paths = [os.path.join(table.root, e.path) for e in cand_entries]
             cand_df = table.spark.read.schema(schema).parquet(*paths)
         visible = cand_df.groupBy(key).agg(F.max(TS_META).alias("__t_ts"))
-        guarded = (
+        # cached: read twice (upsert data files + tombstone delete file);
+        # unpersisted after both writes below
+        guard_cached = (
             winners.join(visible, key, "left")
             .where(F.col("__t_ts").isNull() | (F.col("__t_ts") <= F.col(TS_COL)))
             .cache()
         )
         # Tombstones only for keys that actually shadow an existing row;
         # pure inserts (no visible match) write none.
-        tombstones = guarded.where(F.col("__t_ts").isNotNull()).select(key)
-        guarded = guarded.drop("__t_ts")
+        tombstones = guard_cached.where(F.col("__t_ts").isNotNull()).select(key)
+        guarded = guard_cached.drop("__t_ts")
     else:
+        guard_cached = None
         guarded = winners
         tombstones = guarded.limit(0).select(key)
 
@@ -197,6 +161,8 @@ def merge_into_table_mor(
         for e in del_entries:
             e.content = "eq_deletes"
 
+    if guard_cached is not None:
+        guard_cached.unpersist()
     if not added and not del_entries:
         winners.unpersist()
         return None  # every batch row lost the replay guard

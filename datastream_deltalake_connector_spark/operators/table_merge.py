@@ -40,6 +40,57 @@ from .partitioning import rewrite_sized_splits
 from pyspark.sql import DataFrame
 
 
+def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], int]:
+    """Manifest pruning + LWW-winner count in ONE fused Spark job, shared by
+    the CoW merge and the merge-on-read merge (operators/mor.py) so the two
+    paths can never diverge on which files a batch touches.
+
+    Winner keys are unique post-LWW, so count-distinct(key) recovers the
+    winner count through the range join's row multiplication — the count job
+    and the winners×file-ranges pruning job collapse into a single pass over
+    the batch (each extra action costs whole-job overhead locally and a full
+    scheduler round-trip on a real cluster). Files without key stats can
+    never be proven untouched → always in the returned candidate list.
+
+    Returns (candidate_paths, n_winners); n_winners is -1 when NO file had
+    usable key stats (no join ran — the caller counts winners itself)."""
+    ranged = [
+        e
+        for e in entries
+        if e.stats.get(key, {}).get("min") is not None
+        and e.stats.get(key, {}).get("max") is not None
+    ]
+    ranged_paths = {e.path for e in ranged}
+    touched: list[str] = [e.path for e in entries if e.path not in ranged_paths]
+    if not ranged:
+        return touched, -1
+    spark = winners.sparkSession
+    ranges_df = spark.createDataFrame(
+        [(e.path, e.stats[key]["min"], e.stats[key]["max"]) for e in ranged],
+        ["__path", "__min", "__max"],
+    )
+    row = (
+        winners.select(F.col(key).alias("__k"))
+        .join(
+            F.broadcast(ranges_df),
+            (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+            "left",
+        )
+        .agg(
+            # null keys survive the left join exactly once (they match
+            # no range), so distinct non-nulls + nulls = winner count
+            (
+                F.count_distinct(F.col("__k"))
+                + F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+            ).alias("__n"),
+            F.collect_set("__path").alias("__hits"),
+        )
+        .collect()[0]
+    )
+    touched.extend(row["__hits"])
+    return touched, int(row["__n"] or 0)
+
+
 def _estimate_row_bytes(df: DataFrame) -> float:
     """Average serialized row size of a (cached) DataFrame: measured lengths
     of the variable-width columns plus a fixed per-column overhead. One cheap
@@ -162,49 +213,11 @@ def merge_into_table(
         batch, [key], [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
     ).cache()
 
-    # ---- dedup count + manifest pruning, ONE fused job -------------------
-    # Winner keys are unique post-LWW, so count-distinct(key) recovers the
-    # winner count through the range join's row multiplication — the count
-    # job and the winners×file-ranges pruning job collapse into a single
-    # pass over the batch (each extra action costs whole-job overhead here
-    # and a full scheduler round-trip on a real cluster).
+    # ---- dedup count + manifest pruning, ONE fused job (prune_candidates,
+    # shared with the merge-on-read path) ----------------------------------
     entries = table.files(parent)
-    ranged = [
-        e
-        for e in entries
-        if e.stats.get(key, {}).get("min") is not None
-        and e.stats.get(key, {}).get("max") is not None
-    ]
-    ranged_paths = {e.path for e in ranged}
-    # Files without key stats can never be proven untouched → always rewrite.
-    touched_paths: list[str] = [e.path for e in entries if e.path not in ranged_paths]
-    if ranged:
-        spark = table.spark
-        ranges_df = spark.createDataFrame(
-            [(e.path, e.stats[key]["min"], e.stats[key]["max"]) for e in ranged],
-            ["__path", "__min", "__max"],
-        )
-        row = (
-            winners.select(F.col(key).alias("__k"))
-            .join(
-                F.broadcast(ranges_df),
-                (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
-                "left",
-            )
-            .agg(
-                # null keys survive the left join exactly once (they match
-                # no range), so distinct non-nulls + nulls = winner count
-                (
-                    F.count_distinct(F.col("__k"))
-                    + F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
-                ).alias("__n"),
-                F.collect_set("__path").alias("__hits"),
-            )
-            .collect()[0]
-        )
-        n_winners = int(row["__n"] or 0)
-        touched_paths.extend(row["__hits"])
-    else:
+    touched_paths, n_winners = prune_candidates(entries, winners, key)
+    if n_winners < 0:
         n_winners = winners.count()
     _t = _mark("dedup_count_and_pruning", _t)
     if n_winners == 0:

@@ -231,6 +231,7 @@ def run_connector_once(
     auto_compact_min_files: int | None = None,
     merge_mode: str = "cow",
     mor_max_delete_files: int = 8,
+    mor_max_delete_ratio: float = 0.05,
 ) -> dict[str, str]:
     """Discover every table of the stream and drain it end-to-end
     (ingest → log → merged icepack table), one pair of availableNow streams
@@ -266,6 +267,7 @@ def run_connector_once(
                 auto_compact_min_files=auto_compact_min_files,
                 merge_mode=merge_mode,
                 mor_max_delete_files=mor_max_delete_files,
+                mor_max_delete_ratio=mor_max_delete_ratio,
             )
             q2.awaitTermination()
             results[table.table] = merged_root
@@ -340,6 +342,7 @@ class ConnectorDaemon:
         auto_compact_min_files: int | None = None,
         merge_mode: str = "cow",
         mor_max_delete_files: int = 8,
+        mor_max_delete_ratio: float = 0.05,
     ) -> None:
         self.spark = spark
         self.stream_root = stream_root
@@ -356,6 +359,7 @@ class ConnectorDaemon:
         self.auto_compact_min_files = auto_compact_min_files
         self.merge_mode = merge_mode
         self.mor_max_delete_files = mor_max_delete_files
+        self.mor_max_delete_ratio = mor_max_delete_ratio
         self.queries: dict[str, list] = {}
         self.targets: dict[str, str] = {}
         self.failures: dict[str, str] = {}
@@ -419,6 +423,7 @@ class ConnectorDaemon:
             auto_compact_min_files=self.auto_compact_min_files,
             merge_mode=self.merge_mode,
             mor_max_delete_files=self.mor_max_delete_files,
+            mor_max_delete_ratio=self.mor_max_delete_ratio,
             # meta.table comes from the CDC envelope and is NOT unique per
             # source dir (two streams can carry the same source table);
             # query names must be unique per SparkSession

@@ -749,9 +749,13 @@ class IcepackTable:
                 e.rows,
                 json.dumps(e.stats, sort_keys=True),
                 json.dumps(e.partition, sort_keys=True),
+                e.content,
+                e.seq,
             )
             for e in self.files(version)
         ]
+        # same 7 columns as the parquet-manifest path — policy queries like
+        # files_df().where("content = 'data'") must work on both formats
         schema = T.StructType(
             [
                 T.StructField("path", T.StringType()),
@@ -759,6 +763,8 @@ class IcepackTable:
                 T.StructField("rows", T.LongType()),
                 T.StructField("stats_json", T.StringType()),
                 T.StructField("partition_json", T.StringType()),
+                T.StructField("content", T.StringType()),
+                T.StructField("seq", T.LongType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)

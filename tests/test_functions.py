@@ -172,6 +172,13 @@ def test_real_png_gray_rgba_palette_and_gates():
     with pytest.raises(ValueError, match="PLTE"):
         decode_png_np(_make_png(idx, 3, [0], plte=None))
 
+    # truncated PLTE: out-of-palette indices clamp to the last entry (the
+    # GIF decoder's policy) instead of a raw numpy IndexError
+    short = plte[: 16 * 3]
+    out_c = decode_png_np(_make_png(idx, 3, [0], plte=short))
+    pal16 = np.frombuffer(short, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(out_c, pal16[np.minimum(idx[:, :, 0], 15)])
+
     # corrupt streams are rejected, not mis-decoded: these declare Adam7 /
     # 16-bit in IHDR but carry non-interlaced 8-bit pixel data
     px = rand_img(8, 8)

@@ -408,3 +408,20 @@ def test_progressive_marker_and_quality():
     assert data.count(b"\xff\xda") >= 6  # DC + split AC scans + refinements
     assert jpeg_dims(data) == (34, 26, 3)
     assert psnr_np(px, decode_jpeg_np(data)) >= 40
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by extra 0xFF fill bytes —
+    real encoders/cameras emit them. Both the full decoder and the
+    header-only dims probe must skip the padding run."""
+    from datastream_deltalake_connector_spark.functions.jpeg import jpeg_dims
+
+    px = _smooth_img(16, 16)
+    clean = _make_jpeg(px, quality=95)
+    ref = decode_jpeg_np(clean)
+    # pad after SOI (before APP0/DQT) and again before the SOS marker
+    padded = clean[:2] + b"\xff\xff\xff" + clean[2:]
+    sos = padded.index(b"\xff\xda")
+    padded = padded[:sos] + b"\xff" + padded[sos:]
+    assert np.array_equal(decode_jpeg_np(padded), ref)
+    assert jpeg_dims(padded) == jpeg_dims(clean)

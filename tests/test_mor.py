@@ -284,3 +284,91 @@ def test_mor_key_mismatch_rejected(spark, tmp_path):
     merge_into_table_mor(t, cb(spark, 0))
     with pytest.raises(ValueError, match="equality deletes"):
         merge_into_table_mor(t, cb(spark, 1), key="caption")
+
+
+def test_mor_on_partitioned_table_matches_cow(spark, tmp_path):
+    """Hive-partitioned table (fmt=...): MoR upsert files must land inside
+    partition dirs with the partition value intact, the key-only delete file
+    stays unpartitioned, and the resolved scan matches CoW on an identical
+    twin — including the fmt column itself."""
+    def mk(name):
+        t = IcepackTable.create(
+            spark, str(tmp_path / name), MERGED_IMAGE_SCHEMA,
+            stats_cols=STATS_COLS, partition_by=["fmt"],
+        )
+        base = generate_images(spark, N_BASE, num_partitions=4).select(
+            "*",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+                "datastream_metadata_source_timestamp"
+            ),
+            F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+        )
+        t.append(base, num_files=4)
+        return t
+
+    t_mor, t_cow = mk("part-mor"), mk("part-cow")
+    for i in (1, 2):
+        merge_into_table_mor(t_mor, cb(spark, i), key="image_id")
+        merge_into_table(t_cow, cb(spark, i), key="image_id")
+
+    state = lambda t: sorted(
+        (r["image_id"], r["fmt"], r["caption"], r["phash"])
+        for r in t.scan().select("image_id", "fmt", "caption", "phash").collect()
+    )
+    assert state(t_mor) == state(t_cow)
+    # data files carry their hive partition; delete files carry none
+    for e in t_mor.files():
+        if e.content == "data":
+            assert "fmt" in e.partition and "/fmt=" in e.path
+        else:
+            assert e.partition == {}
+    # the deferred rewrite preserves the layout too
+    apply_deletes(t_mor)
+    assert state(t_mor) == state(t_cow)
+    assert all("fmt" in e.partition for e in t_mor.files())
+
+
+def test_mor_schema_evolution_adds_column(spark, tmp_path):
+    """A MoR batch carrying a NEW payload column evolves the table schema
+    (merge strategy) before the guard scan reads candidate files with the
+    parent schema; pre-evolution rows read the new column as null, the
+    batch's rows carry it, and apply_deletes preserves both."""
+    t = fresh_table(spark, tmp_path, "evo")
+    batch = cb(spark, 1, updates=10, inserts=5, deletes=0).withColumn(
+        "license", F.concat(F.lit("cc-"), F.col("image_id"))
+    )
+    assert merge_into_table_mor(t, batch, key="image_id") is not None
+    assert "license" in t.scan().columns
+    rows = {r["image_id"]: r["license"] for r in t.scan().select("image_id", "license").collect()}
+    touched = {r["image_id"] for r in batch.select("image_id").distinct().collect()}
+    for iid, lic in rows.items():
+        if iid in touched:
+            assert lic == f"cc-{iid}"
+        else:
+            assert lic is None
+    before = sorted(rows.items())
+    apply_deletes(t)
+    after = sorted(
+        (r["image_id"], r["license"])
+        for r in t.scan().select("image_id", "license").collect()
+    )
+    assert after == before
+
+
+def test_files_df_schema_parity_json_manifest(spark, tmp_path):
+    """files_df must expose the SAME 7 columns on a JSON manifest (small
+    tables) as on a parquet manifest, so maintenance-policy queries like
+    where("content = 'data'") work regardless of table size — and pending
+    equality-delete files are distinguishable from data files."""
+    t = fresh_table(spark, tmp_path, "fdf", num_files=3)
+    merge_into_table_mor(t, cb(spark, 1), key="image_id")
+    fdf = t.files_df()
+    assert set(fdf.columns) == {
+        "path", "bytes", "rows", "stats_json", "partition_json", "content", "seq",
+    }
+    by_content = {r["content"]: r["n"] for r in fdf.groupBy("content").agg(
+        F.count("*").alias("n")).collect()}
+    assert by_content.get("eq_deletes", 0) >= 1
+    assert by_content["data"] == sum(
+        1 for e in t.files() if e.content == "data"
+    )
