@@ -154,6 +154,45 @@ def _merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_upsert_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned twin of `cdc_merge_upsert`: the same even/odd batch
+    framing, but the target is a REAL icepack table created with
+    ``bloom_cols=["user_id"]`` and appended hash-shuffled (every file's
+    key range spans the whole domain — min/max pruning is structurally
+    useless, exactly the fresh-ingest layout at 100 TB). The CoW merge
+    then routes candidate finding through the per-file Bloom filters
+    (operators/table_merge.py `_prune_with_blooms`), so the oracle pins
+    the whole bloom build→store→probe→merge path, which must be visible-
+    row identical to the plain merge by construction (blooms have no
+    false negatives; false positives only widen the rewrite set)."""
+    from datastream_deltalake_connector_spark.operators.table_merge import (
+        merge_into_table,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    cdc = _events_cdc(spark, sf_dir)
+    b0 = cdc.where(F.col("change_seq") % 2 == 0)
+    b1 = cdc.where(F.col("change_seq") % 2 == 1)
+    w0 = latest_by_keys(b0, ["user_id"], ["source_timestamp", "change_seq"])
+    base = winners_as_merged(w0.where(~F.col("is_deleted")), ["user_id"]).drop(
+        "is_deleted", "change_type"
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-bloom-"), "events")
+    t = IcepackTable.create(spark, root, base.schema, bloom_cols=["user_id"])
+    t.append(base.repartition(8), num_files=8)  # hash layout: full-range files
+    assert all(
+        e.stats.get("user_id", {}).get("bloom") for e in t.files()
+    )  # bloom path actually engaged
+    merge_into_table(t, b1, key="user_id")
+    return t.scan().select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col(TS_META).alias("ts"),
+        F.col(SEQ_META).alias("seq"),
+    )
+
+
 _MERGE_ORACLE = f"""
 WITH cdc AS ({_CDC_SQL}),
 b0 AS (SELECT * FROM cdc WHERE change_seq % 2 = 0),
@@ -2591,7 +2630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           supplier_revenue_rank (all green r1-r3); semantic_dedup_docs later
           yielded its slot to the new image_png_ingest (needs its first
           driver row); embedding_neardup_pairs (green r3) yielded its slot
-          to the new cdc_merge_upsert_mor.
+          to the new cdc_merge_upsert_mor; tfidf_top_terms (green r3)
+          yielded its slot to the new cdc_merge_upsert_bloom.
     """
     return {
         # --- never driver-checked oracled queries (r4 rotation, first 15) ---
@@ -2616,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_ingest": _audio_wav_ingest,
         "video_gif_frames": _video_gif_frames,
         "cdc_merge_upsert_mor": _merge_upsert_mor,
+        "cdc_merge_upsert_bloom": _merge_upsert_bloom,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
@@ -2698,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_dedup_salted": _LWW_ORACLE,
         "cdc_merge_upsert": _MERGE_ORACLE,
         "cdc_merge_upsert_mor": _MERGE_ORACLE,
+        "cdc_merge_upsert_bloom": _MERGE_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

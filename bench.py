@@ -423,6 +423,89 @@ def real_codec_bench(spark, n_images: int = 1024, px: int = 192) -> dict:
     return out
 
 
+def bloom_prune_bench(spark, n_images: int = 24000) -> dict:
+    """File-skipping evidence for manifest key Bloom filters on the layout
+    where min/max ranges are structurally useless: a fresh INGEST table
+    (hash/arrival-ordered image_id, every file's key range spans the whole
+    domain) hit with a sparse (~0.1%) CDC batch. Reports candidate files
+    kept by the bloom path vs the range path on the IDENTICAL manifest and
+    batch — a deterministic number the host cannot noise — plus the wall
+    time of the MoR merge that rides the pruned candidate set."""
+    import copy
+
+    from pyspark.sql import functions as F
+
+    from datastream_deltalake_connector_spark.operators.dedup import latest_by_keys
+    from datastream_deltalake_connector_spark.operators.merge import SEQ_META, TS_META
+    from datastream_deltalake_connector_spark.operators.mor import merge_into_table_mor
+    from datastream_deltalake_connector_spark.operators.table_merge import (
+        prune_candidates,
+    )
+    from datastream_deltalake_connector_spark.sources.generator import (
+        generate_change_batch,
+        generate_images,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    root = os.path.join(tempfile.mkdtemp(prefix="bench-bloom-"), "images")
+    base = generate_images(spark, n_images, seed=7, min_px=48, max_px=96).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
+        F.lit(0).cast("long").alias(SEQ_META),
+    )
+    t = IcepackTable.create(
+        spark, root, base.schema, bloom_cols=["image_id"]
+    )
+    t0 = time.time()
+    t.append(base, num_files=32)
+    ingest_sec = time.time() - t0
+    entries = t.files()
+
+    n_sparse = max(n_images // 1000, 16)
+    batch_dir = os.path.join(tempfile.mkdtemp(prefix="bench-bloom-batch-"), "b")
+    generate_change_batch(
+        spark, n_images, batch_index=0, updates=n_sparse, inserts=0, deletes=0
+    ).write.parquet(batch_dir)
+    batch = spark.read.parquet(batch_dir)
+    winners = latest_by_keys(
+        batch, ["image_id"], ["source_timestamp", "change_seq"]
+    ).cache()
+    winners.count()
+
+    t0 = time.time()
+    bloom_paths, _ = prune_candidates(entries, winners, "image_id")
+    bloom_prune_sec = time.time() - t0
+    stripped = copy.deepcopy(entries)
+    for e in stripped:
+        e.stats.get("image_id", {}).pop("bloom", None)
+    t0 = time.time()
+    range_paths, _ = prune_candidates(stripped, winners, "image_id")
+    range_prune_sec = time.time() - t0
+    winners.unpersist()
+
+    t0 = time.time()
+    merge_into_table_mor(t, batch, key="image_id")
+    merge_sec = time.time() - t0
+    probe = _stage_probe()
+    shutil.rmtree(os.path.dirname(batch_dir), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    return {
+        "images": n_images,
+        "files": len(entries),
+        "sparse_batch_rows": n_sparse,
+        "ingest_with_blooms_sec": round(ingest_sec, 3),
+        "bloom_candidate_files": len(bloom_paths),
+        "range_candidate_files": len(range_paths),
+        "files_skipped_pct": round(
+            100.0 * (len(range_paths) - len(bloom_paths)) / max(len(range_paths), 1), 1
+        ),
+        "bloom_prune_sec": round(bloom_prune_sec, 3),
+        "range_prune_sec": round(range_prune_sec, 3),
+        "sparse_mor_merge_sec": round(merge_sec, 3),
+        "probe_4p_sec": probe,
+    }
+
+
 def _probe_work(n: int) -> float:
     import numpy as np
 
@@ -696,6 +779,33 @@ def write_bench_md(payload: dict) -> None:
                 f"{row['n']} × {row['px']}² | {rc.get('probe_4p_sec', '—')} |"
             )
         lines.append("")
+    bp = payload.get("bloom_pruning")
+    if bp:
+        lines += [
+            "## Manifest Bloom-filter file skipping (sparse merge)",
+            "",
+            "A fresh ingest table is arrival-ordered: every file's image_id",
+            "(min,max) spans the whole key domain, so min/max range pruning",
+            "keeps 100% of files for ANY batch. With per-file key Bloom",
+            "filters in the manifest (tables created with bloom_cols), a",
+            "sparse CDC batch keeps only files that provably might contain a",
+            "batch key. The candidate counts below are deterministic (host",
+            "noise cannot move them); identical manifest + batch, blooms",
+            "stripped for the range row.",
+            "",
+            f"- table: {bp['images']} images / {bp['files']} files, "
+            f"sparse batch {bp['sparse_batch_rows']} keys",
+            f"- candidate files, bloom path: **{bp['bloom_candidate_files']}** "
+            f"(prune job {bp['bloom_prune_sec']} s)",
+            f"- candidate files, range path: {bp['range_candidate_files']} "
+            f"(prune job {bp['range_prune_sec']} s)",
+            f"- **files skipped: {bp['files_skipped_pct']}%**",
+            f"- sparse MoR merge riding the bloom candidates: "
+            f"{bp['sparse_mor_merge_sec']} s (probe {bp['probe_4p_sec']} s)",
+            f"- ingest with bloom build (key-column read per staged file): "
+            f"{bp['ingest_with_blooms_sec']} s",
+            "",
+        ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 
@@ -726,6 +836,7 @@ def main() -> None:
     maintenance = maintenance_bench(spark, args.images, rounds=rounds)
     queries, query_detail = query_bench(spark, sf_dir)
     real_codecs = real_codec_bench(spark)
+    bloom = bloom_prune_bench(spark)
     spark.stop()
 
     scaling = None
@@ -753,6 +864,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "maintenance": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in maintenance.items() if k != "root"},
         "real_codecs": real_codecs,
+        "bloom_pruning": bloom,
         "scaling": scaling,
     }
     payload["maintenance"]["root"] = maintenance["root"]

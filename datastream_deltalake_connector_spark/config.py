@@ -23,8 +23,16 @@ from dataclasses import dataclass
 
 __all__ = ["ConnectorConfig", "ENV_VARS"]
 
+def _parse_bool(v: str) -> bool:
+    if v.lower() in ("1", "true", "yes", "on"):
+        return True
+    if v.lower() in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"not a boolean: {v!r}")
+
+
 # env var → (field, parser); names mirror the reference's application.conf
-ENV_VARS: dict[str, tuple[str, type]] = {
+ENV_VARS: dict[str, tuple[str, object]] = {
     "DATASTREAM_READ_FORMAT": ("read_format", str),
     "DATASTREAM_FILE_READ_CONCURRENCY": ("file_read_concurrency", int),
     "DELTA_MERGE_FREQUENCY": ("merge_frequency", str),
@@ -35,6 +43,7 @@ ENV_VARS: dict[str, tuple[str, type]] = {
     "DELTA_MERGE_MODE": ("merge_mode", str),
     "DELTA_MOR_MAX_DELETE_FILES": ("mor_max_delete_files", int),
     "DELTA_MOR_MAX_DELETE_RATIO": ("mor_max_delete_ratio", float),
+    "DELTA_BLOOM_FILTERS": ("bloom_filters", _parse_bool),
     "DATASTREAM_TABLE_SOURCE": ("table_source", str),
     "DATASTREAM_BUCKET": ("bucket", str),
     "DATASTREAM_PREFIX": ("prefix", str),
@@ -63,6 +72,10 @@ class ConnectorConfig:
     merge_mode: str = "cow"
     mor_max_delete_files: int = 8
     mor_max_delete_ratio: float = 0.05
+    # per-file primary-key Bloom filters in the manifest (functions/bloom.py)
+    # — file-skipping for merges into layouts min/max ranges cannot prune
+    # (arrival-ordered ingest). Costs a key-column read per staged file.
+    bloom_filters: bool = False
     # maintenance (Config.scala:57-111 — the engine implements these natively;
     # auto_compact_min_files = Databricks autoCompact.enabled+minNumFiles:
     # None disables, N compacts after any merged batch once N small files

@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="comma-separated hive partition columns (e.g. fmt)",
     )
+    p.add_argument(
+        "--bloom-cols",
+        default=None,
+        help="comma-separated key columns to index with per-file Bloom "
+        "filters (merge file-skipping on unclustered layouts)",
+    )
     p = sub.add_parser("ingest")
     common(p)
     p.add_argument("--batch", required=True)
@@ -176,6 +182,7 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=cfg.merge_mode,
             mor_max_delete_files=cfg.mor_max_delete_files,
             mor_max_delete_ratio=cfg.mor_max_delete_ratio,
+            bloom_filters=cfg.bloom_filters,
         )
         print(json.dumps(out))
         return 0
@@ -196,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
             merge_mode=cfg.merge_mode,
             mor_max_delete_files=cfg.mor_max_delete_files,
             mor_max_delete_ratio=cfg.mor_max_delete_ratio,
+            bloom_filters=cfg.bloom_filters,
         ).start()
         try:
             dead = daemon.await_any_termination(timeout=args.duration)
@@ -218,8 +226,10 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.generator import MERGED_IMAGE_SCHEMA
 
         part = args.partition_by.split(",") if args.partition_by else None
+        bloom = args.bloom_cols.split(",") if args.bloom_cols else None
         t = IcepackTable.create(
-            spark, args.table, MERGED_IMAGE_SCHEMA, partition_by=part
+            spark, args.table, MERGED_IMAGE_SCHEMA, partition_by=part,
+            bloom_cols=bloom,
         )
         out["version"] = t.head_version()
     elif args.cmd == "ingest":

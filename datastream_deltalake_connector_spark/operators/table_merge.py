@@ -53,7 +53,16 @@ def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], 
     never be proven untouched → always in the returned candidate list.
 
     Returns (candidate_paths, n_winners); n_winners is -1 when NO file had
-    usable key stats (no join ran — the caller counts winners itself)."""
+    usable key stats (no join ran — the caller counts winners itself).
+
+    When any file carries a key Bloom filter (tables created with
+    ``bloom_cols`` — see functions/bloom.py), pruning routes through the
+    bloom path instead: min/max ranges cannot prune hash-distributed or
+    ingest-ordered keys (every file's range spans the domain), while a
+    bloom skips every file that provably contains none of the batch keys,
+    independent of physical key order."""
+    if any(e.stats.get(key, {}).get("bloom") for e in entries):
+        return _prune_with_blooms(entries, winners, key)
     ranged = [
         e
         for e in entries
@@ -89,6 +98,98 @@ def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], 
     )
     touched.extend(row["__hits"])
     return touched, int(row["__n"] or 0)
+
+
+def _prune_with_blooms(entries, winners: DataFrame, key: str) -> tuple[list[str], int]:
+    """Bloom + range pruning fused with the winner count, still ONE job.
+
+    The per-file bitmaps live in the manifest (driver-side), so the range
+    join becomes unnecessary: a mapInPandas pass over the winner keys tests
+    every file's range AND bloom in vectorized numpy, emits the per-partition
+    hit set + row count, and a final tiny groupBy folds partitions together.
+    Shuffled rows are bounded by partitions × files-hit — never the batch.
+
+    Soundness: a bloom has no false negatives, so a file is skipped only if
+    it provably contains none of the batch keys; false positives merely keep
+    a file in the candidate set. Winners are key-unique post-LWW, so the
+    partition row-count sum IS the winner count (null keys included — they
+    can match no file, like the range join's left side).
+    """
+    testable: list[tuple] = []  # (path, min, max, (bits, m, k) | None)
+    touched: list[str] = []
+    for e in entries:
+        st = e.stats.get(key, {})
+        mn, mx, bl = st.get("min"), st.get("max"), st.get("bloom")
+        if bl is None and (mn is None or mx is None):
+            touched.append(e.path)  # no usable stats → never provably untouched
+            continue
+        testable.append((e.path, mn, mx, bl))
+    if not testable:
+        return touched, -1
+    spark = winners.sparkSession
+    # bitmaps decode on the executor (decoded numpy arrays don't pickle any
+    # smaller than their base64 source); ~1.2 bytes/row of bloom per file
+    bc = spark.sparkContext.broadcast([(mn, mx, bl) for _, mn, mx, bl in testable])
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.bloom import _hash_values, bloom_from_stats, bloom_might_contain
+
+        meta = [
+            (mn, mx, bloom_from_stats(bl) if bl else None) for mn, mx, bl in bc.value
+        ]
+        hits = np.zeros(len(meta), dtype=bool)
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            nn = pdf["__s"].notna().to_numpy()
+            if not nn.any():
+                continue
+            raw = pdf["__k"].to_numpy()[nn]
+            h1 = _hash_values(pdf["__s"].to_numpy()[nn])
+            for j, (mn, mx, bmk) in enumerate(meta):
+                if hits[j]:
+                    continue  # already a candidate — skip further probes
+                sel = np.ones(len(raw), dtype=bool)
+                if mn is not None and mx is not None:
+                    try:
+                        sel = (raw >= mn) & (raw <= mx)
+                    except TypeError:
+                        pass  # stats form not comparable to the Arrow dtype
+                if not sel.any():
+                    continue
+                if bmk is None:
+                    hits[j] = True
+                else:
+                    bits, m, k = bmk
+                    if bool(bloom_might_contain(bits, m, k, None, h1=h1[sel]).any()):
+                        hits[j] = True
+        idx = np.flatnonzero(hits)
+        yield pd.DataFrame(
+            {
+                "idx": np.append(idx, np.int64(-1)),
+                "n": np.append(np.zeros(len(idx), dtype=np.int64), np.int64(n)),
+            }
+        )
+
+    rows = (
+        winners.select(
+            F.col(key).alias("__k"), F.col(key).cast("string").alias("__s")
+        )
+        .mapInPandas(probe, "idx long, n long")
+        .groupBy("idx")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    n_winners = 0
+    for r in rows:
+        if r["idx"] == -1:
+            n_winners = int(r["n"])
+        else:
+            touched.append(testable[int(r["idx"])][0])
+    return touched, n_winners
 
 
 def _estimate_row_bytes(df: DataFrame) -> float:

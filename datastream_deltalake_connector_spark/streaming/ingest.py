@@ -232,6 +232,7 @@ def run_connector_once(
     merge_mode: str = "cow",
     mor_max_delete_files: int = 8,
     mor_max_delete_ratio: float = 0.05,
+    bloom_filters: bool = False,
 ) -> dict[str, str]:
     """Discover every table of the stream and drain it end-to-end
     (ingest → log → merged icepack table), one pair of availableNow streams
@@ -261,7 +262,9 @@ def run_connector_once(
             )
             q1.awaitTermination()
 
-            t, merged_root = _load_or_create_target(spark, warehouse, table.table, meta)
+            t, merged_root = _load_or_create_target(
+                spark, warehouse, table.table, meta, bloom_filters=bloom_filters
+            )
             q2 = merge_log_to_table(
                 spark, log_dir, t, ckpt, meta,
                 auto_compact_min_files=auto_compact_min_files,
@@ -277,13 +280,19 @@ def run_connector_once(
 
 
 def _load_or_create_target(
-    spark: SparkSession, warehouse: str, table_name: str, meta: TableMetadata
+    spark: SparkSession,
+    warehouse: str,
+    table_name: str,
+    meta: TableMetadata,
+    bloom_filters: bool = False,
 ) -> tuple[IcepackTable, str]:
     """Load the merged icepack table for ``table_name`` or create it from
     the CDC payload schema + merge-metadata ordering columns — the engine's
     analogue of the reference's create-DB-if-not-exists + first-batch table
     creation (DatastreamDeltaConnector.scala:43-47,
-    DeltaSchemaMigration.scala)."""
+    DeltaSchemaMigration.scala). ``bloom_filters`` creates the table with
+    per-file primary-key Bloom filters (config DELTA_BLOOM_FILTERS) so merge
+    pruning works on the arrival-ordered layout CDC ingest produces."""
     from pyspark.sql import types as T
 
     from ..operators.merge import SEQ_META, TS_META
@@ -298,7 +307,11 @@ def _load_or_create_target(
             T.StructField(SEQ_META, T.LongType()),
         ]
     )
-    return IcepackTable.create(spark, merged_root, schema), merged_root
+    bloom_cols = list(meta.primary_keys) if bloom_filters and meta.primary_keys else None
+    return (
+        IcepackTable.create(spark, merged_root, schema, bloom_cols=bloom_cols),
+        merged_root,
+    )
 
 
 class ConnectorDaemon:
@@ -343,6 +356,7 @@ class ConnectorDaemon:
         merge_mode: str = "cow",
         mor_max_delete_files: int = 8,
         mor_max_delete_ratio: float = 0.05,
+        bloom_filters: bool = False,
     ) -> None:
         self.spark = spark
         self.stream_root = stream_root
@@ -360,6 +374,7 @@ class ConnectorDaemon:
         self.merge_mode = merge_mode
         self.mor_max_delete_files = mor_max_delete_files
         self.mor_max_delete_ratio = mor_max_delete_ratio
+        self.bloom_filters = bloom_filters
         self.queries: dict[str, list] = {}
         self.targets: dict[str, str] = {}
         self.failures: dict[str, str] = {}
@@ -398,7 +413,8 @@ class ConnectorDaemon:
             if c in log_df.columns:
                 log_df = log_df.withColumn(c, F.to_timestamp(c))
         target, merged_root = _load_or_create_target(
-            self.spark, self.warehouse, table.table, meta
+            self.spark, self.warehouse, table.table, meta,
+            bloom_filters=self.bloom_filters,
         )
         q1 = ingest_table_to_log(
             self.spark,

@@ -82,12 +82,21 @@ def _json_safe(v: Any) -> Any:
     return str(v)
 
 
-def _footer_stats(abs_path: str, rel_path: str, stats_cols: tuple) -> dict:
+def _footer_stats(
+    abs_path: str, rel_path: str, stats_cols: tuple, bloom_cols: tuple = ()
+) -> dict:
     """Pure footer→manifest-entry function, safe to run on executors
-    (stdlib + pyarrow only, no SparkSession)."""
+    (stdlib + pyarrow only, no SparkSession).
+
+    ``bloom_cols`` additionally builds a per-file key Bloom filter
+    (functions/bloom.py) into ``stats[col]["bloom"]`` — the one stat that
+    needs column DATA, not just the footer. The read is pruned to exactly
+    those columns, so for an image table it touches key strings, never
+    pixels; cost is O(keys in this file) on whichever worker stages it."""
     import pyarrow.parquet as _pq
 
-    md = _pq.ParquetFile(abs_path).metadata
+    pf = _pq.ParquetFile(abs_path)
+    md = pf.metadata
     cols = set(stats_cols)
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
@@ -107,6 +116,28 @@ def _footer_stats(abs_path: str, rel_path: str, stats_cols: tuple) -> dict:
             if mx is not None and (name not in maxs or mx > maxs[name]):
                 maxs[name] = mx
     stats = {c: {"min": mins.get(c), "max": maxs.get(c)} for c in set(mins) | set(maxs)}
+    if bloom_cols:
+        import pyarrow as _pa
+
+        from ..functions.bloom import build_bloom
+
+        arrow_schema = pf.schema_arrow
+        for c in bloom_cols:
+            if c not in arrow_schema.names:
+                continue
+            typ = arrow_schema.field(c).type
+            # string/integer keys only: the bloom hashes the canonical
+            # string form, which matches Spark's CAST(key AS STRING) for
+            # exactly these types (functions/bloom.py `_hash_values`)
+            if not (
+                _pa.types.is_string(typ)
+                or _pa.types.is_large_string(typ)
+                or _pa.types.is_integer(typ)
+            ):
+                continue
+            col = pf.read(columns=[c]).column(c).combine_chunks().drop_null()
+            vals = col.to_numpy(zero_copy_only=False)
+            stats.setdefault(c, {"min": None, "max": None})["bloom"] = build_bloom(vals)
     return {
         "path": rel_path,
         "bytes": os.path.getsize(abs_path),
@@ -202,6 +233,7 @@ class IcepackTable:
         schema: T.StructType,
         stats_cols: list[str] | None = None,
         partition_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "IcepackTable":
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=False)
@@ -215,7 +247,14 @@ class IcepackTable:
             operation="create",
             schema_json=schema.jsonValue(),
             manifest=manifest_name,
-            summary={"stats_cols": stats_cols, "partition_by": partition_by},
+            # bloom_cols (opt-in): per-file key Bloom filters in the manifest
+            # — the file-skipping index for MERGE pruning on keys the layout
+            # is NOT range-clustered by (functions/bloom.py)
+            summary={
+                "stats_cols": stats_cols,
+                "partition_by": partition_by,
+                "bloom_cols": bloom_cols,
+            },
         )
         t._write_json(os.path.join(t.meta_dir, "snap-0.json"), asdict(snap))
         t._atomic_write(os.path.join(t.meta_dir, "HEAD"), "0")
@@ -292,6 +331,9 @@ class IcepackTable:
         schema = schema or self.schema()
         skip = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
         return [f.name for f in schema.fields if not isinstance(f.dataType, skip)]
+
+    def bloom_cols(self) -> list[str]:
+        return self.snapshot().summary.get("bloom_cols") or []
 
     # ----------------------------------------------------------------- scan
     def scan(
@@ -559,6 +601,7 @@ class IcepackTable:
         commit can stage thousands of files — serial driver reads would
         become the commit's critical path); small ones stay on the driver."""
         stats_cols = tuple(sorted(self.stats_cols()))
+        bloom_cols = tuple(sorted(self.bloom_cols()))
         stage_dir = os.path.join(self.root, stage_rel)
         rels = []
         for dirpath, _dirs, names in os.walk(stage_dir):
@@ -578,7 +621,7 @@ class IcepackTable:
             slices = min(len(pairs), sc.defaultParallelism)
             dicts = (
                 sc.parallelize(pairs, slices)
-                .map(lambda pr: _footer_stats(pr[0], pr[1], stats_cols))
+                .map(lambda pr: _footer_stats(pr[0], pr[1], stats_cols, bloom_cols))
                 .collect()
             )
             dicts.sort(key=lambda d: d["path"])
@@ -587,10 +630,13 @@ class IcepackTable:
 
             with ThreadPoolExecutor(min(16, len(pairs))) as ex:
                 dicts = list(
-                    ex.map(lambda pr: _footer_stats(pr[0], pr[1], stats_cols), pairs)
+                    ex.map(
+                        lambda pr: _footer_stats(pr[0], pr[1], stats_cols, bloom_cols),
+                        pairs,
+                    )
                 )
         else:
-            dicts = [_footer_stats(a, r, stats_cols) for a, r in pairs]
+            dicts = [_footer_stats(a, r, stats_cols, bloom_cols) for a, r in pairs]
         return [
             FileEntry(
                 **d,
@@ -604,7 +650,12 @@ class IcepackTable:
         # 'data' contain no '=', so the hive segments are unambiguous (resume
         # paths rebuild entries through here — they must not lose partitions)
         return FileEntry(
-            **_footer_stats(abs_path, rel_path, tuple(sorted(stats_cols))),
+            **_footer_stats(
+                abs_path,
+                rel_path,
+                tuple(sorted(stats_cols)),
+                tuple(sorted(self.bloom_cols())),
+            ),
             partition=self._partition_of(rel_path),
         )
 

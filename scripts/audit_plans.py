@@ -25,6 +25,15 @@ AUDIT = [
         "exchanges, payload bytes never shuffle.",
     ),
     (
+        "cdc_merge_upsert_bloom",
+        "Bloom-pruned CoW merge result scan. The merge itself routed "
+        "candidate finding through per-file manifest Bloom filters (one "
+        "mapInPandas probe job over the winner keys — no broadcast range "
+        "join); the returned scan is a plain pruned parquet read of the "
+        "post-merge table. Expect: parquet scan, no exchanges beyond the "
+        "final ordering, ReadSchema limited to the 5 output columns.",
+    ),
+    (
         "pricing_summary",
         "Filter + two-stage agg. Expect: shipdate filter pushed to parquet, "
         "ReadSchema pruned to the 7 used columns, partial HashAggregate "

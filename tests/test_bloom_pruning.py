@@ -1,0 +1,279 @@
+"""Per-file key Bloom filters (functions/bloom.py) + manifest-level MERGE
+pruning through them (operators/table_merge.py `_prune_with_blooms`).
+
+Why this exists: min/max footer stats prune candidate files only when the
+layout is range-clustered on the merge key. A freshly ingested table is
+time-ordered — every file's key range spans the whole domain — so range
+pruning keeps 100% of files even for a batch that touches 2 of them. The
+bloom path must (a) never produce a false negative (that would merge
+wrongly), (b) actually skip untouched files where ranges cannot, and
+(c) yield bit-identical merge results to the range path.
+"""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_deltalake_connector_spark.functions.bloom import (
+    _hash_values,
+    bloom_from_stats,
+    bloom_might_contain,
+    build_bloom,
+)
+from datastream_deltalake_connector_spark.operators.dedup import latest_by_keys
+from datastream_deltalake_connector_spark.operators.table_merge import (
+    merge_into_table,
+    prune_candidates,
+)
+from datastream_deltalake_connector_spark.table import IcepackTable
+
+
+# ------------------------------------------------------------------ unit
+def test_bloom_no_false_negatives_and_fpp():
+    keys = np.array([f"img-{i:08d}" for i in range(5000)], dtype=object)
+    bits, m, k = bloom_from_stats(build_bloom(keys))
+    assert bloom_might_contain(bits, m, k, keys).all()  # FN impossible
+    probe = np.array([f"zzz-{i:08d}" for i in range(20000)], dtype=object)
+    assert bloom_might_contain(bits, m, k, probe).mean() < 0.02  # ~1% target
+    # sizing: ~1.2 bytes/key at 1% fpp
+    assert len(bits) < 5000 * 1.5
+
+
+def test_bloom_hash_canonical_across_dtypes():
+    """The build side hashes pyarrow-read values (int64 / object / unicode);
+    the query side hashes Spark CAST(key AS STRING) batches where nulls have
+    coerced int64 to float64 upstream. All must collide on the same bits —
+    a dtype-sensitive hash would be a silent false NEGATIVE (wrong merge)."""
+    ints = _hash_values(np.array([5, 17, 123456789], dtype=np.int64))
+    strs = _hash_values(np.array(["5", "17", "123456789"], dtype=object))
+    unis = _hash_values(np.array(["5", "17", "123456789"]))  # dtype <U
+    assert ints.tolist() == strs.tolist() == unis.tolist()
+
+
+def test_bloom_empty_and_single():
+    bits, m, k = bloom_from_stats(build_bloom(np.array([], dtype=object)))
+    assert not bloom_might_contain(bits, m, k, np.array(["x"], dtype=object)).any()
+    bits, m, k = bloom_from_stats(build_bloom(np.array(["only"], dtype=object)))
+    assert bloom_might_contain(bits, m, k, np.array(["only"], dtype=object)).all()
+
+
+# ------------------------------------------------------- table integration
+TS = "datastream_metadata_source_timestamp"
+SEQ = "datastream_metadata_change_seq"
+
+
+def _base(spark, n=8000):
+    return (
+        spark.range(0, n)
+        .select(
+            F.concat(
+                F.lit("img-"), F.lpad(F.col("id").cast("string"), 8, "0")
+            ).alias("image_id"),
+            (F.col("id") % 100).cast("int").alias("v"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS),
+            F.lit(0).cast("long").alias(SEQ),
+        )
+        # hash round-robin: every file's (min,max) image_id range spans the
+        # whole key domain — the ingest-ordered layout ranges cannot prune
+        .repartition(16)
+    )
+
+
+def _batch(spark, ids, deleted=False):
+    return spark.createDataFrame(
+        [(f"img-{i:08d}",) for i in ids], ["image_id"]
+    ).select(
+        "image_id",
+        F.lit(999).cast("int").alias("v"),
+        F.lit("UPSERT").alias("change_type"),
+        F.lit(deleted).alias("is_deleted"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("source_timestamp"),
+        F.lit(1).cast("long").alias("change_seq"),
+    )
+
+
+@pytest.fixture()
+def bloomed(spark, tmp_path):
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "bloomed"),
+        _base(spark).schema,
+        bloom_cols=["image_id"],
+    )
+    t.append(_base(spark), num_files=16)
+    return t
+
+
+def test_footer_blooms_written_and_roundtrip(bloomed):
+    entries = bloomed.files()
+    assert len(entries) == 16
+    for e in entries:
+        bl = e.stats["image_id"]["bloom"]
+        assert set(bl) == {"m", "k", "b64"}
+        bits, m, k = bloom_from_stats(bl)  # JSON manifest round-trip decodes
+        assert m == len(bits) * 8 and k >= 1
+
+
+def test_bloom_prunes_where_ranges_cannot(spark, bloomed):
+    entries = bloomed.files()
+    winners = latest_by_keys(
+        _batch(spark, [100, 4100]), ["image_id"], ["source_timestamp", "change_seq"]
+    )
+    paths, n = prune_candidates(entries, winners, "image_id")
+    assert n == 2
+    # 2 keys over 16 full-range files: ranges keep all 16, blooms keep ≤ a few
+    stripped = copy.deepcopy(entries)
+    for e in stripped:
+        e.stats["image_id"].pop("bloom")
+    rpaths, rn = prune_candidates(stripped, winners, "image_id")
+    assert rn == 2 and len(rpaths) == 16
+    assert set(paths) <= set(rpaths)
+    assert len(paths) <= 4  # 2 true files + bounded false positives
+
+
+def test_bloom_merge_matches_rangeonly_twin(spark, tmp_path, bloomed):
+    twin = IcepackTable.create(
+        spark, str(tmp_path / "plain"), _base(spark).schema
+    )
+    twin.append(_base(spark), num_files=16)
+    ids = [0, 7, 4321, 7999, 9001]  # 9001 = pure insert
+    for t in (bloomed, twin):
+        assert merge_into_table(t, _batch(spark, ids), key="image_id") is not None
+    state = lambda t: sorted(
+        (r["image_id"], r["v"]) for r in t.scan().select("image_id", "v").collect()
+    )
+    s = state(bloomed)
+    assert s == state(twin)
+    assert len(s) == 8001
+    assert dict(s)["img-00009001"] == 999
+    # the bloomed merge rewrote a SUBSET of the files the range merge did
+    assert bloomed.snapshot().summary["removed_files"] <= twin.snapshot().summary[
+        "removed_files"
+    ]
+
+
+def test_bloom_prune_counts_null_keys(spark, bloomed):
+    b = _batch(spark, [50]).unionByName(
+        _batch(spark, [60]).withColumn("image_id", F.lit(None).cast("string"))
+    )
+    winners = latest_by_keys(b, ["image_id"], ["source_timestamp", "change_seq"])
+    paths, n = prune_candidates(bloomed.files(), winners, "image_id")
+    assert n == 2  # null key counts as a winner, matches no file
+    assert len(paths) <= 3
+
+
+def test_bloom_int_keys(spark, tmp_path):
+    base = (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 7).cast("int").alias("v"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS),
+            F.lit(0).cast("long").alias(SEQ),
+        )
+        .repartition(8)
+    )
+    t = IcepackTable.create(
+        spark, str(tmp_path / "ints"), base.schema, bloom_cols=["user_id"]
+    )
+    t.append(base, num_files=8)
+    batch = spark.createDataFrame([(13,), (2900,)], ["user_id"]).select(
+        "user_id",
+        F.lit(42).cast("int").alias("v"),
+        F.lit("UPSERT").alias("change_type"),
+        F.lit(False).alias("is_deleted"),
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("source_timestamp"),
+        F.lit(1).cast("long").alias("change_seq"),
+    )
+    winners = latest_by_keys(batch, ["user_id"], ["source_timestamp", "change_seq"])
+    paths, n = prune_candidates(t.files(), winners, "user_id")
+    assert n == 2 and len(paths) <= 3
+    merge_into_table(t, batch, key="user_id")
+    got = dict(
+        (r["user_id"], r["v"]) for r in t.scan().select("user_id", "v").collect()
+    )
+    assert got[13] == 42 and got[2900] == 42 and got[14] == 0
+
+
+def test_bloom_skipped_for_unsupported_key_types(spark, tmp_path):
+    """bloom_cols naming a timestamp column is ignored (string/int only —
+    the canonical-string hash contract), and a column missing from the file
+    is ignored; min/max pruning still works untouched."""
+    base = _base(spark, n=500)
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "unsup"),
+        base.schema,
+        bloom_cols=[TS, "missing_col", "image_id"],
+    )
+    t.append(base, num_files=2)
+    for e in t.files():
+        assert "bloom" in e.stats["image_id"]
+        assert "bloom" not in e.stats.get(TS, {})
+        assert "missing_col" not in e.stats or "bloom" not in e.stats["missing_col"]
+
+
+def test_bloom_mor_merge_uses_pruning(spark, tmp_path):
+    """The MoR merge shares prune_candidates: a sparse batch against a
+    bloomed unclustered table reads (key, ts) of a file SUBSET for its
+    replay guard, and the resolved scan still matches expectations."""
+    from datastream_deltalake_connector_spark.operators.mor import (
+        apply_deletes,
+        merge_into_table_mor,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "mor"),
+        _base(spark).schema,
+        bloom_cols=["image_id"],
+    )
+    t.append(_base(spark), num_files=16)
+    assert merge_into_table_mor(t, _batch(spark, [3, 4444]), key="image_id") is not None
+    assert t.snapshot().summary["candidate_files"] <= 4  # pruned, not 16
+    got = dict(
+        (r["image_id"], r["v"]) for r in t.scan().select("image_id", "v").collect()
+    )
+    assert len(got) == 8000 and got["img-00000003"] == 999 and got["img-00004444"] == 999
+    apply_deletes(t)
+    got2 = dict(
+        (r["image_id"], r["v"]) for r in t.scan().select("image_id", "v").collect()
+    )
+    assert got2 == got
+
+
+def test_connector_target_created_with_blooms(spark, tmp_path):
+    """DELTA_BLOOM_FILTERS plumbing: the streaming connector's target-table
+    factory creates the merged table with bloom_cols = the CDC primary keys,
+    so every appended/merged data file carries the merge key's bloom."""
+    from pyspark.sql import types as T
+
+    from datastream_deltalake_connector_spark.sources.cdc import TableMetadata
+    from datastream_deltalake_connector_spark.streaming.ingest import (
+        _load_or_create_target,
+    )
+
+    meta = TableMetadata(
+        source_type="datastream",
+        table="imgs",
+        database=None,
+        primary_keys=["image_id"],
+        order_by=["source_timestamp"],
+        payload_schema=T.StructType(
+            [
+                T.StructField("image_id", T.StringType()),
+                T.StructField("caption", T.StringType()),
+            ]
+        ),
+    )
+    t, _ = _load_or_create_target(
+        spark, str(tmp_path / "wh"), "imgs", meta, bloom_filters=True
+    )
+    assert t.bloom_cols() == ["image_id"]
+    t2, _ = _load_or_create_target(
+        spark, str(tmp_path / "wh2"), "imgs", meta, bloom_filters=False
+    )
+    assert t2.bloom_cols() == []

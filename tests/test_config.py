@@ -86,3 +86,14 @@ def test_merge_mode_knob(tmp_path):
         None, env={"DELTA_MERGE_MODE": "mor", "DELTA_MOR_MAX_DELETE_FILES": "3"}
     )
     assert (cfg.merge_mode, cfg.mor_max_delete_files) == ("mor", 3)
+
+
+def test_bloom_filters_knob():
+    assert ConnectorConfig().bloom_filters is False
+    for raw, want in (("1", True), ("true", True), ("off", False), ("no", False)):
+        assert (
+            ConnectorConfig.load(None, env={"DELTA_BLOOM_FILTERS": raw}).bloom_filters
+            is want
+        )
+    with pytest.raises(ValueError, match="boolean"):
+        ConnectorConfig.load(None, env={"DELTA_BLOOM_FILTERS": "maybe"})
