@@ -448,7 +448,10 @@ def bloom_prune_bench(spark, n_images: int = 24000) -> dict:
     from datastream_deltalake_connector_spark.table import IcepackTable
 
     root = os.path.join(tempfile.mkdtemp(prefix="bench-bloom-"), "images")
-    base = generate_images(spark, n_images, seed=7, min_px=48, max_px=96).select(
+    # seed must match generate_change_batch's default: update keys are
+    # _id_of(seed=42, ·) — a different base seed would turn every "update"
+    # into a pure insert and the merge would write no tombstones at all
+    base = generate_images(spark, n_images, seed=42, min_px=48, max_px=96).select(
         "*",
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
         F.lit(0).cast("long").alias(SEQ_META),
@@ -457,7 +460,9 @@ def bloom_prune_bench(spark, n_images: int = 24000) -> dict:
         spark, root, base.schema, bloom_cols=["image_id"]
     )
     t0 = time.time()
-    t.append(base, num_files=32)
+    # 64 files ≈ the files ≫ batch-keys regime of a real table (at 10^12
+    # images the ratio is far more extreme and the skip fraction higher)
+    t.append(base, num_files=64)
     ingest_sec = time.time() - t0
     entries = t.files()
 
@@ -486,6 +491,15 @@ def bloom_prune_bench(spark, n_images: int = 24000) -> dict:
     t0 = time.time()
     merge_into_table_mor(t, batch, key="image_id")
     merge_sec = time.time() - t0
+
+    # the deferred rewrite, bloom-refined: only files truly containing a
+    # tombstoned key are rewritten (the range answer on this layout is ALL)
+    from datastream_deltalake_connector_spark.operators.mor import apply_deletes
+
+    t0 = time.time()
+    apply_deletes(t)
+    applydel_sec = time.time() - t0
+    rewritten = t.snapshot().summary["rewritten_files"]
     probe = _stage_probe()
     shutil.rmtree(os.path.dirname(batch_dir), ignore_errors=True)
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
@@ -502,6 +516,8 @@ def bloom_prune_bench(spark, n_images: int = 24000) -> dict:
         "bloom_prune_sec": round(bloom_prune_sec, 3),
         "range_prune_sec": round(range_prune_sec, 3),
         "sparse_mor_merge_sec": round(merge_sec, 3),
+        "apply_deletes_sec": round(applydel_sec, 3),
+        "apply_deletes_rewritten_files": rewritten,
         "probe_4p_sec": probe,
     }
 
@@ -802,6 +818,10 @@ def write_bench_md(payload: dict) -> None:
             f"- **files skipped: {bp['files_skipped_pct']}%**",
             f"- sparse MoR merge riding the bloom candidates: "
             f"{bp['sparse_mor_merge_sec']} s (probe {bp['probe_4p_sec']} s)",
+            f"- deferred apply_deletes, bloom-refined: rewrote "
+            f"**{bp['apply_deletes_rewritten_files']}** of {bp['files']} files "
+            f"in {bp['apply_deletes_sec']} s (range answer on this layout: all "
+            f"{bp['files']})",
             f"- ingest with bloom build (key-column read per staged file): "
             f"{bp['ingest_with_blooms_sec']} s",
             "",

@@ -223,17 +223,16 @@ def apply_deletes(
     key_cols = table.snapshot(parent).summary.get("eq_delete_cols") or []
     journal = LineageJournal(table.root, job_id or f"apply-del-{uuid.uuid4().hex[:12]}")
 
-    hit = [
-        e
-        for e in data
-        if any(
-            d.seq > e.seq and table._ranges_overlap(e, d, key_cols) for d in deletes
-        )
-    ]
+    # range + (when available) driver-side bloom refinement — on an
+    # arrival-ordered layout the blooms are what keep a sparse tombstone
+    # set from forcing a full-table rewrite here
+    hit = table.delete_hit_candidates(data, deletes, key_cols)
     removed = [e.path for e in hit] + [e.path for e in deletes]
     added: list[FileEntry] = []
     if hit:
-        resolved = table._scan_with_deletes(hit, deletes, table.schema(parent), key_cols)
+        resolved = table._scan_with_deletes(
+            hit, deletes, table.schema(parent), key_cols, candidates=hit
+        )
         added = table.write_data_files(
             resolved, partition_by=table.partition_spec() or None
         )

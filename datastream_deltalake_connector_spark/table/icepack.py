@@ -44,10 +44,13 @@ the surviving files (predicate pushdown and column pruning stay free).
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import json
 import os
 import time
 import uuid
+
+import numpy as np
 from dataclasses import asdict, dataclass, field
 from typing import Any, Iterable
 
@@ -146,6 +149,26 @@ def _footer_stats(
     }
 
 
+@_functools.lru_cache(maxsize=32)
+def _delete_key_hashes(abs_path: str, key: str) -> "np.ndarray":
+    """Hashed key column of one equality-delete file, memoized: delete files
+    are immutable and capped by DELETE_BLOOM_REFINE_MAX_ROWS total, so every
+    scan over a table with pending deletes reuses the same arrays instead of
+    re-reading and re-hashing parquet per query (review finding)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.bloom import _hash_values
+
+    col = (
+        pq.ParquetFile(abs_path)
+        .read(columns=[key])
+        .column(key)
+        .combine_chunks()
+        .drop_null()
+    )
+    return _hash_values(col.to_numpy(zero_copy_only=False))
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -170,10 +193,26 @@ class FileEntry:
     seq: int = 0
 
     def may_match(self, col: str, op: str, value: Any) -> bool:
-        """Conservative: False only when stats PROVE no row can match."""
+        """Conservative: False only when stats PROVE no row can match.
+
+        Point lookups (``=``) additionally consult the column's Bloom
+        filter when present: on an arrival-ordered layout every file's
+        range contains every key, but the bloom skips all files that
+        provably lack it — a manifest-level point read instead of a
+        full-table scan. Nulls never probe the bloom (built null-free)."""
         st = self.stats.get(col)
         if not st:
             return True
+        if op == "=" and value is not None and st.get("bloom"):
+            from ..functions.bloom import bloom_from_stats, bloom_might_contain
+
+            bits, m, k = bloom_from_stats(st["bloom"])
+            if not bool(
+                bloom_might_contain(
+                    bits, m, k, np.array([value], dtype=object)
+                ).any()
+            ):
+                return False
         lo, hi = st.get("min"), st.get("max")
         if lo is None or hi is None:
             return True
@@ -421,12 +460,85 @@ class IcepackTable:
                 continue
         return True
 
+    # Bloom refinement of delete-hit candidates stays on the driver only
+    # while the total tombstone count is modest; past this it would stall
+    # the driver hashing keys (the conservative range answer is still sound)
+    DELETE_BLOOM_REFINE_MAX_ROWS = 2_000_000
+
+    def delete_hit_candidates(
+        self,
+        data: list[FileEntry],
+        deletes: list[FileEntry],
+        key_cols: list[str],
+    ) -> list[FileEntry]:
+        """Data files a pending equality-delete file might actually shadow
+        (``delete.seq > data.seq`` and keys possibly shared) — the set both
+        the MoR scan anti-joins and ``apply_deletes`` rewrites.
+
+        Range test first (conservative). When ANY surviving candidate
+        carries a key Bloom filter, refine DRIVER-SIDE: delete files are
+        key-only (tiny — one per MoR batch since the last apply), so their
+        keys are read with pyarrow (hashes memoized per immutable file) and
+        probed against each bloomed candidate's bitmap; candidates WITHOUT
+        a bloom keep the conservative range answer. No Spark job, no false
+        negatives — on an arrival-ordered layout this is what keeps a sparse
+        tombstone set from forcing a full-table rewrite (ranges overlap
+        everything)."""
+        cand = [
+            e
+            for e in data
+            if any(
+                d.seq > e.seq and self._ranges_overlap(e, d, key_cols)
+                for d in deletes
+            )
+        ]
+        if (
+            len(key_cols) != 1
+            or sum(d.rows for d in deletes) > self.DELETE_BLOOM_REFINE_MAX_ROWS
+            or not any(e.stats.get(key_cols[0], {}).get("bloom") for e in cand)
+        ):
+            return cand
+        from ..functions.bloom import bloom_from_stats, bloom_might_contain
+
+        key = key_cols[0]
+        by_seq: dict[int, list] = {}
+        for d in deletes:
+            by_seq.setdefault(d.seq, []).append(
+                _delete_key_hashes(os.path.join(self.root, d.path), key)
+            )
+        seq_hashes = {s: np.concatenate(a) for s, a in by_seq.items()}
+        # per distinct data seq: hashes of every delete NEWER than it
+        probe_cache: dict[int, np.ndarray] = {}
+
+        def probes_for(data_seq: int) -> np.ndarray:
+            if data_seq not in probe_cache:
+                newer = [h for s, h in seq_hashes.items() if s > data_seq]
+                probe_cache[data_seq] = (
+                    np.concatenate(newer) if newer else np.zeros(0, dtype=np.uint64)
+                )
+            return probe_cache[data_seq]
+
+        kept = []
+        for e in cand:
+            bl = e.stats.get(key, {}).get("bloom")
+            if bl is None:
+                kept.append(e)  # pre-bloom file: range answer stands
+                continue
+            h1 = probes_for(e.seq)
+            if len(h1) == 0:
+                continue
+            bits, m, k = bloom_from_stats(bl)
+            if bool(bloom_might_contain(bits, m, k, None, h1=h1).any()):
+                kept.append(e)
+        return kept
+
     def _scan_with_deletes(
         self,
         data: list[FileEntry],
         deletes: list[FileEntry],
         schema: T.StructType,
         key_cols: list[str],
+        candidates: list[FileEntry] | None = None,
     ) -> DataFrame:
         """Merge-on-read resolution: anti-join candidate data files against
         the equality-delete files that can shadow them.
@@ -447,14 +559,13 @@ class IcepackTable:
                 "snapshot has equality-delete files but no eq_delete_cols "
                 "recorded — corrupt metadata"
             )
-        cand = [
-            e
-            for e in data
-            if any(
-                d.seq > e.seq and self._ranges_overlap(e, d, key_cols)
-                for d in deletes
-            )
-        ]
+        # ``candidates`` lets a caller that already ran delete_hit_candidates
+        # (apply_deletes) skip re-running the refinement on the same set
+        cand = (
+            self.delete_hit_candidates(data, deletes, key_cols)
+            if candidates is None
+            else candidates
+        )
         cand_paths = {e.path for e in cand}
         plain = [e for e in data if e.path not in cand_paths]
 

@@ -277,3 +277,90 @@ def test_connector_target_created_with_blooms(spark, tmp_path):
         spark, str(tmp_path / "wh2"), "imgs", meta, bloom_filters=False
     )
     assert t2.bloom_cols() == []
+
+
+def test_delete_hit_candidates_bloom_refined(spark, tmp_path):
+    """apply_deletes / MoR-scan candidate selection: with blooms, a sparse
+    tombstone set shadows only the files that really contain a deleted key
+    — the range answer on this arrival-ordered layout is ALL 16 files. The
+    refined rewrite must still produce the identical visible table."""
+    from datastream_deltalake_connector_spark.operators.mor import (
+        apply_deletes,
+        merge_into_table_mor,
+    )
+
+    def mk(name, bloom):
+        t = IcepackTable.create(
+            spark,
+            str(tmp_path / name),
+            _base(spark).schema,
+            bloom_cols=["image_id"] if bloom else None,
+        )
+        t.append(_base(spark), num_files=16)
+        merge_into_table_mor(t, _batch(spark, [123, 6500]), key="image_id")
+        return t
+
+    tb, tp = mk("b", True), mk("p", False)
+    data = [e for e in tb.files() if e.content == "data"]
+    dels = [e for e in tb.files() if e.content == "eq_deletes"]
+    refined = tb.delete_hit_candidates(data, dels, ["image_id"])
+    datp = [e for e in tp.files() if e.content == "data"]
+    delp = [e for e in tp.files() if e.content == "eq_deletes"]
+    ranged = tp.delete_hit_candidates(datp, delp, ["image_id"])
+    assert len(ranged) == 16  # ranges cannot prune this layout
+    assert 1 <= len(refined) <= 4  # 2 true hits + bounded false positives
+
+    state = lambda t: sorted(
+        (r["image_id"], r["v"]) for r in t.scan().select("image_id", "v").collect()
+    )
+    assert state(tb) == state(tp)  # scan-side refinement is result-invariant
+    apply_deletes(tb)
+    apply_deletes(tp)
+    assert state(tb) == state(tp)
+    # the bloomed table paid a bounded rewrite; the plain one rewrote the lot
+    assert tb.snapshot().summary["rewritten_files"] == len(refined)
+    assert tp.snapshot().summary["rewritten_files"] == 16
+
+
+def test_delete_hit_candidates_seq_scoping_with_blooms(spark, tmp_path):
+    """A delete file shadows only LOWER-seq data files: a data file whose
+    key IS in a tombstone but was committed at a HIGHER seq (the co-committed
+    MoR upsert) must stay out of the candidate set even though its bloom
+    matches."""
+    from datastream_deltalake_connector_spark.operators.mor import (
+        merge_into_table_mor,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "seq"),
+        _base(spark).schema,
+        bloom_cols=["image_id"],
+    )
+    t.append(_base(spark, n=2000), num_files=4)
+    merge_into_table_mor(t, _batch(spark, [77]), key="image_id")
+    data = [e for e in t.files() if e.content == "data"]
+    dels = [e for e in t.files() if e.content == "eq_deletes"]
+    cand = t.delete_hit_candidates(data, dels, ["image_id"])
+    # the upsert's own data file carries key img-00000077 and a matching
+    # bloom, but shares the delete file's seq -> excluded
+    newer = [e for e in data if e.seq >= max(d.seq for d in dels)]
+    assert newer and all(e not in cand for e in newer)
+    assert 1 <= len(cand) <= 2  # the base file(s) actually containing the key
+
+
+def test_point_lookup_scan_bloom_pruned(spark, bloomed):
+    """scan(filters=[(key,'=',v)]) on the arrival-ordered layout: min/max
+    keeps all 16 files (every range spans the domain), the bloom keeps only
+    the file(s) that might contain the key — a manifest-level point read."""
+    entries = bloomed.files()
+    target = "img-00003000"
+    kept = [e for e in entries if e.may_match("image_id", "=", target)]
+    assert 1 <= len(kept) <= 2  # 1 true file + bounded false positives
+    rows = bloomed.scan(filters=[("image_id", "=", target)]).collect()
+    assert [r["image_id"] for r in rows] == [target]
+    # absent key: possibly zero files survive, and the scan returns nothing
+    rows = bloomed.scan(filters=[("image_id", "=", "img-99999999")]).collect()
+    assert rows == []
+    # nulls never probe the bloom (built null-free): no file is pruned
+    assert all(e.may_match("image_id", "=", None) for e in entries)

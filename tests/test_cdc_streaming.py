@@ -683,3 +683,29 @@ def test_merge_log_rejects_unknown_merge_mode(spark, tmp_path):
             spark, str(tmp_path / "nolog"), None, str(tmp_path / "ck"),
             None, merge_mode="sideways",
         )
+
+
+def test_connector_bloom_filters_end_to_end(spark, stream_root, tmp_path):
+    """DELTA_BLOOM_FILTERS plumbed through the whole pipeline: the connector
+    creates the merged table with bloom_cols = primary keys, every merged
+    data file carries the key's bloom, and the visible rows match the plain
+    connector run exactly (bloom pruning is result-invariant)."""
+    wh_b = str(tmp_path / "wh-bloom")
+    wh_p = str(tmp_path / "wh-plain")
+    res_b = run_connector_once(
+        spark, stream_root, wh_b, fmt="json", bloom_filters=True
+    )
+    res_p = run_connector_once(spark, stream_root, wh_p, fmt="json")
+    tb = IcepackTable.load(spark, res_b["people"])
+    tp = IcepackTable.load(spark, res_p["people"])
+    assert tb.bloom_cols() == ["pid"]
+    assert all(
+        e.stats.get("pid", {}).get("bloom")
+        for e in tb.files()
+        if e.content == "data"
+    )
+    state = lambda t: sorted(
+        (r["pid"], r["name"], r["city"])
+        for r in t.scan().select("pid", "name", "city").collect()
+    )
+    assert state(tb) == state(tp)

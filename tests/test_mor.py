@@ -372,3 +372,43 @@ def test_files_df_schema_parity_json_manifest(spark, tmp_path):
     assert by_content["data"] == sum(
         1 for e in t.files() if e.content == "data"
     )
+
+
+def test_expire_keeps_pending_delete_files(spark, tmp_path):
+    """Snapshot expiry on a MoR table with PENDING equality deletes: the
+    delete files are reachable from HEAD, so expiring old snapshots must
+    never remove them (or the data files they scope), and the resolved
+    scan must be unchanged. After apply_deletes, a further expire may
+    finally drop the detached tombstones with the old snapshots."""
+    from datastream_deltalake_connector_spark.operators.expire import (
+        expire_snapshots,
+        remove_orphans,
+    )
+
+    t = fresh_table(spark, tmp_path, "exp")
+    merge_into_table_mor(t, cb(spark, 1))
+    merge_into_table_mor(t, cb(spark, 2))
+    before = sorted(
+        (r["image_id"], r["caption"])
+        for r in t.scan().select("image_id", "caption").collect()
+    )
+    report = expire_snapshots(t, keep_last=1)
+    assert report["n_expired_snapshots"] >= 1
+    # pending delete files survive expiry — still referenced by HEAD
+    assert any(e.content == "eq_deletes" for e in t.files())
+    after = sorted(
+        (r["image_id"], r["caption"])
+        for r in t.scan().select("image_id", "caption").collect()
+    )
+    assert after == before
+    # the deferred rewrite then detaches them; expire + orphan sweep may
+    # physically delete, and the table still reads identically
+    apply_deletes(t)
+    expire_snapshots(t, keep_last=1)
+    remove_orphans(t, grace_seconds=0)
+    assert not any(e.content == "eq_deletes" for e in t.files())
+    final = sorted(
+        (r["image_id"], r["caption"])
+        for r in t.scan().select("image_id", "caption").collect()
+    )
+    assert final == before
