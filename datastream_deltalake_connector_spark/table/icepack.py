@@ -203,6 +203,10 @@ class FileEntry:
         st = self.stats.get(col)
         if not st:
             return True
+        if op == "in":
+            # a file may match an IN-list iff it may match ANY member —
+            # each member gets the full treatment (range + bloom)
+            return any(self.may_match(col, "=", v) for v in value)
         if op == "=" and value is not None and st.get("bloom"):
             from ..functions.bloom import bloom_from_stats, bloom_might_contain
 
@@ -384,10 +388,12 @@ class IcepackTable:
     ) -> DataFrame:
         """Read a pinned snapshot as a DataFrame with manifest-level pruning.
 
-        ``filters``: [(col, op, value)] with op in = < <= > >= between.
-        Files whose min/max stats cannot satisfy every filter are skipped
-        before Spark sees them; surviving files get the same predicates
-        pushed into the parquet scan by Catalyst.
+        ``filters``: [(col, op, value)] with op in = < <= > >= between in
+        (value = iterable of members for ``in``). Files whose min/max stats
+        cannot satisfy every filter are skipped before Spark sees them
+        (``=``/``in`` additionally probe the column's Bloom filter when the
+        table has one); surviving files get the same predicates pushed into
+        the parquet scan by Catalyst.
 
         Merge-on-read: when the snapshot carries equality-delete files
         (``FileEntry.content == "eq_deletes"``, written by
@@ -437,6 +443,7 @@ class IcepackTable:
                     ">": col > v,
                     ">=": col >= v,
                     "between": col.between(v[0], v[1]) if op == "between" else None,
+                    "in": col.isin(list(v)) if op == "in" else None,
                 }[op]
                 df = df.where(expr)
         if columns:

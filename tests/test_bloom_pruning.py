@@ -364,3 +364,16 @@ def test_point_lookup_scan_bloom_pruned(spark, bloomed):
     assert rows == []
     # nulls never probe the bloom (built null-free): no file is pruned
     assert all(e.may_match("image_id", "=", None) for e in entries)
+
+
+def test_in_filter_scan_bloom_pruned(spark, bloomed):
+    """IN-list scans: manifest pruning unions the per-member verdicts
+    (range + bloom per member), and the Spark-side isin predicate returns
+    exactly the requested keys."""
+    keys = ["img-00000005", "img-00007500"]
+    kept = [e for e in bloomed.files() if e.may_match("image_id", "in", keys)]
+    assert 1 <= len(kept) <= 4
+    rows = bloomed.scan(filters=[("image_id", "in", keys)]).collect()
+    assert sorted(r["image_id"] for r in rows) == keys
+    # all-absent IN-list prunes to nothing
+    assert bloomed.scan(filters=[("image_id", "in", ["zz-1", "zz-2"])]).count() == 0
