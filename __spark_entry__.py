@@ -31,7 +31,11 @@ from datastream_deltalake_connector_spark.functions.text import (
     token_count,
     token_count_sql,
 )
-from datastream_deltalake_connector_spark.functions.zorder import z_value, z_value_sql
+from datastream_deltalake_connector_spark.functions.zorder import (
+    hilbert_sql_query,
+    z_value,
+    z_value_sql,
+)
 from datastream_deltalake_connector_spark.operators.dedup import latest_by_keys
 from datastream_deltalake_connector_spark.operators.merge import (
     SEQ_META,
@@ -308,6 +312,10 @@ SELECT l_orderkey, l_linenumber,
        {z_value_sql('l_partkey', 'l_suppkey')} AS zval
 FROM lineitem
 """
+
+_HILBERT_ORACLE = hilbert_sql_query(
+    "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey", "l_suppkey", "hval"
+)
 
 
 def _zorder_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2202,9 +2210,11 @@ def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert clustering key (state-table pandas UDF) — rows-only: the
-    vectorized implementation is pinned against the classic scalar xy2d
-    algorithm in tests/test_functions.py."""
+    """Hilbert clustering key (vectorized numpy pandas UDF) — ORACLED since
+    r4 against a recursive-CTE DuckDB twin (functions/zorder.py
+    `hilbert_sql_query`: the rotate/reflect loop carries per-row (x,y,d,s)
+    state through the recursion); also pinned against the classic scalar
+    xy2d algorithm in tests/test_functions.py."""
     from datastream_deltalake_connector_spark.functions.zorder import hilbert_value
 
     li = _read(spark, sf_dir, "lineitem")
@@ -2631,7 +2641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           yielded its slot to the new image_png_ingest (needs its first
           driver row); embedding_neardup_pairs (green r3) yielded its slot
           to the new cdc_merge_upsert_mor; tfidf_top_terms (green r3)
-          yielded its slot to the new cdc_merge_upsert_bloom.
+          yielded its slot to the new cdc_merge_upsert_bloom;
+          token_rarity_docs (green r3) yielded its slot to hilbert_key,
+          newly oracled in r4 via the recursive-CTE DuckDB Hilbert twin.
     """
     return {
         # --- never driver-checked oracled queries (r4 rotation, first 15) ---
@@ -2657,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_gif_frames": _video_gif_frames,
         "cdc_merge_upsert_mor": _merge_upsert_mor,
         "cdc_merge_upsert_bloom": _merge_upsert_bloom,
+        "hilbert_key": _hilbert_key,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
@@ -2725,7 +2738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rms_features": _audio_rms,
         "image_resize_thumbs": _image_resize,
         "image_merge_pipeline": _image_pipeline,
-        "hilbert_key": _hilbert_key,
         "phash_neardup_images": _phash_neardup_images,
         "image_features": _image_features,
         "video_frame_sample": _video_frames,
@@ -2744,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,
         "zorder_key": _ZORDER_ORACLE,
+        "hilbert_key": _HILBERT_ORACLE,
         "zorder_entropy": _ZORDER_ENTROPY_ORACLE,
         "salted_group_count": _SALTED_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_ORACLE,

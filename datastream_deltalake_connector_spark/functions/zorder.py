@@ -45,6 +45,8 @@ __all__ = [
     "hilbert_value",
     "z_value_np",
     "hilbert_np",
+    "unsigned31_sql",
+    "hilbert_sql_query",
 ]
 
 _SPREAD_ROUNDS = [  # (shift, mask) — spread 32 low bits into even positions
@@ -138,27 +140,32 @@ def z_value(a: Column, b: Column) -> Column:
     return _z(a.cast("long"), b.cast("long"))
 
 
+def _gpos_sql(e: str) -> str:
+    # e must be a non-negative BIGINT expression
+    parts = []
+    for i, (limit_exp, shift) in enumerate(_BANDS):
+        val = e if shift == 0 else f"(({e}) >> {shift})"
+        parts.append(f"WHEN ({e}) < {1 << limit_exp} THEN {i * _BAND_STEP} + {val}")
+    parts.append(f"ELSE {5 * _BAND_STEP} + (({e}) >> 40)")
+    return "(CASE " + " ".join(parts) + " END)"
+
+
+def unsigned31_sql(e: str) -> str:
+    """SQL twin of ``unsigned31`` / ``unsigned31_np`` over a BIGINT
+    expression — shared by the Morton and Hilbert oracle builders."""
+    return (
+        f"(CASE WHEN ({e}) >= 0 THEN {1 << 30} + {_gpos_sql(f'({e})')} "
+        f"ELSE {(1 << 30) - 1} - {_gpos_sql(f'(-1 - ({e}))')} END)"
+    )
+
+
 def z_value_sql(a: str, b: str, dialect: str = "duckdb") -> str:
     """SQL twin of z_value over BIGINT expressions ``a`` and ``b``.
 
     dialect='duckdb' (used by the oracle) or 'spark'. Both dialects support
     &, |, << on BIGINT; the expression only shifts masked non-negative
     values, so arithmetic vs logical shift semantics never diverge."""
-
-    def gpos(e: str) -> str:
-        # e must be a non-negative BIGINT expression
-        parts = []
-        for i, (limit_exp, shift) in enumerate(_BANDS):
-            val = e if shift == 0 else f"(({e}) >> {shift})"
-            parts.append(f"WHEN ({e}) < {1 << limit_exp} THEN {i * _BAND_STEP} + {val}")
-        parts.append(f"ELSE {5 * _BAND_STEP} + (({e}) >> 40)")
-        return "(CASE " + " ".join(parts) + " END)"
-
-    def u31(e: str) -> str:
-        return (
-            f"(CASE WHEN ({e}) >= 0 THEN {1 << 30} + {gpos(f'({e})')} "
-            f"ELSE {(1 << 30) - 1} - {gpos(f'(-1 - ({e}))')} END)"
-        )
+    u31 = unsigned31_sql
 
     def spread(e: str) -> str:
         x = e
@@ -169,6 +176,50 @@ def z_value_sql(a: str, b: str, dialect: str = "duckdb") -> str:
     sa = spread(u31(f"CAST({a} AS BIGINT)"))
     sb = spread(u31(f"CAST({b} AS BIGINT)"))
     return f"((({sa}) << 1) | ({sb}))"
+
+
+def hilbert_sql_query(
+    table: str,
+    id_cols: list[str],
+    a: str,
+    b: str,
+    alias: str = "hval",
+    order: int = 31,
+) -> str:
+    """DuckDB SQL twin of ``hilbert_value`` as a full recursive-CTE query —
+    the rotate/reflect loop over the ``order`` bit levels carries per-row
+    (x, y, d, s) state through the recursion, bit-identical to
+    ``hilbert_np`` (pinned by tests + the hilbert_key oracle entry).
+
+    Returns ``SELECT <id_cols>, d AS <alias> FROM ... `` over ``table``."""
+    ids = ", ".join(id_cols)
+    s0 = 1 << (order - 1)
+    return f"""
+WITH RECURSIVE hbase AS (
+  SELECT {ids},
+         {unsigned31_sql(f'CAST({a} AS BIGINT)')} AS x,
+         {unsigned31_sql(f'CAST({b} AS BIGINT)')} AS y
+  FROM {table}
+), hloop AS (
+  SELECT {ids}, x, y, CAST(0 AS BIGINT) AS d, CAST({s0} AS BIGINT) AS s
+  FROM hbase
+  UNION ALL
+  SELECT {ids},
+    CASE WHEN ry = 0 THEN yf ELSE xf END AS x,
+    CASE WHEN ry = 0 THEN xf ELSE yf END AS y,
+    d + s * s * xor(3 * rx, ry) AS d,
+    s // 2 AS s
+  FROM (
+    SELECT {ids}, x, y, d, s,
+      CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry,
+      CASE WHEN (y & s) = 0 AND (x & s) > 0 THEN s - 1 - x ELSE x END AS xf,
+      CASE WHEN (y & s) = 0 AND (x & s) > 0 THEN s - 1 - y ELSE y END AS yf
+    FROM hloop WHERE s > 0
+  )
+)
+SELECT {ids}, d AS {alias} FROM hloop WHERE s = 0
+"""
 
 
 # ---------------------------------------------------------------- numpy twins

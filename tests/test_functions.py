@@ -608,3 +608,25 @@ def test_canonicalize_url_examples_and_sql_twin(spark):
             f"SELECT {canonicalize_url_sql('u')} FROM (SELECT ? AS u)", [raw]
         ).fetchone()
         assert out == want, (raw, out, want)
+
+
+def test_hilbert_sql_twin_bit_identical():
+    """The recursive-CTE DuckDB Hilbert twin (hilbert_sql_query) must be
+    bit-identical to hilbert_np on random signed-64 pairs — it is the
+    oracle for the hilbert_key registry entry."""
+    import duckdb
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.zorder import (
+        hilbert_np,
+        hilbert_sql_query,
+    )
+
+    rng = np.random.default_rng(12345)
+    a = rng.integers(-(10**12), 10**12, 800)
+    b = rng.integers(-(10**12), 10**12, 800)
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame({"id": range(800), "a": a, "b": b}))
+    q = hilbert_sql_query("src", ["id"], "a", "b", "hval") + " ORDER BY id"
+    got = con.execute(q).fetchnumpy()["hval"]
+    assert np.array_equal(got, hilbert_np(a, b, order=31))
