@@ -1012,6 +1012,14 @@ class IcepackTable:
             "columns": len(snap.schema.fields),
             "delete_files": len(dels),
             "delete_rows": sum(e.rows for e in dels),
+            # file-skipping index coverage: merges/point-lookups prune with
+            # blooms only on the files that carry one (mixed tables happen
+            # when bloom_cols is enabled mid-life)
+            "bloom_files": sum(
+                1
+                for e in entries
+                if any("bloom" in (st or {}) for st in e.stats.values())
+            ),
         }
 
     # ------------------------------------------------------- common actions

@@ -377,3 +377,29 @@ def test_in_filter_scan_bloom_pruned(spark, bloomed):
     assert sorted(r["image_id"] for r in rows) == keys
     # all-absent IN-list prunes to nothing
     assert bloomed.scan(filters=[("image_id", "in", ["zz-1", "zz-2"])]).count() == 0
+
+
+def test_bloom_build_on_executor_fanout_path(spark, tmp_path):
+    """Large commits collect footer stats via sc.parallelize on executors
+    (collect_file_entries use_executors=True); the bloom build must work
+    there too — the map function imports functions.bloom on the worker and
+    returns JSON-safe stats only."""
+    t = IcepackTable.create(
+        spark, str(tmp_path / "fan"), _base(spark, n=600).schema,
+        bloom_cols=["image_id"],
+    )
+    staged = t.write_data_files(_base(spark, n=600), num_files=12)
+    stage_rel = "/".join(staged[0].path.split("/")[:2])  # data/<uuid>
+    entries = t.collect_file_entries(stage_rel, use_executors=True)
+    assert len(entries) == 12
+    assert all(e.stats["image_id"].get("bloom") for e in entries)
+    # identical stats to the driver path
+    driver = {e.path: e.stats for e in t.collect_file_entries(stage_rel, use_executors=False)}
+    assert all(driver[e.path] == e.stats for e in entries)
+
+
+def test_describe_reports_bloom_coverage(spark, tmp_path, bloomed):
+    assert bloomed.describe()["bloom_files"] == 16
+    plain = IcepackTable.create(spark, str(tmp_path / "nb"), _base(spark, 500).schema)
+    plain.append(_base(spark, 500), num_files=2)
+    assert plain.describe()["bloom_files"] == 0
