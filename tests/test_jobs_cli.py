@@ -135,3 +135,34 @@ def test_job_merge_mor_and_apply_deletes(spark, tmp_path, capsys):
     assert desc["delete_files"] == 0
     scan = run(capsys, "scan", "--table", table)
     assert scan["rows"] == 40  # 40 base + 4 inserts - 4 deletes
+
+
+def test_job_init_bloom_cols(spark, tmp_path, capsys):
+    """init --bloom-cols image_id: every ingested file carries the key
+    bloom (describe bloom_files) and a MoR merge's candidate pruning uses
+    it (candidate_files well under the file count on the hash layout)."""
+    table = str(tmp_path / "images-bloom")
+    base_pq = str(tmp_path / "bb.parquet")
+    batch_pq = str(tmp_path / "bbatch.parquet")
+    generate_images(spark, 400, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    ).write.parquet(base_pq)
+    generate_change_batch(
+        spark, 400, batch_index=0, updates=3, inserts=0, deletes=0, num_partitions=1
+    ).write.parquet(batch_pq)
+
+    run(capsys, "init", "--table", table, "--bloom-cols", "image_id")
+    run(capsys, "ingest", "--table", table, "--batch", base_pq, "--num-files", "16")
+    desc = run(capsys, "describe", "--table", table)
+    assert desc["bloom_files"] == desc["files"] == 16
+    run(capsys, "merge", "--table", table, "--batch", batch_pq, "--mode", "mor")
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    t = IcepackTable.load(spark, table)
+    assert t.snapshot().summary["candidate_files"] <= 6  # pruned, not 16
+    scan = run(capsys, "scan", "--table", table)
+    assert scan["rows"] == 400
