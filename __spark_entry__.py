@@ -197,6 +197,41 @@ def _merge_upsert_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_upsert_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-primary-key twin of `cdc_merge_upsert`: the merge key is
+    the (user_id, event_type) tuple — the reference's multi-PK equi-join
+    (MergeQueries.scala via TableMetadata primary_keys). Driven through a
+    REAL icepack table with merge_into_table(key=[...]); pins full-tuple
+    LWW dedup, the composite winner count through manifest pruning, the
+    multi-column resolve join, and the tuple-range-partitioned rewrite.
+    A first-key-only merge would LWW-collapse the ~3 event_type rows each
+    user carries — the oracle's per-tuple expectation catches that."""
+    from datastream_deltalake_connector_spark.operators.table_merge import (
+        merge_into_table,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    keys = ["user_id", "event_type"]
+    cdc = _events_cdc(spark, sf_dir)
+    b0 = cdc.where(F.col("change_seq") % 2 == 0)
+    b1 = cdc.where(F.col("change_seq") % 2 == 1)
+    w0 = latest_by_keys(b0, keys, ["source_timestamp", "change_seq"])
+    base = winners_as_merged(w0.where(~F.col("is_deleted")), keys).drop(
+        "is_deleted", "change_type"
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-comp-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base, num_files=4)
+    merge_into_table(t, b1, key=keys)
+    return t.scan().select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col(TS_META).alias("ts"),
+        F.col(SEQ_META).alias("seq"),
+    )
+
+
 _MERGE_ORACLE = f"""
 WITH cdc AS ({_CDC_SQL}),
 b0 AS (SELECT * FROM cdc WHERE change_seq % 2 = 0),
@@ -223,6 +258,39 @@ m AS (
     CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
               AND w1.is_deleted THEN 1 ELSE 0 END AS dropped
   FROM t0 FULL OUTER JOIN w1 ON t0.user_id = w1.user_id
+)
+SELECT user_id, event_type, value, ts, seq FROM m WHERE dropped = 0
+"""
+
+# Composite-key twin: LWW and the merge join run on the FULL
+# (user_id, event_type) tuple — each user's ~3 event_type rows are
+# independent merge targets.
+_MERGE_COMPOSITE_ORACLE = f"""
+WITH cdc AS ({_CDC_SQL}),
+b0 AS (SELECT * FROM cdc WHERE change_seq % 2 = 0),
+b1 AS (SELECT * FROM cdc WHERE change_seq % 2 = 1),
+w0 AS (SELECT * FROM (
+    SELECT b0.*, row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY source_timestamp DESC, change_seq DESC) rn FROM b0) WHERE rn = 1),
+t0 AS (SELECT user_id, event_type, value, source_timestamp AS ts, change_seq AS seq
+       FROM w0 WHERE NOT is_deleted),
+w1 AS (SELECT * FROM (
+    SELECT b1.*, row_number() OVER (PARTITION BY user_id, event_type
+        ORDER BY source_timestamp DESC, change_seq DESC) rn FROM b1) WHERE rn = 1),
+m AS (
+  SELECT
+    COALESCE(t0.user_id, w1.user_id) AS user_id,
+    COALESCE(t0.event_type, w1.event_type) AS event_type,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.value ELSE t0.value END AS value,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.source_timestamp ELSE t0.ts END AS ts,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+         THEN w1.change_seq ELSE t0.seq END AS seq,
+    CASE WHEN w1.user_id IS NOT NULL AND (t0.user_id IS NULL OR t0.ts <= w1.source_timestamp)
+              AND w1.is_deleted THEN 1 ELSE 0 END AS dropped
+  FROM t0 FULL OUTER JOIN w1
+    ON t0.user_id = w1.user_id AND t0.event_type = w1.event_type
 )
 SELECT user_id, event_type, value, ts, seq FROM m WHERE dropped = 0
 """
@@ -2643,7 +2711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           to the new cdc_merge_upsert_mor; tfidf_top_terms (green r3)
           yielded its slot to the new cdc_merge_upsert_bloom;
           token_rarity_docs (green r3) yielded its slot to hilbert_key,
-          newly oracled in r4 via the recursive-CTE DuckDB Hilbert twin.
+          newly oracled in r4 via the recursive-CTE DuckDB Hilbert twin;
+          url_dedup_docs (green r1-r3) yielded its slot to the new
+          cdc_merge_composite (composite-PK icepack merge).
     """
     return {
         # --- never driver-checked oracled queries (r4 rotation, first 15) ---
@@ -2669,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_gif_frames": _video_gif_frames,
         "cdc_merge_upsert_mor": _merge_upsert_mor,
         "cdc_merge_upsert_bloom": _merge_upsert_bloom,
+        "cdc_merge_composite": _merge_upsert_composite,
         "hilbert_key": _hilbert_key,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
@@ -2752,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert": _MERGE_ORACLE,
         "cdc_merge_upsert_mor": _MERGE_ORACLE,
         "cdc_merge_upsert_bloom": _MERGE_ORACLE,
+        "cdc_merge_composite": _MERGE_COMPOSITE_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

@@ -59,7 +59,7 @@ __all__ = ["merge_into_table_mor", "apply_deletes", "maybe_apply_deletes"]
 def merge_into_table_mor(
     table: IcepackTable,
     batch: DataFrame,
-    key: str = "image_id",
+    key: str | list[str] = "image_id",
     dedup_strategy: str = "salted",
     salt_buckets: int = 32,
     target_rows_per_file: int | None = None,
@@ -73,25 +73,26 @@ def merge_into_table_mor(
     ``<=`` guard, same delete semantics — but the only data written is the
     batch itself plus a compact key-only delete file. Existing files are
     read once, column-pruned to (key, ts), and never rewritten."""
+    keys = [key] if isinstance(key, str) else list(key)
     parent = table.head_version()
     journal = LineageJournal(table.root, job_id or f"merge-mor-{uuid.uuid4().hex[:12]}")
 
     recorded = table.snapshot(parent).summary.get("eq_delete_cols")
-    if recorded and recorded != [key]:
+    if recorded and recorded != keys:
         raise ValueError(
             f"table already carries equality deletes on {recorded}; "
-            f"merge key [{key!r}] must match until they are applied"
+            f"merge key {keys!r} must match until they are applied"
         )
 
     winners = latest_by_keys(
-        batch, [key], [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
+        batch, keys, [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
     ).cache()
 
     all_entries = table.files(parent)
     pending_deletes = [e for e in all_entries if e.content == "eq_deletes"]
     entries = [e for e in all_entries if e.content == "data"]
     # shared with the CoW merge: identical candidate sets by construction
-    touched_paths, n_winners = prune_candidates(entries, winners, key)
+    touched_paths, n_winners = prune_candidates(entries, winners, keys)
     if n_winners < 0:
         n_winners = winners.count()
     if n_winners == 0:
@@ -114,30 +115,30 @@ def merge_into_table_mor(
         schema = table.schema(parent)
         if pending_deletes:
             cand_df = table._scan_with_deletes(
-                cand_entries, pending_deletes, schema, recorded or [key]
+                cand_entries, pending_deletes, schema, recorded or keys
             )
         else:
             paths = [os.path.join(table.root, e.path) for e in cand_entries]
             cand_df = table.spark.read.schema(schema).parquet(*paths)
-        visible = cand_df.groupBy(key).agg(F.max(TS_META).alias("__t_ts"))
+        visible = cand_df.groupBy(*keys).agg(F.max(TS_META).alias("__t_ts"))
         # cached: read twice (upsert data files + tombstone delete file);
         # unpersisted after both writes below
         guard_cached = (
-            winners.join(visible, key, "left")
+            winners.join(visible, keys, "left")
             .where(F.col("__t_ts").isNull() | (F.col("__t_ts") <= F.col(TS_COL)))
             .cache()
         )
         # Tombstones only for keys that actually shadow an existing row;
         # pure inserts (no visible match) write none.
-        tombstones = guard_cached.where(F.col("__t_ts").isNotNull()).select(key)
+        tombstones = guard_cached.where(F.col("__t_ts").isNotNull()).select(*keys)
         guarded = guard_cached.drop("__t_ts")
     else:
         guard_cached = None
         guarded = winners
-        tombstones = guarded.limit(0).select(key)
+        tombstones = guarded.limit(0).select(*keys)
 
     upserts = guarded.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-    merged = winners_as_merged(upserts, [key])
+    merged = winners_as_merged(upserts, keys)
     if target_rows_per_file:
         n_files = max(1, math.ceil(n_winners / target_rows_per_file))
     else:
@@ -149,14 +150,16 @@ def merge_into_table_mor(
                 / table.DEFAULT_TARGET_FILE_BYTES
             ),
         )
-    merged = merged.repartitionByRange(n_files, F.col(key)).sortWithinPartitions(key)
+    merged = merged.repartitionByRange(
+        n_files, *[F.col(c) for c in keys]
+    ).sortWithinPartitions(*keys)
     added = table.write_data_files(merged, partition_by=table.partition_spec() or None)
 
     # The delete file is tiny (keys only): a single sorted file keeps its
     # footer stats tight so scan-side candidate pruning stays sharp.
     del_entries: list[FileEntry] = []
     if touched_paths:
-        del_df = tombstones.orderBy(key).coalesce(1)
+        del_df = tombstones.orderBy(*keys).coalesce(1)
         del_entries = table.write_data_files(del_df)
         for e in del_entries:
             e.content = "eq_deletes"
@@ -185,7 +188,7 @@ def merge_into_table_mor(
         summary={
             "batch_winners": n_winners,
             "candidate_files": len(touched_paths),
-            "eq_delete_cols": [key],
+            "eq_delete_cols": keys,
             "tombstone_rows": sum(e.rows for e in del_entries),
         },
     )

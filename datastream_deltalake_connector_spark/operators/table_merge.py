@@ -40,17 +40,27 @@ from .partitioning import rewrite_sized_splits
 from pyspark.sql import DataFrame
 
 
-def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], int]:
+def prune_candidates(
+    entries, winners: DataFrame, key: str | list[str]
+) -> tuple[list[str], int]:
     """Manifest pruning + LWW-winner count in ONE fused Spark job, shared by
     the CoW merge and the merge-on-read merge (operators/mor.py) so the two
     paths can never diverge on which files a batch touches.
 
-    Winner keys are unique post-LWW, so count-distinct(key) recovers the
-    winner count through the range join's row multiplication — the count job
-    and the winners×file-ranges pruning job collapse into a single pass over
-    the batch (each extra action costs whole-job overhead locally and a full
-    scheduler round-trip on a real cluster). Files without key stats can
-    never be proven untouched → always in the returned candidate list.
+    Winner keys are unique post-LWW, so count-distinct over the key struct
+    recovers the winner count through the range join's row multiplication —
+    the count job and the winners×file-ranges pruning job collapse into a
+    single pass over the batch (each extra action costs whole-job overhead
+    locally and a full scheduler round-trip on a real cluster). Files
+    without key stats can never be proven untouched → always in the
+    returned candidate list.
+
+    Composite keys: pruning tests the FIRST key column's stats (sound —
+    skipping requires proving no row matches on a single column; the other
+    columns only ever shrink the true touched set further), while the
+    winner count is exact over the full composite (distinct key STRUCTS —
+    a struct with null fields is still a countable struct, so null keys
+    need no special case).
 
     Returns (candidate_paths, n_winners); n_winners is -1 when NO file had
     usable key stats (no join ran — the caller counts winners itself).
@@ -61,13 +71,15 @@ def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], 
     ingest-ordered keys (every file's range spans the domain), while a
     bloom skips every file that provably contains none of the batch keys,
     independent of physical key order."""
-    if any(e.stats.get(key, {}).get("bloom") for e in entries):
-        return _prune_with_blooms(entries, winners, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    k0 = keys[0]
+    if any(e.stats.get(k0, {}).get("bloom") for e in entries):
+        return _prune_with_blooms(entries, winners, keys)
     ranged = [
         e
         for e in entries
-        if e.stats.get(key, {}).get("min") is not None
-        and e.stats.get(key, {}).get("max") is not None
+        if e.stats.get(k0, {}).get("min") is not None
+        and e.stats.get(k0, {}).get("max") is not None
     ]
     ranged_paths = {e.path for e in ranged}
     touched: list[str] = [e.path for e in entries if e.path not in ranged_paths]
@@ -75,23 +87,20 @@ def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], 
         return touched, -1
     spark = winners.sparkSession
     ranges_df = spark.createDataFrame(
-        [(e.path, e.stats[key]["min"], e.stats[key]["max"]) for e in ranged],
+        [(e.path, e.stats[k0]["min"], e.stats[k0]["max"]) for e in ranged],
         ["__path", "__min", "__max"],
     )
     row = (
-        winners.select(F.col(key).alias("__k"))
+        winners.select(
+            F.col(k0).alias("__k"), F.struct(*[F.col(c) for c in keys]).alias("__s")
+        )
         .join(
             F.broadcast(ranges_df),
             (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
             "left",
         )
         .agg(
-            # null keys survive the left join exactly once (they match
-            # no range), so distinct non-nulls + nulls = winner count
-            (
-                F.count_distinct(F.col("__k"))
-                + F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
-            ).alias("__n"),
+            F.count_distinct(F.col("__s")).alias("__n"),
             F.collect_set("__path").alias("__hits"),
         )
         .collect()[0]
@@ -100,7 +109,9 @@ def prune_candidates(entries, winners: DataFrame, key: str) -> tuple[list[str], 
     return touched, int(row["__n"] or 0)
 
 
-def _prune_with_blooms(entries, winners: DataFrame, key: str) -> tuple[list[str], int]:
+def _prune_with_blooms(
+    entries, winners: DataFrame, keys: list[str]
+) -> tuple[list[str], int]:
     """Bloom + range pruning fused with the winner count, still ONE job.
 
     The per-file bitmaps live in the manifest (driver-side), so the range
@@ -115,10 +126,11 @@ def _prune_with_blooms(entries, winners: DataFrame, key: str) -> tuple[list[str]
     partition row-count sum IS the winner count (null keys included — they
     can match no file, like the range join's left side).
     """
+    k0 = keys[0]  # composite keys: probe the first column (sound; see caller)
     testable: list[tuple] = []  # (path, min, max, (bits, m, k) | None)
     touched: list[str] = []
     for e in entries:
-        st = e.stats.get(key, {})
+        st = e.stats.get(k0, {})
         mn, mx, bl = st.get("min"), st.get("max"), st.get("bloom")
         if bl is None and (mn is None or mx is None):
             touched.append(e.path)  # no usable stats → never provably untouched
@@ -176,7 +188,7 @@ def _prune_with_blooms(entries, winners: DataFrame, key: str) -> tuple[list[str]
 
     rows = (
         winners.select(
-            F.col(key).alias("__k"), F.col(key).cast("string").alias("__s")
+            F.col(k0).alias("__k"), F.col(k0).cast("string").alias("__s")
         )
         .mapInPandas(probe, "idx long, n long")
         .groupBy("idx")
@@ -228,7 +240,8 @@ def _rewrite(
     target_rows_per_file: int | None,
 ):
     """Stage the merged data files (split or range mode); returns entries."""
-    key = inserts_key
+    keys = [inserts_key] if isinstance(inserts_key, str) else list(inserts_key)
+    kcols = [F.col(c) for c in keys]
     if rewrite_mode == "split":
         # Zero-shuffle rewrite (the common CDC case: small batch, big table):
         # one job reads every touched file at its natural splits, resolves
@@ -241,17 +254,17 @@ def _rewrite(
         # compaction's job (and the reference's own dominant failure mode —
         # which this engine compacts natively).
         pspec = table.partition_spec() or None
-        resolved, inserts = apply_winners_split(target, winners, [key])
+        resolved, inserts = apply_winners_split(target, winners, keys)
         # partitioned tables keep their hive layout through the rewrite
         added = table.write_data_files(resolved, partition_by=pspec)  # zero-row splits dropped+unlinked
         if target_rows_per_file:
             n_ins_files = max(1, math.ceil(n_winners / target_rows_per_file))
         else:
             n_ins_files = max(1, round(batch_bytes / table.DEFAULT_TARGET_FILE_BYTES))
-        ins_df = inserts.repartitionByRange(n_ins_files, F.col(key)).sortWithinPartitions(key)
+        ins_df = inserts.repartitionByRange(n_ins_files, *kcols).sortWithinPartitions(*keys)
         added += table.write_data_files(ins_df, partition_by=pspec)
         return added
-    merged = apply_winners(target, winners, [key], broadcast_source=small_batch)
+    merged = apply_winners(target, winners, keys, broadcast_source=small_batch)
     # Range-partition the rewrite on the key and sort within partitions:
     # each output file then covers a tight, disjoint [min,max] key range,
     # so the NEXT merge's manifest pruning touches only the files a
@@ -261,14 +274,14 @@ def _rewrite(
         num_files = max(1, math.ceil(n_winners / target_rows_per_file))
     else:
         num_files = max(1, round(touched_bytes / table.DEFAULT_TARGET_FILE_BYTES)) or 1
-    merged = merged.repartitionByRange(num_files, F.col(key)).sortWithinPartitions(key)
+    merged = merged.repartitionByRange(num_files, *kcols).sortWithinPartitions(*keys)
     return table.write_data_files(merged, partition_by=table.partition_spec() or None)
 
 
 def merge_into_table(
     table: IcepackTable,
     batch: DataFrame,
-    key: str = "image_id",
+    key: str | list[str] = "image_id",
     dedup_strategy: str = "salted",
     salt_buckets: int = 32,
     broadcast_bytes_threshold: int = 256 * 1024 * 1024,
@@ -284,7 +297,13 @@ def merge_into_table(
     times the measured average row size against ``broadcast_bytes_threshold``
     (default 256 MB — what every executor must hold). A row-count threshold
     (round 1 used 2M rows) is wrong for wide payloads: 2M image rows at
-    ~12 KB each would be a ~24 GB broadcast."""
+    ~12 KB each would be a ~24 GB broadcast.
+
+    ``key`` may be a list for COMPOSITE primary keys (the reference's
+    multi-PK equi-join, MergeQueries.scala:91-101 via TableMetadata
+    primary_keys): LWW dedup, the resolve join, and the range-partitioned
+    rewrite all run on the full key tuple; manifest pruning tests the first
+    key column (sound — see prune_candidates)."""
     import os
     import time as _time
 
@@ -297,6 +316,7 @@ def merge_into_table(
             _timings[name] = round(_time.time() - t0, 2)
         return _time.time()
 
+    keys = [key] if isinstance(key, str) else list(key)
     _t = _time.time()
     parent = table.head_version()
     # A CoW merge rewrites touched data files with a fresh data-sequence
@@ -311,13 +331,13 @@ def merge_into_table(
     journal = LineageJournal(table.root, job_id or f"merge-{uuid.uuid4().hex[:12]}")
 
     winners = latest_by_keys(
-        batch, [key], [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
+        batch, keys, [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets
     ).cache()
 
     # ---- dedup count + manifest pruning, ONE fused job (prune_candidates,
     # shared with the merge-on-read path) ----------------------------------
     entries = table.files(parent)
-    touched_paths, n_winners = prune_candidates(entries, winners, key)
+    touched_paths, n_winners = prune_candidates(entries, winners, keys)
     if n_winners < 0:
         n_winners = winners.count()
     _t = _mark("dedup_count_and_pruning", _t)
@@ -354,7 +374,7 @@ def merge_into_table(
             table,
             target,
             winners,
-            inserts_key=key,
+            inserts_key=keys,
             rewrite_mode=rewrite_mode,
             small_batch=small_batch,
             n_winners=n_winners,

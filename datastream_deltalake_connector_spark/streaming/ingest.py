@@ -180,7 +180,11 @@ def merge_log_to_table(
     def upsert(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():  # ST6 empty-batch short-circuit
             return
-        key = meta.primary_keys[0] if meta.primary_keys else "id"
+        # FULL primary-key list: a composite-PK source table must merge on
+        # the whole tuple — keying on primary_keys[0] alone would LWW-collapse
+        # distinct rows that share the first key column (reference:
+        # MergeQueries.scala builds the equi-join over every PK)
+        key = list(meta.primary_keys) if meta.primary_keys else "id"
         changes = flatten_envelope(batch_df, meta)
         if merge_mode == "mor":
             from ..operators.mor import maybe_apply_deletes, merge_into_table_mor
