@@ -2769,10 +2769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
+        # ---------------- position 51+: outside the driver's check window ---
+        # (keep this marker DIRECTLY after the 50th entry when rotating)
         "url_dedup_docs": _url_dedup_docs,
         "token_rarity_docs": _token_rarity_docs,
         "tfidf_top_terms": _tfidf_top_terms,
-        # ---------------- position 51+: outside the driver's check window ---
         # long-stable oracled rows rotated out this round (green r1-r3);
         # embedding_neardup_clusters, semantic_dedup_docs, zorder_key,
         # fingerprint_docs and embedding_neardup_pairs yielded their slots to

@@ -79,10 +79,16 @@ def merge_into_table_mor(
 
     recorded = table.snapshot(parent).summary.get("eq_delete_cols")
     if recorded and recorded != keys:
-        raise ValueError(
-            f"table already carries equality deletes on {recorded}; "
-            f"merge key {keys!r} must match until they are applied"
-        )
+        # Pending tombstones recorded under a DIFFERENT key set cannot be
+        # resolved by this merge's guard scan — pay the deferred rewrite
+        # now and proceed on a clean manifest (the CoW merge auto-applies
+        # for its own reason at table_merge.py; raising here instead would
+        # permanently wedge a foreachBatch stream whose key set changed,
+        # e.g. a composite-PK table upgraded from first-key-only merging:
+        # every replayed batch would hit the same error forever).
+        apply_deletes(table)
+        parent = table.head_version()
+        recorded = None
 
     winners = latest_by_keys(
         batch, keys, [TS_COL, SEQ_COL], strategy=dedup_strategy, salt_buckets=salt_buckets

@@ -231,7 +231,7 @@ def _rewrite(
     target: DataFrame,
     winners: DataFrame,
     *,
-    inserts_key: str,
+    inserts_key: str | list[str],
     rewrite_mode: str,
     small_batch: bool,
     n_winners: int,

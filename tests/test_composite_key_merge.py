@@ -123,14 +123,25 @@ def test_composite_replay_and_stale_guard(spark, tmp_path):
     assert _state(t) == s1
 
 
-def test_composite_mor_key_mismatch_rejected(spark, tmp_path):
+def test_composite_mor_key_set_change_self_heals(spark, tmp_path):
+    """A merge under a different key set auto-applies the pending composite
+    tombstones first (instead of raising forever — review finding), then
+    proceeds; the visible rows reflect both merges."""
     t = IcepackTable.create(spark, str(tmp_path / "mm"), _base(spark).schema)
     t.append(_base(spark), num_files=2)
     merge_into_table_mor(t, _batch(spark, [(5, "click", 1.0, False)]), key=KEYS)
-    with pytest.raises(ValueError, match="equality deletes"):
-        merge_into_table_mor(
-            t, _batch(spark, [(5, "click", 2.0, False)]), key="user_id"
-        )
+    assert t.snapshot().summary["eq_delete_cols"] == KEYS
+    v = merge_into_table_mor(
+        t,
+        _batch(spark, [(5, "zzz", 2.0, False)], ts="2024-08-01 00:00:00"),
+        key="user_id",
+    )
+    assert v is not None
+    got = dict(((u, et), val) for u, et, val in _state(t))
+    # single-key merge: user 5's LWW winner replaces ALL of user 5's rows
+    assert got[(5, "zzz")] == 2.0
+    assert (5, "click") not in got and (5, "view") not in got
+    assert got[(6, "click")] == 60.0  # untouched user intact
 
 
 def test_streaming_merge_uses_full_pk_list(spark, tmp_path):

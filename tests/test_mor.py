@@ -279,11 +279,23 @@ def test_mor_empty_batch_short_circuit(spark, tmp_path):
     assert t.head_version() == v0
 
 
-def test_mor_key_mismatch_rejected(spark, tmp_path):
+def test_mor_key_mismatch_self_heals(spark, tmp_path):
+    """Tombstones recorded under a DIFFERENT key set are auto-applied
+    (apply_deletes) before the new-key merge proceeds — raising instead
+    would permanently wedge a foreachBatch stream whose merge key set
+    changed (review finding): every replayed batch would re-raise."""
     t = fresh_table(spark, tmp_path)
     merge_into_table_mor(t, cb(spark, 0))
-    with pytest.raises(ValueError, match="equality deletes"):
-        merge_into_table_mor(t, cb(spark, 1), key="caption")
+    assert t.describe()["delete_files"] >= 1
+    v = merge_into_table_mor(t, cb(spark, 1), key="caption")
+    assert v is not None
+    # the old-key tombstones were applied; any pending ones are caption's
+    assert t.snapshot().summary.get("eq_delete_cols") in (None, ["caption"])
+    for e in t.files():
+        if e.content == "eq_deletes":
+            assert e.seq > 0  # only the new merge's tombstones remain
+    # and a follow-up merge under the ORIGINAL key self-heals again
+    assert merge_into_table_mor(t, cb(spark, 2)) is not None
 
 
 def test_mor_on_partitioned_table_matches_cow(spark, tmp_path):
