@@ -34,6 +34,21 @@ AUDIT = [
         "final ordering, ReadSchema limited to the 5 output columns.",
     ),
     (
+        "cdc_merge_composite",
+        "Composite-PK CoW merge result scan. The merge LWW-deduped, "
+        "guarded, and rewrote on the FULL (user_id, event_type) tuple; "
+        "the returned scan is a plain pruned parquet read of the "
+        "post-merge table — no exchanges, ReadSchema limited to the 5 "
+        "output columns.",
+    ),
+    (
+        "hilbert_key",
+        "Hilbert clustering key. Expect: a single projection with one "
+        "Arrow-batched pandas UDF (ArrowEvalPython) over the two key "
+        "columns — zero exchanges, zero joins; ReadSchema pruned to "
+        "(l_orderkey, l_linenumber, l_partkey, l_suppkey).",
+    ),
+    (
         "pricing_summary",
         "Filter + two-stage agg. Expect: shipdate filter pushed to parquet, "
         "ReadSchema pruned to the 7 used columns, partial HashAggregate "
