@@ -403,3 +403,33 @@ def test_describe_reports_bloom_coverage(spark, tmp_path, bloomed):
     plain = IcepackTable.create(spark, str(tmp_path / "nb"), _base(spark, 500).schema)
     plain.append(_base(spark, 500), num_files=2)
     assert plain.describe()["bloom_files"] == 0
+
+
+def test_point_lookup_composes_with_pending_mor_deletes(spark, tmp_path):
+    """scan(filters=[('=',key)]) on a table with PENDING equality deletes:
+    manifest pruning (range+bloom) selects files first, then the anti-join
+    resolves shadowed rows — a deleted key returns nothing, an updated key
+    returns exactly its new value, an untouched key its original."""
+    from datastream_deltalake_connector_spark.operators.mor import (
+        merge_into_table_mor,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "pl-mor"),
+        _base(spark).schema,
+        bloom_cols=["image_id"],
+    )
+    t.append(_base(spark), num_files=16)
+    batch = _batch(spark, [111]).unionByName(_batch(spark, [222], deleted=True))
+    merge_into_table_mor(t, batch, key="image_id")
+    assert t.describe()["delete_files"] >= 1  # resolution path live
+
+    lookup = lambda i: t.scan(
+        filters=[("image_id", "=", f"img-{i:08d}")]
+    ).select("image_id", "v").collect()
+    upd = lookup(111)
+    assert [(r["image_id"], r["v"]) for r in upd] == [("img-00000111", 999)]
+    assert lookup(222) == []  # tombstoned
+    untouched = lookup(333)
+    assert [(r["image_id"], r["v"]) for r in untouched] == [("img-00000333", 33)]
