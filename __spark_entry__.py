@@ -2246,6 +2246,46 @@ SELECT user_id, event_type, value FROM t0 WHERE user_id BETWEEN 10 AND 49
 """
 
 
+_BLOOM_LOOKUP_IDS = [1, 7, 42, 99, 123]
+
+
+def _icepack_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest BLOOM point/IN-list pruning on the layout min/max cannot
+    prune: the events LWW snapshot is appended HASH-shuffled (every file's
+    user_id range spans the domain) into a table created with
+    ``bloom_cols=["user_id"]``, then scanned with an IN filter. may_match
+    probes each file's bloom per member (functions/bloom.py), so the read
+    touches only files that might contain a listed key — asserted inside
+    the query (pruned < total). Oracled: the scan must return exactly the
+    snapshot rows for the listed keys, proving bloom pruning has no false
+    negatives end-to-end (build → manifest round-trip → probe)."""
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-bloom-"), "events")
+    t = IcepackTable.create(spark, root, base.schema, bloom_cols=["user_id"])
+    t.append(base.repartition(8), num_files=8)  # hash layout: full-range files
+    entries = t.files()
+    kept = [
+        e
+        for e in entries
+        if e.may_match("user_id", "in", _BLOOM_LOOKUP_IDS)
+    ]
+    assert len(kept) < len(entries), "bloom pruning did not engage"
+    return (
+        t.scan(filters=[("user_id", "in", _BLOOM_LOOKUP_IDS)])
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+_BLOOM_LOOKUP_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value FROM t0
+WHERE user_id IN ({", ".join(str(i) for i in _BLOOM_LOOKUP_IDS)})
+"""
+
+
 def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end icepack lifecycle on a deterministic generated image table:
     create → merge change batch → compact → cluster → scan. Rows-only check
@@ -2713,7 +2753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           token_rarity_docs (green r3) yielded its slot to hilbert_key,
           newly oracled in r4 via the recursive-CTE DuckDB Hilbert twin;
           url_dedup_docs (green r1-r3) yielded its slot to the new
-          cdc_merge_composite (composite-PK icepack merge).
+          cdc_merge_composite (composite-PK icepack merge);
+          events_range_join (green r1-r3) yielded its slot to the new
+          icepack_bloom_lookup (bloom point/IN-list scan pruning).
     """
     return {
         # --- never driver-checked oracled queries (r4 rotation, first 15) ---
@@ -2740,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert_mor": _merge_upsert_mor,
         "cdc_merge_upsert_bloom": _merge_upsert_bloom,
         "cdc_merge_composite": _merge_upsert_composite,
+        "icepack_bloom_lookup": _icepack_bloom_lookup,
         "hilbert_key": _hilbert_key,
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
@@ -2768,8 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json_extract,
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
-        "events_range_join": _events_range_join,
         # ---------------- position 51+: outside the driver's check window ---
+        "events_range_join": _events_range_join,
         # (keep this marker DIRECTLY after the 50th entry when rotating)
         "url_dedup_docs": _url_dedup_docs,
         "token_rarity_docs": _token_rarity_docs,
@@ -2825,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert_mor": _MERGE_ORACLE,
         "cdc_merge_upsert_bloom": _MERGE_ORACLE,
         "cdc_merge_composite": _MERGE_COMPOSITE_ORACLE,
+        "icepack_bloom_lookup": _BLOOM_LOOKUP_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,
