@@ -191,12 +191,16 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
         # fill bytes — the marker code is the first non-FF byte of the run
         while data[pos + 1] == 0xFF and pos + 4 <= len(data):
             pos += 1
+        if pos + 4 > len(data):  # the fill-byte run ran off the stream
+            raise ValueError("truncated JPEG header")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (seg_len,) = struct.unpack_from(">H", data, pos)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 8 > len(data):
+                raise ValueError("truncated JPEG SOF segment")
             h, w = struct.unpack_from(">HH", data, pos + 3)
             return int(w), int(h), data[pos + 7]
         pos += seg_len

@@ -194,11 +194,16 @@ def hilbert_sql_query(
     Returns ``SELECT <id_cols>, d AS <alias> FROM ... `` over ``table``."""
     ids = ", ".join(id_cols)
     s0 = 1 << (order - 1)
+    # hilbert_np downshifts the unsigned31 coordinates by (31-order) before
+    # the loop; mirror it here so non-default orders stay bit-identical
+    shift = 31 - order
+    xe = f"({unsigned31_sql(f'CAST({a} AS BIGINT)')} >> {shift})"
+    ye = f"({unsigned31_sql(f'CAST({b} AS BIGINT)')} >> {shift})"
     return f"""
 WITH RECURSIVE hbase AS (
   SELECT {ids},
-         {unsigned31_sql(f'CAST({a} AS BIGINT)')} AS x,
-         {unsigned31_sql(f'CAST({b} AS BIGINT)')} AS y
+         {xe} AS x,
+         {ye} AS y
   FROM {table}
 ), hloop AS (
   SELECT {ids}, x, y, CAST(0 AS BIGINT) AS d, CAST({s0} AS BIGINT) AS s

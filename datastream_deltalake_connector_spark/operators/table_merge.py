@@ -186,15 +186,21 @@ def _prune_with_blooms(
             }
         )
 
-    rows = (
-        winners.select(
-            F.col(k0).alias("__k"), F.col(k0).cast("string").alias("__s")
+    try:
+        rows = (
+            winners.select(
+                F.col(k0).alias("__k"), F.col(k0).cast("string").alias("__s")
+            )
+            .mapInPandas(probe, "idx long, n long")
+            .groupBy("idx")
+            .agg(F.sum("n").alias("n"))
+            .collect()
         )
-        .mapInPandas(probe, "idx long, n long")
-        .groupBy("idx")
-        .agg(F.sum("n").alias("n"))
-        .collect()
-    )
+    finally:
+        # one merge per micro-batch in the streaming daemon: without this the
+        # per-merge bitmap broadcasts accumulate for the session's lifetime
+        bc.unpersist()
+        bc.destroy()
     n_winners = 0
     for r in rows:
         if r["idx"] == -1:

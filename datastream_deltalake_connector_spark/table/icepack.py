@@ -207,7 +207,17 @@ class FileEntry:
             # a file may match an IN-list iff it may match ANY member —
             # each member gets the full treatment (range + bloom)
             return any(self.may_match(col, "=", v) for v in value)
-        if op == "=" and value is not None and st.get("bloom"):
+        if (
+            op == "="
+            and st.get("bloom")
+            # blooms are built only for str/int key columns (_footer_stats)
+            # with canonical-string hashing; a type-mismatched probe (42.0
+            # against an int column) would hash "42.0" vs the stored "42"
+            # and FALSELY prune — fall through to the conservative range
+            # answer for anything outside the build contract
+            and isinstance(value, (str, int))
+            and not isinstance(value, bool)
+        ):
             from ..functions.bloom import bloom_from_stats, bloom_might_contain
 
             bits, m, k = bloom_from_stats(st["bloom"])

@@ -433,3 +433,43 @@ def test_point_lookup_composes_with_pending_mor_deletes(spark, tmp_path):
     assert lookup(222) == []  # tombstoned
     untouched = lookup(333)
     assert [(r["image_id"], r["v"]) for r in untouched] == [("img-00000333", 33)]
+
+
+def test_may_match_bloom_type_guard(spark, tmp_path):
+    """ADVICE r4: a numerically-equal but type-mismatched '=' probe (42.0
+    against an int bloom column) must NOT consult the bloom — str(42.0)
+    hashes "42.0" vs the stored canonical "42" and would falsely prune.
+    Out-of-contract types fall through to the conservative range answer."""
+    base = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("user_id"),
+            (F.col("id") % 7).cast("int").alias("v"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS),
+            F.lit(0).cast("long").alias(SEQ),
+        )
+        .repartition(2)
+    )
+    t = IcepackTable.create(
+        spark, str(tmp_path / "guard"), base.schema, bloom_cols=["user_id"]
+    )
+    t.append(base, num_files=2)
+    entries = t.files()
+    # int probe (in-contract): bloom engages, key 13 exists somewhere
+    assert any(e.may_match("user_id", "=", 13) for e in entries)
+    # float / numpy-scalar probes must never FALSELY prune a file whose
+    # range contains the value (bloom bypassed, range decides)
+    for probe in (13.0, np.float64(13.0)):
+        kept = [e for e in entries if e.may_match("user_id", "=", probe)]
+        in_range = [
+            e
+            for e in entries
+            if e.stats["user_id"]["min"] <= 13 <= e.stats["user_id"]["max"]
+        ]
+        assert in_range and {id(e) for e in in_range} <= {id(e) for e in kept}
+    # bool (a subclass of int) is outside the canonical-hash contract too:
+    # range decides (True == 1), never the bloom
+    kept = [e for e in entries if e.may_match("user_id", "=", True)]
+    assert any(
+        e.stats["user_id"]["min"] <= 1 <= e.stats["user_id"]["max"] for e in kept
+    )

@@ -630,3 +630,29 @@ def test_hilbert_sql_twin_bit_identical():
     q = hilbert_sql_query("src", ["id"], "a", "b", "hval") + " ORDER BY id"
     got = con.execute(q).fetchnumpy()["hval"]
     assert np.array_equal(got, hilbert_np(a, b, order=31))
+
+
+def test_hilbert_sql_twin_non_default_order():
+    """ADVICE r4: for order < 31 the SQL twin must apply the same
+    >> (31-order) coordinate downshift hilbert_np does — non-default
+    orders are bit-identical too, not just the default 31."""
+    import duckdb
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.zorder import (
+        hilbert_np,
+        hilbert_sql_query,
+    )
+
+    rng = np.random.default_rng(777)
+    a = rng.integers(-(10**12), 10**12, 400)
+    b = rng.integers(-(10**12), 10**12, 400)
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame({"id": range(400), "a": a, "b": b}))
+    for order in (8, 16, 24):
+        q = (
+            hilbert_sql_query("src", ["id"], "a", "b", "hval", order=order)
+            + " ORDER BY id"
+        )
+        got = con.execute(q).fetchnumpy()["hval"]
+        assert np.array_equal(got, hilbert_np(a, b, order=order)), order

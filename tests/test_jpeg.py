@@ -425,3 +425,23 @@ def test_jpeg_fill_bytes_before_markers():
     padded = padded[:sos] + b"\xff" + padded[sos:]
     assert np.array_equal(decode_jpeg_np(padded), ref)
     assert jpeg_dims(padded) == jpeg_dims(clean)
+
+
+def test_jpeg_dims_truncated_fill_run_raises_valueerror():
+    """ADVICE r4: a truncated stream ending in an 0xFF fill run must raise
+    the module's ValueError, not struct.error/IndexError from reading past
+    the buffer after the fill-skip loop."""
+    from datastream_deltalake_connector_spark.functions.jpeg import jpeg_dims
+
+    # SOI followed only by fill bytes — the run reaches end-of-stream
+    with pytest.raises(ValueError):
+        jpeg_dims(b"\xff\xd8" + b"\xff" * 6)
+    # a real stream chopped so the final bytes are an 0xFF run before what
+    # would have been a marker + length
+    px = _smooth_img(16, 16)
+    clean = _make_jpeg(px, quality=95)
+    with pytest.raises(ValueError):
+        jpeg_dims(clean[:4] + b"\xff\xff")
+    # chopped mid-SOF (marker present, payload missing)
+    with pytest.raises(ValueError):
+        jpeg_dims(clean[: clean.index(b"\xff\xc0") + 3])
