@@ -897,17 +897,51 @@ GROUP BY s.doc_id
 
 
 def _pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window sequence packing: hash-route docs to groups, FFD-pack
-    each group serially in pandas — embarrassingly parallel, only (id,
-    n_tokens) pairs ever shuffle (operators/packing.py). Rows-only: the
-    pack assignment is deterministic but not SQL-expressible (order-
-    dependent greedy); invariants are pinned in tests/test_pipeline_ops.py."""
-    from datastream_deltalake_connector_spark.functions.text import token_count
+    """Context-window sequence packing (operators/packing.py), ORACLED since
+    r5 via a planted two-size-class fixture whose FFD assignment is
+    closed-form: with num_groups=1 the operator is ONE deterministic
+    first-fit-decreasing pass ordered (n_tokens DESC, doc_id ASC), so
+    capacity 100 with one oversize doc (150), seven 60-token docs and
+    twenty-three 20-token docs packs provably as: oversize → own pack 0;
+    each 60 opens pack 1..7 (two don't fit one bin); smalls fill the seven
+    40-token remainders two each (offsets 60/80), the overflow opens fresh
+    bins five each (offsets 0,20,..,80). The oracle re-derives every
+    (pack_id, pack_offset, oversize) from that arithmetic — any FFD
+    ordering, capacity, or offset bug breaks the hash. The multi-group
+    hash-routed path (only (id, n_tokens) pairs ever shuffle; groups are
+    embarrassingly parallel) keeps its invariant pins in
+    tests/test_pipeline_ops.py."""
     from datastream_deltalake_connector_spark.operators.packing import pack_sequences
 
-    d = _read(spark, sf_dir, "documents")
-    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return pack_sequences(sized, max_tokens=512, num_groups=8)
+    sized = spark.range(31).select(
+        F.when(F.col("id") < 7, F.col("id"))
+        .when(F.col("id") < 30, F.col("id") - 7 + 1000)
+        .otherwise(F.lit(9999))
+        .alias("doc_id"),
+        F.when(F.col("id") < 7, F.lit(60))
+        .when(F.col("id") < 30, F.lit(20))
+        .otherwise(F.lit(150))
+        .alias("n_tokens"),
+    )
+    return pack_sequences(sized, max_tokens=100, num_groups=1)
+
+
+_PACK_SEQUENCES_ORACLE = """
+-- closed-form FFD replay: sort order is (150), 60×7, 20×23 (ties by id ASC)
+SELECT CAST(9999 AS BIGINT) AS doc_id, CAST(150 AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+       true AS oversize
+UNION ALL
+SELECT CAST(i AS BIGINT), CAST(60 AS BIGINT),
+       CAST(1 + i AS BIGINT), CAST(0 AS BIGINT), false
+FROM range(7) t(i)
+UNION ALL
+SELECT CAST(1000 + j AS BIGINT), CAST(20 AS BIGINT),
+       CAST(CASE WHEN j < 14 THEN 1 + j // 2 ELSE 8 + (j - 14) // 5 END AS BIGINT),
+       CAST(CASE WHEN j < 14 THEN 60 + 20 * (j % 2) ELSE 20 * ((j - 14) % 5) END AS BIGINT),
+       false
+FROM range(23) t(j)
+"""
 
 
 def _lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2108,53 +2142,218 @@ FROM range(120) t(i)
 """
 
 
-def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), k=3, verify_min_jaccard_x10k=200
+def _sketch_fixture_docs(spark: SparkSession) -> DataFrame:
+    """Planted near-dup corpus with a KNOWN pair closure, shared by the
+    minhash and simhash oracled queries: 40 groups over disjoint
+    12-token alphabets (cross-group Jaccard is exactly 0), group g holding
+    1 + g%3 members with doc_id = g*10 + m. Members 0/1 are identical
+    (Jaccard 10000); member 2 (g%3 == 2 only) appends three extra tokens,
+    so its k=3 shingle sets against either twin are exactly 10 shared of
+    13 ∪ 10 → jaccard_x10k = round(10·10000/13) = 7692. Built JVM-side
+    (concat_ws over transform(sequence)) — no Python in the fixture."""
+    g = F.col("id") / 10
+    gi = F.floor(g).cast("long")
+    m = F.col("id") % 10
+    base_tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda t: F.concat(F.lit("tok"), gi.cast("string"), F.lit("_"), t.cast("string")),
+    )
+    extra_tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda t: F.concat(F.lit("x"), gi.cast("string"), F.lit("_"), t.cast("string")),
+    )
+    text = F.when(
+        m == 2, F.array_join(F.concat(base_tokens, extra_tokens), " ")
+    ).otherwise(F.array_join(base_tokens, " "))
+    return (
+        spark.range(400)
+        .where((F.col("id") % 10) < 1 + gi % 3)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
     )
 
 
+# every group contributes its (m_a, m_b, jaccard) closure; sizes cycle 1/2/3
+_SKETCH_PAIRS_ORACLE_BODY = """
+FROM range(40) t(g),
+     (VALUES (0, 1), (0, 2), (1, 2)) p(ma, mb)
+WHERE p.mb < 1 + g % 3
+"""
+
+
+def _minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, ORACLED since r5 on the planted
+    fixture: identical twins share every signature (band collision is
+    certain), the appended-suffix variant collides with probability
+    1-(1-0.7692^4)^16 ≈ 0.9989 per pair — deterministic under the fixed
+    seed corpus, verified green — and the operator's built-in EXACT
+    Jaccard re-score (verify_min_jaccard_x10k) makes the emitted
+    jaccard_x10k values closed-form (10000 / 7692) and kills any chance
+    cross-group band collision (true Jaccard 0 < 7000). Recall/precision
+    on organic text stays pinned in tests/test_dedup_similarity.py."""
+    return minhash_lsh_pairs(
+        _sketch_fixture_docs(spark), k=3, verify_min_jaccard_x10k=7000
+    ).orderBy("id_a", "id_b")
+
+
+_MINHASH_LSH_ORACLE = f"""
+SELECT CAST(g*10 + p.ma AS BIGINT) AS id_a, CAST(g*10 + p.mb AS BIGINT) AS id_b,
+       CAST(CASE WHEN p.mb = 2 THEN 7692 ELSE 10000 END AS BIGINT) AS jaccard_x10k
+{_SKETCH_PAIRS_ORACLE_BODY}
+"""
+
+
 def _simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=6)
+    """SimHash + pigeonhole hamming bands, ORACLED since r5 on the planted
+    fixture composed with an exact token-Jaccard verify (the standard
+    sketch-then-verify shape). The oracle pins the IDENTICAL-twin closure,
+    where recall is provable, not probabilistic: identical texts have
+    identical simhash (hamming 0), so the pigeonhole banding MUST surface
+    the pair. The verify threshold 9999 then admits exactly token-set
+    equality — the suffix variant (token Jaccard 8000) and any chance
+    cross-group band collision (Jaccard 0) are excluded no matter what
+    their engine hamming happens to be, so the output is closed-form.
+    Near-dup (hamming 1..6) behavior on organic text stays pinned in
+    tests/test_dedup_similarity.py planted-bit-flip tests."""
+    docs = _sketch_fixture_docs(spark)
+    pairs = simhash_pairs(docs, max_hamming=6)
+    toks = lambda c: F.array_distinct(F.split(F.col(c), r"\s+"))  # noqa: E731
+    a = docs.select(F.col("doc_id").alias("id_a"), toks("text").alias("__ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), toks("text").alias("__tb"))
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.col("__ta")) + F.size(F.col("__tb")) - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter * 10000.0 / union).cast("long").alias("jaccard_x10k"),
+        )
+        .where(F.col("jaccard_x10k") >= 9999)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_PAIRS_ORACLE = """
+-- identical-twin closure: members 0 and 1 of every group of size >= 2
+SELECT CAST(g*10 AS BIGINT) AS id_a, CAST(g*10 + 1 AS BIGINT) AS id_b,
+       CAST(10000 AS BIGINT) AS jaccard_x10k
+FROM range(40) t(g) WHERE g % 3 >= 1
+"""
+
+
+def _ann_fixture_corpus(spark: SparkSession) -> DataFrame:
+    """Planted ANN corpus with a closed-form true top-10: 24-dim unit axes;
+    neighbor j (vec_id j, j = 1..10) = e_0 + 0.01·j·e_j, so cosine against
+    the query q = e_0 is 1/sqrt(1 + (0.01 j)²) — STRICTLY decreasing in j,
+    true rank j ↔ vec_id j with no ties; 500 chaff rows (vec_id 100+) lie
+    on axes orthogonal to e_0 (cosine exactly 0). Built JVM-side."""
+    dim = 24
+    neigh = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(d == 0, F.lit(1.0))
+        .when(d == F.col("id"), F.col("id") * 0.01)
+        .otherwise(F.lit(0.0)),
+    )
+    neighbors = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("vec_id"), neigh.cast("array<float>").alias("embedding"))
+    )
+    chaff_dim = 1 + F.col("id") % 23
+    chaff_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(d == chaff_dim, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    chaff = spark.range(100, 600).select(
+        F.col("id").alias("vec_id"), chaff_vec.cast("array<float>").alias("embedding")
+    )
+    return neighbors.unionByName(chaff)
+
+
+_ANN_FIXTURE_QUERY = [1.0] + [0.0] * 23
+
+_ANN_PLANTED_ORACLE = """
+SELECT CAST(j AS INT) AS rank, CAST(j AS BIGINT) AS vec_id FROM range(1, 11) t(j)
+"""
 
 
 def _lsh_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return lsh_ann_topk(emb, _query_vec(spark, sf_dir), k=10).select("rank", "vec_id")
-
-
-def _ivf_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (coarse-quantize → probe nearest cells → exact re-rank);
-    recall vs brute force pinned in tests/test_dedup_similarity.py."""
-    from datastream_deltalake_connector_spark.operators.similarity import ivf_ann_topk
-
-    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return ivf_ann_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=6).select(
+    """Hyperplane-LSH ANN (bucket by sign pattern, multiprobe Hamming ≤ 2,
+    exact re-rank), ORACLED since r5 on the planted corpus: the 10 true
+    neighbors sit within atan(0.1) ≈ 0.0997 rad of the query, so each
+    hyperplane separates a neighbor from the query with prob ≤ 0.032 and
+    multiprobe radius 2 over 8 planes recovers them (deterministic under
+    the seeded planes; verified green), while every chaff candidate
+    re-ranks to cosine 0 — the emitted (rank, vec_id) is the closed-form
+    true ranking. Recall vs brute force on organic embeddings stays
+    pinned in tests/test_dedup_similarity.py."""
+    return lsh_ann_topk(_ann_fixture_corpus(spark), _ANN_FIXTURE_QUERY, k=10).select(
         "rank", "vec_id"
     )
 
 
+def _ivf_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (spherical-kmeans codebook on a bounded sample →
+    probe nearest cells → exact re-rank), ORACLED since r5 on the planted
+    corpus: the 10 near-identical neighbors coarse-quantize into the same
+    cell, the query's nearest-cell probe order reaches it within
+    nprobe=6 (deterministic under the seeded fit; verified green), and
+    chaff re-ranks to cosine 0 — output is the closed-form true ranking.
+    Fitted-codebook recall vs brute force stays pinned in
+    tests/test_dedup_similarity.py."""
+    from datastream_deltalake_connector_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        _ann_fixture_corpus(spark), _ANN_FIXTURE_QUERY, k=10, nprobe=6
+    ).select("rank", "vec_id")
+
+
 def _embedding_neardup_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs THE SCALE WAY (multi-table hyperplane LSH →
-    bucket-local candidates → exact cosine verify), over the embeddings
-    table plus deterministic planted near-variants (+0.01 per odd dim).
-    Rows-only: LSH recall vs exact is pinned in tests; the exact all-pairs
-    twin (`embedding_neardup_pairs`) stays the DuckDB-oracled probe."""
+    bucket-local candidates → exact cosine verify), ORACLED since r5 on a
+    planted corpus with closed-form geometry: 40 groups on disjoint axis
+    pairs — base e_g (vec_id g) and variant e_g + 0.25·e_{g+48}
+    (vec_id g + 10⁶); 0.25 is exact in float32, so the verified cosine is
+    exactly round(10000/sqrt(1.0625)) = 9701 for every planted pair and
+    exactly 0 across groups (disjoint support — no chance pair can pass
+    the 9500 verify). 16 tables × 10 planes put the per-pair miss
+    probability below 1e-4 at angle 0.245 rad (deterministic under the
+    seeded planes; verified green). LSH-vs-exact recall on organic
+    embeddings stays pinned in tests/test_dedup_similarity.py."""
     from datastream_deltalake_connector_spark.operators.similarity import (
         embedding_neardup_lsh,
     )
 
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    perturbed = F.transform(
-        F.col("embedding"),
-        lambda x, i: x + F.when(i % 2 == 1, F.lit(0.01)).otherwise(F.lit(0.0)),
+    dim = 96
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(d == F.col("id"), F.lit(1.0)).otherwise(F.lit(0.0)),
     )
-    variants = emb.limit(50).select(
-        (F.col("vec_id") + F.lit(10**9)).alias("vec_id"),
-        perturbed.alias("embedding"),
+    variant = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(d == F.col("id"), F.lit(1.0))
+        .when(d == F.col("id") + 48, F.lit(0.25))
+        .otherwise(F.lit(0.0)),
     )
-    corpus = emb.unionByName(variants)
-    return embedding_neardup_lsh(corpus, min_cos_x10k=9500).orderBy("id_a", "id_b")
+    g = spark.range(40)
+    corpus = g.select(
+        F.col("id").alias("vec_id"), base.cast("array<float>").alias("embedding")
+    ).unionByName(
+        g.select(
+            (F.col("id") + 10**6).alias("vec_id"),
+            variant.cast("array<float>").alias("embedding"),
+        )
+    )
+    return embedding_neardup_lsh(
+        corpus, min_cos_x10k=9500, n_tables=16
+    ).orderBy("id_a", "id_b")
+
+
+_EMBEDDING_NEARDUP_LSH_ORACLE = """
+SELECT CAST(g AS BIGINT) AS id_a, CAST(g + 1000000 AS BIGINT) AS id_b,
+       CAST(round(10000 / sqrt(1.0625)) AS BIGINT) AS cos_x10k
+FROM range(40) t(g)
+"""
 
 
 def _icepack_base_and_batch(spark: SparkSession, sf_dir: str):
@@ -2287,9 +2486,18 @@ WHERE user_id IN ({", ".join(str(i) for i in _BLOOM_LOOKUP_IDS)})
 
 
 def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end icepack lifecycle on a deterministic generated image table:
-    create → merge change batch → compact → cluster → scan. Rows-only check
-    (pixel bytes are engine-native); invariants are pinned in tests/."""
+    """End-to-end icepack lifecycle on the deterministic generated image
+    table: create → merge change batch → compact → cluster → scan.
+    ORACLED since r5 via a serial pure-Python LWW REPLAY (the
+    `MergeQueriesSpec.scala:18-126` golden-row discipline, scaled up): the
+    oracle re-derives the expected post-merge (image_id, fmt, w, h,
+    caption) set by replaying the generator's draw rules and CDC
+    semantics — updates replace, inserts extend, deletes tombstone, later
+    (ts, seq) wins — without touching Spark or any engine merge code, so
+    a wrong LWW order, a dropped insert, or a compaction/cluster rewrite
+    that loses or duplicates rows breaks the hash. Pixel-byte fidelity
+    through the same chain is pinned by the PSNR≥40dB invariants in
+    tests/test_maintenance.py."""
     from datastream_deltalake_connector_spark.operators.clustering import cluster
     from datastream_deltalake_connector_spark.operators.compaction import compact
     from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
@@ -2314,7 +2522,49 @@ def _image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_into_table(t, batch)
     compact(t, target_bytes=4 * 1024 * 1024)
     cluster(t, curve="zorder", num_files=2)
-    return t.scan().select("image_id", "fmt", "w", "h", "phash", "caption")
+    return t.scan().select("image_id", "fmt", "w", "h", "caption")
+
+
+def _image_pipeline_oracle() -> str:
+    """Serial replay of generate_images(120) + the (15/10/5) change batch
+    under LWW-by-(ts, seq) merge semantics, emitted as a VALUES literal.
+    Pure numpy/hashlib — no Spark, no engine merge/compaction code."""
+    from datastream_deltalake_connector_spark.sources.generator import (
+        _id_of,
+        _rng_for,
+        row_meta,
+    )
+
+    state = {}
+    for i in range(120):
+        image_id, w, h, fmt, caption = row_meta(42, i)
+        state[image_id] = (fmt, w, h, caption)
+    # batch rows in j order: ts/seq strictly increase with j, so within the
+    # batch the LAST op per key is the LWW winner; the base snapshot is
+    # strictly older, so every batch winner passes the <= replay guard
+    for j in range(30):
+        rng = _rng_for(42 + 7_777_777, j)
+        if j < 15:  # update: re-render an existing id at seed epoch +1
+            base_i = int(rng.integers(0, 120))
+            key = _id_of(42, base_i)
+            _mid, w, h, fmt, caption = row_meta(43, base_i)
+            state[key] = (fmt, w, h, caption)
+        elif j < 25:  # insert: extend the id axis
+            new_i = 120 + 10_000_000 + j
+            image_id, w, h, fmt, caption = row_meta(42, new_i)
+            state[image_id] = (fmt, w, h, caption)
+        else:  # delete: tombstone an existing id
+            base_i = int(rng.integers(0, 120))
+            state.pop(_id_of(42, base_i), None)
+    rows = ", ".join(
+        f"('{img_id}', '{fmt}', {w}, {h}, '{caption}')"
+        for img_id, (fmt, w, h, caption) in sorted(state.items())
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(image_id, fmt, w, h, caption)"
+    )
 
 
 def _hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2337,33 +2587,97 @@ def _phash_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup pairs by perceptual-hash Hamming distance — the
     pixel-payload twin of simhash_pairs, sharing the generic banded
     hamming_pairs core (input_hint: phash is a first-class table column).
-    Deterministic generated images with planted noisy variants; rows-only
-    (the corpus is synthesized Spark-side) — recall on planted pairs is
-    pinned in tests/test_dedup_similarity.py."""
+    ORACLED since r5 against DuckDB BRUTE FORCE — the strongest oracle in
+    the registry: the corpus phash rule is SQL-expressible
+    (group base (g·2654435761) mod 2⁴⁸, member m flips the low m bits),
+    so the oracle computes ALL C(150,2) pairs with bit_count(xor) ≤ 4
+    exactly, and the banded path must match it pair-for-pair. The banding
+    is provably exact (max_hamming+1 bands pigeonhole ⇒ recall 1; exact
+    bit_count verify ⇒ precision 1), so this pins the whole algorithm,
+    not a sample. Generated-image phash recall stays pinned in
+    tests/test_dedup_similarity.py."""
     from datastream_deltalake_connector_spark.operators.text_dedup import hamming_pairs
-    from datastream_deltalake_connector_spark.sources.generator import generate_images
 
-    imgs = generate_images(spark, 150, num_partitions=4).select(
-        F.xxhash64("image_id").alias("img_key"), "phash"
+    corpus = spark.range(150).select(
+        F.col("id").alias("img_key"),
+        (
+            (F.floor(F.col("id") / 5) * F.lit(2654435761)) % F.lit(1 << 48)
+        ).bitwiseXOR(F.expr("shiftleft(1L, cast(id % 5 AS int)) - 1L"))
+        .alias("phash"),
     )
-    # plant near-dups: variants with a few phash bits flipped
-    variants = imgs.limit(30).select(
-        (F.col("img_key") + F.lit(10**12)).alias("img_key"),
-        F.col("phash").bitwiseXOR(F.lit(0b1011)).alias("phash"),
-    )
-    corpus = imgs.unionByName(variants)
     return hamming_pairs(
         corpus, hash_col="phash", id_col="img_key", max_hamming=4
     ).orderBy("id_a", "id_b")
 
 
-def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over generated images (mapInPandas)."""
-    from datastream_deltalake_connector_spark.functions.multimodal import extract_features
-    from datastream_deltalake_connector_spark.sources.generator import generate_images
+_PHASH_NEARDUP_ORACLE = """
+WITH corpus AS (
+  SELECT i AS img_key,
+         xor((i // 5) * 2654435761 % 281474976710656,
+             (CAST(1 AS BIGINT) << CAST(i % 5 AS INT)) - 1) AS phash
+  FROM range(150) t(i)
+)
+SELECT a.img_key AS id_a, b.img_key AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM corpus a JOIN corpus b ON a.img_key < b.img_key
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
 
-    imgs = generate_images(spark, 100, num_partitions=4)
-    return extract_features(imgs)
+
+def _image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (mapInPandas), ORACLED since r5 on a
+    striped fixture whose visual statistics are closed-form: 32×32 images
+    (power-of-two pixel count ⇒ exact float sums) with columns alternating
+    u and u+d where u = g0 + 4c per channel c — so gray = g0+4+(x%2)·d
+    exactly (channel mean of {0,4,8} is the integer 4), brightness =
+    g0+4+d/2, contrast (population σ of a half/half two-level image) =
+    d/2, edge energy = d (|∂x| = d at every column seam, |∂y| = 0), and
+    colorfulness = 0.3·sqrt(rg²+yb²) with rg = −4, yb = −6 constant ⇒
+    round(300·sqrt(52)) after ×1000 scaling. Integer-scaled outputs make
+    the hash comparison float-safe; both engines perform the identical
+    IEEE sqrt/round. Organic-image behavior (non-null, ranges) stays
+    pinned in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.image import encode_png_np
+    from datastream_deltalake_connector_spark.functions.multimodal import extract_features
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                g0, d = 60 + 3 * (i % 7), 2 * (1 + i % 5)
+                x = np.arange(32)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                px = (g0 + (x % 2) * d + 4 * c + np.zeros((32, 1, 1), int)).astype(
+                    np.uint8
+                )
+                rows.append((f"img-{i:04d}", encode_png_np(px)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = spark.range(100, numPartitions=8).mapInPandas(
+        gen, "image_id string, bytes binary"
+    )
+    feats = extract_features(imgs)
+    return feats.select(
+        "image_id",
+        F.round(F.col("brightness") * 1000).cast("long").alias("brightness_x1k"),
+        F.round(F.col("contrast") * 1000).cast("long").alias("contrast_x1k"),
+        F.round(F.col("edge_energy") * 1000).cast("long").alias("edge_x1k"),
+        F.round(F.col("colorfulness") * 1000).cast("long").alias("colorfulness_x1k"),
+    )
+
+
+_IMAGE_FEATURES_ORACLE = """
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+       CAST((60 + 3*(i%7) + 4) * 1000 + (1 + i%5) * 1000 AS BIGINT) AS brightness_x1k,
+       CAST((1 + i%5) * 1000 AS BIGINT) AS contrast_x1k,
+       CAST(2 * (1 + i%5) * 1000 AS BIGINT) AS edge_x1k,
+       CAST(round(0.3 * sqrt(52.0) * 1000) AS BIGINT) AS colorfulness_x1k
+FROM range(100) t(i)
+"""
 
 
 def _image_png_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2621,19 +2935,35 @@ GROUP BY t.i
 
 
 def _audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature plumbing: windowed RMS over deterministic PCM float32
-    payloads via mapInPandas (real codec decode is stubbed per environment)."""
+    """Windowed RMS over RAW float32 PCM buffers (the non-RIFF sniff path of
+    audio_features — the WAV-container path is `audio_wav_ingest`),
+    ORACLED since r5 via square-wave fixtures with EXACT arithmetic:
+    amplitude (1+i%7)/8 is a dyadic rational (exact in float32), every
+    sample is ±a, so mean(x²) = a² and sqrt(a²) = a are all exact IEEE
+    operations — rms of every window is EXACTLY the amplitude and
+    rms0_x1e6 = (1+i%7)·125000 with zero float slack. n_windows = 2+i%3
+    per the closed-form length rule. A sign, interleave, scale, or
+    windowing bug shifts the integers."""
     import numpy as np
+    import pandas as pd
 
     from datastream_deltalake_connector_spark.functions.multimodal import audio_features
 
-    rows = []
-    for i in range(12):
-        rng = np.random.default_rng(100 + i)
-        pcm = (rng.standard_normal(4096) * 0.1).astype(np.float32)
-        rows.append((f"a{i:02d}", pcm.tobytes()))
-    df = spark.createDataFrame(rows, ["audio_id", "bytes"])
-    out = audio_features(df, window=1024)
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                amp = (1 + i % 7) / 8.0
+                n = 1024 * (2 + i % 3)
+                pcm = np.tile([amp, -amp], n // 2).astype(np.float32)
+                rows.append((f"aud-{i:04d}", pcm.tobytes()))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    raw = spark.range(12, numPartitions=4).mapInPandas(
+        gen, "audio_id string, bytes binary"
+    )
+    out = audio_features(raw, window=1024)
     return out.select(
         "audio_id",
         "n_windows",
@@ -2641,18 +2971,83 @@ def _audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-mean resize of generated images to 32x32 thumbnails
-    (mapInPandas over Arrow batches); output dims + thumbnail phash."""
-    from datastream_deltalake_connector_spark.functions.image import phash_udf
-    from datastream_deltalake_connector_spark.functions.multimodal import resize_images
-    from datastream_deltalake_connector_spark.sources.generator import generate_images
+_AUDIO_RMS_ORACLE = """
+SELECT 'aud-' || lpad(CAST(i AS VARCHAR), 4, '0') AS audio_id,
+       CAST(2 + i % 3 AS INT) AS n_windows,
+       CAST((1 + i % 7) * 125000 AS BIGINT) AS rms0_x1e6
+FROM range(12) t(i)
+"""
 
-    imgs = generate_images(spark, 80, num_partitions=4)
-    out = resize_images(imgs, 32, 32)
-    return out.select(
-        "image_id", "w", "h", phash_udf(F.col("bytes")).alias("thumb_phash")
+
+def _image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean resize to 32×32 thumbnails (mapInPandas over Arrow
+    batches), ORACLED since r5 on a block-constant fixture: the source
+    image is 64×96 (or 96×64) with every 2×3 source block that maps to
+    one output pixel painted the constant (i + 3Y + 5X + 7c) % 251, so
+    the area-mean of each block is EXACTLY that value and the decoded
+    thumbnail's pixel sum is closed-form. The full production path runs —
+    real-PNG encode → decode → summed-area resize → re-encode → decode —
+    and any interpolation, block-boundary, or channel-order bug shifts
+    thumb_sum. Organic-image behavior stays pinned in
+    tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.image import (
+        decode_image_np,
+        encode_png_np,
     )
+    from datastream_deltalake_connector_spark.functions.multimodal import resize_images
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = (96, 64) if i % 2 else (64, 96)
+                Y, X, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                # paint by OUTPUT-pixel block: block index = pixel * 32 // dim
+                by, bx = Y * 32 // h, X * 32 // w
+                px = ((i + 3 * by + 5 * bx + 7 * c) % 251).astype(np.uint8)
+                rows.append((f"img-{i:04d}", encode_png_np(px), "png"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    imgs = spark.range(80, numPartitions=8).mapInPandas(
+        gen, "image_id string, bytes binary, fmt string"
+    )
+    out = resize_images(imgs, 32, 32)
+
+    def sum_thumb(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    img_id,
+                    int(w),
+                    int(h),
+                    int(decode_image_np(data).sum(dtype=np.int64)),
+                )
+                for img_id, data, w, h in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "thumb_sum"])
+
+    return out.mapInPandas(
+        sum_thumb, "image_id string, w int, h int, thumb_sum long"
+    )
+
+
+_IMAGE_RESIZE_ORACLE = """
+SELECT 'img-' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS image_id,
+       CAST(32 AS INT) AS w, CAST(32 AS INT) AS h,
+       CAST(sum((t.i + 3*g.y + 5*g.x + g.c*7) % 251) AS BIGINT) AS thumb_sum
+FROM range(80) t(i),
+     (SELECT ty.range AS y, tx.range AS x, tc.range AS c
+      FROM range(32) ty, range(32) tx, range(3) tc) g
+GROUP BY t.i
+"""
 
 
 def _icepack_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2709,17 +3104,83 @@ SELECT user_id, event_type, value, ts, seq, 1 AS n_snapshots FROM m WHERE droppe
 
 
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling plumbing over deterministic fake containers."""
+    """REAL-VIDEO frame sampling over MJPEG-in-AVI containers, ORACLED
+    since r5 (closing the last synthetic-only multimodal format): smooth
+    gradient frames (pixel[f, y, x, c] = i + 2f + 3y + 3x + 30c — the
+    image class JPEG quantization preserves) are encoded executor-side as
+    baseline JFIF per frame and wrapped in a standards-shaped RIFF/AVI
+    (functions/avi.py: avih, vids/MJPG strh+strf, 00dc movi records,
+    idx1), then exploded through the production ``sample_video_frames``,
+    which walks the container and entropy-decodes ONLY the sampled frames.
+    Dims and frame indices are exact per the rule; reconstruction must
+    clear PSNR≥40dB against RULE-regenerated pixels (not the encoder
+    output), so container mis-framing or decode corruption cannot hide.
+    The FVID/GIF paths stay pinned in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.avi import encode_avi_mjpeg
+    from datastream_deltalake_connector_spark.functions.image import (
+        decode_image_np,
+        psnr_np,
+    )
+    from datastream_deltalake_connector_spark.functions.jpeg import encode_jpeg_np
     from datastream_deltalake_connector_spark.functions.multimodal import (
-        make_fake_video,
         sample_video_frames,
     )
 
-    rows = [(f"v{i:02d}", make_fake_video(f"v{i:02d}", 30, seed=i)) for i in range(8)]
-    df = spark.createDataFrame(rows, ["video_id", "bytes"])
-    return sample_video_frames(df, every_nth=10).select(
-        "video_id", "frame_index", "w", "h"
+    def rule_frame(i: int, f: int, w: int, h: int) -> np.ndarray:
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        return (i + 2 * f + 3 * y + 3 * x + 30 * c).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n, w, h = 6 + i % 3, 16 + 8 * (i % 2), 16
+                jf = [
+                    encode_jpeg_np(rule_frame(i, f, w, h), quality=95)
+                    for f in range(n)
+                ]
+                rows.append((f"vid-{i:04d}", encode_avi_mjpeg(jf, w, h)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    raw = spark.range(8, numPartitions=4).mapInPandas(
+        gen, "video_id string, bytes binary"
     )
+    frames = sample_video_frames(raw, every_nth=3)
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for vid, idx, fb, w, h in zip(
+                pdf["video_id"], pdf["frame_index"], pdf["frame_bytes"], pdf["w"], pdf["h"]
+            ):
+                i = int(vid[4:])
+                dec = decode_image_np(fb)
+                ok = bool(
+                    psnr_np(rule_frame(i, int(idx), int(w), int(h)), dec) >= 40.0
+                )
+                rows.append((vid, int(idx), int(w), int(h), ok))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_index", "w", "h", "psnr_ge_40"]
+            )
+
+    return frames.mapInPandas(
+        check, "video_id string, frame_index int, w int, h int, psnr_ge_40 boolean"
+    )
+
+
+_VIDEO_FRAME_SAMPLE_ORACLE = """
+SELECT 'vid-' || lpad(CAST(t.i AS VARCHAR), 4, '0') AS video_id,
+       CAST(fi.f AS INT) AS frame_index,
+       CAST(16 + 8 * (t.i % 2) AS INT) AS w,
+       CAST(16 AS INT) AS h,
+       true AS psnr_ge_40
+FROM range(8) t(i),
+     LATERAL (SELECT unnest(generate_series(0, CAST(5 + t.i % 3 AS BIGINT), 3)) AS f) fi
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2756,9 +3217,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           cdc_merge_composite (composite-PK icepack merge);
           events_range_join (green r1-r3) yielded its slot to the new
           icepack_bloom_lookup (bloom point/IN-list scan pruning).
+      r5: the final 12 rows-only entries gained planted closed-form
+          oracles (every registry query now has a SQL twin) and moved
+          into the window for their first driver rows: pack_sequences,
+          minhash_lsh_pairs, simhash_pairs, lsh_ann_topk, ivf_ann_topk,
+          embedding_neardup_lsh, audio_rms_features, image_resize_thumbs,
+          image_merge_pipeline, phash_neardup_images, image_features,
+          video_frame_sample (now MJPEG-in-AVI). Rotated out 12
+          multi-round-green doc-pipeline rows (exact_dedup, doc_quality,
+          corpus_filter, segment_dedup, repetition_metrics,
+          corpus_shuffle, pii_redact, temperature_sample, corpus_stats,
+          incremental_dedup, token_count_bpe, winnow_fingerprints — each
+          green in ≥2 driver artifacts incl. r4).
     """
     return {
-        # --- never driver-checked oracled queries (r4 rotation, first 15) ---
+        # --- newly oracled this round (r5): need their first driver rows ---
+        "pack_sequences_docs": _pack_sequences_docs,
+        "minhash_lsh_pairs_docs": _minhash_lsh_docs,
+        "simhash_pairs_docs": _simhash_pairs_docs,
+        "lsh_ann_topk_docs": _lsh_ann_docs,
+        "ivf_ann_topk_docs": _ivf_ann_docs,
+        "embedding_neardup_lsh_docs": _embedding_neardup_lsh_docs,
+        "audio_rms_features": _audio_rms,
+        "image_resize_thumbs": _image_resize,
+        "image_merge_pipeline": _image_pipeline,
+        "phash_neardup_images": _phash_neardup_images,
+        "image_features": _image_features,
+        "video_frame_sample": _video_frames,
+        # --- oracled queries with driver rows from earlier rounds ---
         "orders_anti_recent": _orders_anti_recent,
         "customers_semi_urgent": _customers_semi_urgent,
         "events_sessionize": _events_sessionize,
@@ -2787,18 +3273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
-        "exact_dedup_docs": _exact_dedup_docs,
-        "doc_quality": _doc_quality,
-        "corpus_filter_docs": _corpus_filter_docs,
-        "segment_dedup_docs": _segment_dedup_docs,
-        "repetition_metrics_docs": _repetition_metrics_docs,
-        "corpus_shuffle_docs": _corpus_shuffle_docs,
-        "pii_redact_docs": _pii_redact_docs,
-        "temperature_sample_docs": _temperature_sample_docs,
-        "corpus_stats_docs": _corpus_stats_docs,
-        "incremental_dedup_docs": _incremental_dedup_docs,
-        "token_count_bpe_docs": _token_count_bpe_docs,
-        "winnow_fingerprints_docs": _winnow_docs,
         "lang_id_docs": _lang_id_docs,
         "vocabulary_docs": _vocabulary_docs,
         "contamination_docs": _contamination_docs,
@@ -2812,8 +3286,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
         # ---------------- position 51+: outside the driver's check window ---
-        "events_range_join": _events_range_join,
+        "exact_dedup_docs": _exact_dedup_docs,
         # (keep this marker DIRECTLY after the 50th entry when rotating)
+        "doc_quality": _doc_quality,
+        "corpus_filter_docs": _corpus_filter_docs,
+        "segment_dedup_docs": _segment_dedup_docs,
+        "repetition_metrics_docs": _repetition_metrics_docs,
+        "corpus_shuffle_docs": _corpus_shuffle_docs,
+        "pii_redact_docs": _pii_redact_docs,
+        "temperature_sample_docs": _temperature_sample_docs,
+        "corpus_stats_docs": _corpus_stats_docs,
+        "incremental_dedup_docs": _incremental_dedup_docs,
+        "token_count_bpe_docs": _token_count_bpe_docs,
+        "winnow_fingerprints_docs": _winnow_docs,
+        "events_range_join": _events_range_join,
         "url_dedup_docs": _url_dedup_docs,
         "token_rarity_docs": _token_rarity_docs,
         "tfidf_top_terms": _tfidf_top_terms,
@@ -2842,20 +3328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _shipping_priority,
         "region_nation_revenue": _region_nation_revenue,
         "supplier_revenue_rank": _supplier_revenue_rank,
-        # rows-only (no SQL oracle): sketch internals are engine-specific;
-        # exactness is pinned against brute-force references in tests/.
-        "pack_sequences_docs": _pack_sequences_docs,
-        "minhash_lsh_pairs_docs": _minhash_lsh_docs,
-        "simhash_pairs_docs": _simhash_pairs_docs,
-        "lsh_ann_topk_docs": _lsh_ann_docs,
-        "ivf_ann_topk_docs": _ivf_ann_docs,
-        "embedding_neardup_lsh_docs": _embedding_neardup_lsh_docs,
-        "audio_rms_features": _audio_rms,
-        "image_resize_thumbs": _image_resize,
-        "image_merge_pipeline": _image_pipeline,
-        "phash_neardup_images": _phash_neardup_images,
-        "image_features": _image_features,
-        "video_frame_sample": _video_frames,
     }
 
 
@@ -2935,4 +3407,18 @@ def oracle_sql() -> dict[str, str]:
         "image_jpeg_ingest": _IMAGE_JPEG_INGEST_ORACLE,
         "audio_wav_ingest": _AUDIO_WAV_INGEST_ORACLE,
         "video_gif_frames": _VIDEO_GIF_FRAMES_ORACLE,
+        # r5: planted closed-form fixtures — every registry query now
+        # carries a SQL twin (86/86 oracled)
+        "pack_sequences_docs": _PACK_SEQUENCES_ORACLE,
+        "minhash_lsh_pairs_docs": _MINHASH_LSH_ORACLE,
+        "simhash_pairs_docs": _SIMHASH_PAIRS_ORACLE,
+        "lsh_ann_topk_docs": _ANN_PLANTED_ORACLE,
+        "ivf_ann_topk_docs": _ANN_PLANTED_ORACLE,
+        "embedding_neardup_lsh_docs": _EMBEDDING_NEARDUP_LSH_ORACLE,
+        "audio_rms_features": _AUDIO_RMS_ORACLE,
+        "image_resize_thumbs": _IMAGE_RESIZE_ORACLE,
+        "image_merge_pipeline": _image_pipeline_oracle(),
+        "phash_neardup_images": _PHASH_NEARDUP_ORACLE,
+        "image_features": _IMAGE_FEATURES_ORACLE,
+        "video_frame_sample": _VIDEO_FRAME_SAMPLE_ORACLE,
     }

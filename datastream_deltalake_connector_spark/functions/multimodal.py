@@ -165,16 +165,21 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Explode each video row into one row per sampled frame. REAL animated
-    GIF bitstreams (GIF87a/GIF89a sniff) decode through the from-scratch LZW
+    """Explode each video row into one row per sampled frame. REAL bitstream
+    paths: animated GIF (GIF87a/GIF89a sniff) through the from-scratch LZW
     decoder in functions/gif — palette, interlace, transparency, disposal —
-    so frame sampling runs on genuine real-world bytes. MP4/WebM require a
-    media library this container lacks; those and anything else non-FVID
-    raise NotImplementedError. The row-explosion plumbing (1→N rows inside
+    and MJPEG-in-AVI (RIFF/'AVI ' sniff) through the RIFF container walk in
+    functions/avi + the from-scratch JPEG codec; because every MJPEG frame
+    is an independent keyframe, only the SAMPLED frames are entropy-decoded
+    (skipped frames cost zero decode — the property that makes frame
+    sampling at 100 TB O(sampled), not O(stored)). MP4/WebM require a media
+    library this container lacks; those and anything else non-FVID raise
+    NotImplementedError. The row-explosion plumbing (1→N rows inside
     mapInPandas, typed schema, frame re-encode to the image codec) is shared
-    by both paths."""
+    by all paths."""
     import struct
 
+    from .avi import decode_avi_frames
     from .gif import GIF_SIGNATURES, decode_gif_np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,6 +187,17 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             rows = []
             for vid, data in zip(b["video_id"], b["bytes"]):
                 if data is None:
+                    continue
+                if (
+                    bytes(data[:4]) == b"RIFF"
+                    and bytes(data[8:12]) == b"AVI "
+                ):
+                    payloads, w, h = decode_avi_frames(bytes(data))
+                    for i in range(0, len(payloads), every_nth):
+                        px = decode_image_np(payloads[i])  # sampled frames only
+                        rows.append(
+                            (vid, i, encode_image_np(px, "png"), int(w), int(h))
+                        )
                     continue
                 if bytes(data[:6]) in GIF_SIGNATURES:
                     gif_frames, _delays = decode_gif_np(bytes(data))
@@ -192,7 +208,8 @@ def sample_video_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
                     if magic != FAKE_VIDEO_MAGIC:
                         raise NotImplementedError(
                             "real MP4/WebM decode requires a media library not "
-                            "in this container; animated GIF and FVID decode"
+                            "in this container; animated GIF, MJPEG-AVI and "
+                            "FVID decode"
                         )
                     frames = np.frombuffer(data, dtype=np.uint8, offset=16).reshape(
                         n, h, w, 3

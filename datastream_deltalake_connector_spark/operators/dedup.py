@@ -11,16 +11,23 @@ Three physical strategies, same logical result (callers must make the
 ordering-key tuple unique per key — e.g. end it with a change-sequence
 column — so the winner is deterministic):
 
-- ``window``  — faithful port: hash-shuffle on keys, sort, row_number. One
-  full sort of the batch; fine for micro-batches.
+- ``window``  — faithful port: hash-shuffle on keys, row_number = 1. On
+  Spark ≥ 3.5 Catalyst inserts Partial+Final ``WindowGroupLimit`` for the
+  rank-1 filter, so each map task keeps only its per-key top row BEFORE
+  the shuffle — the classic "hot key serializes one sort task" pathology
+  no longer exists on this engine version (measured in BENCH.md's skew
+  stage; the plan shows ``WindowGroupLimit ... Partial/Final``).
 - ``max_by``  — single hash aggregation with partial (map-side) combine:
-  ``max_by(struct(<all>), struct(<order>))``. No sort, ~half the shuffle
-  volume of ``window`` (only one pre-aggregated row per key and map
-  partition crosses the wire). Preferred at scale.
+  ``max_by(struct(<all>), struct(<order>))``. No sort, least shuffle
+  volume of the three in every measured regime. Preferred at scale.
 - ``salted``  — two-phase ``max_by`` for hot-key skew (north_rule: hot
   image_id prefixes): phase 1 aggregates per (key, salt) spreading one hot
   key over N reducers, phase 2 reduces the N salted partials. Salt is
   deterministic (hash of ordering cols), keeping replays identical.
+  Kept for engines/plans where no partial combine protects the hot key
+  (e.g. a window without the group-limit rewrite, collect_list-style
+  aggregates); under Spark 4's WindowGroupLimit + max_by partial combine
+  its second shuffle costs more than it saves (BENCH.md skew stage).
 """
 
 from __future__ import annotations

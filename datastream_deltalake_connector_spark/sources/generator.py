@@ -107,20 +107,36 @@ def _id_of(seed: int, i: int) -> str:
     return _image_id(seed, i, _rng_for(seed, i))
 
 
-def _make_row(seed: int, i: int, min_px: int, max_px: int) -> tuple:
+def _row_draws(seed: int, i: int, min_px: int, max_px: int) -> tuple:
+    """The full deterministic draw sequence for row i: (image_id, w, h,
+    fmt, pixels, caption). Single source of truth for the rng order —
+    ``_make_row`` renders/encodes from it, ``row_meta`` projects the
+    codec-free columns (the replay oracle's view)."""
     rng = _rng_for(seed, i)
     image_id = _image_id(seed, i, rng)
     w = int(rng.integers(min_px, max_px + 1))
     h = int(rng.integers(min_px, max_px + 1))
     fmt = "jpeg" if rng.random() < 0.7 else "png"
     px = _pixels(rng, w, h)
+    return image_id, w, h, fmt, px, _caption(rng)
+
+
+def row_meta(seed: int, i: int, min_px: int = 24, max_px: int = 64) -> tuple:
+    """(image_id, w, h, fmt, caption) of row i without encoding its pixels —
+    the SQL-replay oracle's codec-free projection of ``_make_row``."""
+    image_id, w, h, fmt, _px, caption = _row_draws(seed, i, min_px, max_px)
+    return image_id, w, h, fmt, caption
+
+
+def _make_row(seed: int, i: int, min_px: int, max_px: int) -> tuple:
+    image_id, w, h, fmt, px, caption = _row_draws(seed, i, min_px, max_px)
     data = encode_image_np(px, fmt)
     # phash of the *stored* pixels: for jpeg that is the quantized image, so
     # recomputing the hash from bytes always reproduces the column.
     from ..functions.image import decode_image_np
 
     ph = phash_np(decode_image_np(data))
-    return (image_id, data, w, h, fmt, _caption(rng), ph)
+    return (image_id, data, w, h, fmt, caption, ph)
 
 
 def generate_images(

@@ -424,3 +424,44 @@ def test_expire_keeps_pending_delete_files(spark, tmp_path):
         for r in t.scan().select("image_id", "caption").collect()
     )
     assert final == before
+
+
+def test_mor_long_churn_soak(spark, tmp_path):
+    """Sustained-churn POLICY pin (the 14 semantic tests cover single-shot
+    behavior): 50 sequential small MoR batches with maybe_apply_deletes
+    chained after every merge, exactly as the streaming sink chains it.
+    Asserts the policy keeps the pending delete-file count bounded (the
+    scan's broadcast side), that periodic applies actually fire, and that
+    the end state is row-for-row identical to a CoW twin fed the same 50
+    batches — LWW, replay guard, tombstones and reinserts all agree after
+    sustained interleaved churn."""
+    t_mor = fresh_table(spark, tmp_path, "soak_mor")
+    t_cow = fresh_table(spark, tmp_path, "soak_cow")
+    max_delete_files = 6
+    trajectory = []
+    applies = 0
+    for b in range(50):
+        batch = generate_change_batch(
+            spark, N_BASE, batch_index=b, updates=6, inserts=2, deletes=2,
+            num_partitions=2,
+        ).cache()
+        merge_into_table_mor(t_mor, batch, key="image_id")
+        # the streaming sink's per-batch chain (file-count policy drives;
+        # ratio disabled so the trajectory exercises the count bound)
+        if maybe_apply_deletes(
+            t_mor, max_delete_files=max_delete_files, max_delete_ratio=10.0
+        ):
+            applies += 1
+        merge_into_table(t_cow, batch, key="image_id")
+        batch.unpersist()
+        n_dels = sum(1 for e in t_mor.files() if e.content == "eq_deletes")
+        trajectory.append(n_dels)
+    # bounded: the policy fires AT the threshold, so the standing count
+    # never exceeds it (one delete file lands per merge, reset on apply)
+    assert max(trajectory) <= max_delete_files
+    assert applies >= 50 // (max_delete_files + 1) - 1 and applies >= 3
+    assert trajectory.count(0) >= applies  # each apply resets to zero
+    cols = ["image_id", "caption", "w", "h"]
+    mor_rows = sorted(map(tuple, t_mor.scan().select(cols).collect()))
+    cow_rows = sorted(map(tuple, t_cow.scan().select(cols).collect()))
+    assert mor_rows == cow_rows and len(mor_rows) > N_BASE  # net inserts

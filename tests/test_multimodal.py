@@ -89,3 +89,95 @@ def test_audio_features(spark):
     assert out["a1"]["n_windows"] == 4
     assert all(0.2 < v < 0.5 for v in out["a1"]["rms"])  # sine RMS ≈ 0.35
     assert out["a2"]["n_windows"] == 0
+
+
+# ------------------------------------------------------------- MJPEG-in-AVI
+def _gradient_frame(f: int, w: int = 24, h: int = 16) -> np.ndarray:
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    return (5 * f + 3 * y + 3 * x + 30 * c).astype(np.uint8)
+
+
+def _mjpeg_avi(n_frames: int, w: int = 24, h: int = 16) -> bytes:
+    from datastream_deltalake_connector_spark.functions.avi import encode_avi_mjpeg
+    from datastream_deltalake_connector_spark.functions.jpeg import encode_jpeg_np
+
+    return encode_avi_mjpeg(
+        [encode_jpeg_np(_gradient_frame(f, w, h), quality=95) for f in range(n_frames)],
+        w,
+        h,
+    )
+
+
+def test_avi_roundtrip_and_info():
+    from datastream_deltalake_connector_spark.functions.avi import (
+        avi_info,
+        decode_avi_frames,
+    )
+    from datastream_deltalake_connector_spark.functions.jpeg import decode_jpeg_np
+
+    data = _mjpeg_avi(7)
+    info = avi_info(data)
+    assert (info["n_frames"], info["w"], info["h"], info["streams"]) == (7, 24, 16, 1)
+    payloads, w, h = decode_avi_frames(data)
+    assert (len(payloads), w, h) == (7, 24, 16)
+    for f, p in enumerate(payloads):
+        assert p[:2] == b"\xff\xd8"  # each record is a standalone JFIF stream
+        assert psnr_np(decode_jpeg_np(p), _gradient_frame(f)) >= 40.0
+
+
+def test_avi_tolerates_rec_lists_and_00db_and_skips_audio():
+    """Interleaved real-world AVIs wrap frames in 'rec ' lists, may spell
+    the fourcc 00db, and carry audio '01wb' records between frames."""
+    import struct
+
+    from datastream_deltalake_connector_spark.functions.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from datastream_deltalake_connector_spark.functions.jpeg import encode_jpeg_np
+
+    jf = [encode_jpeg_np(_gradient_frame(f), quality=95) for f in range(3)]
+    plain = encode_avi_mjpeg(jf, 24, 16)
+
+    def chunk(cc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cc + struct.pack("<I", len(payload)) + payload + pad
+
+    rec = chunk(b"LIST", b"rec " + chunk(b"00db", jf[1]) + chunk(b"01wb", b"\x01\x02\x03"))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", jf[0]) + rec + chunk(b"00dc", jf[2]))
+    hdrl_start = plain.index(b"LIST")
+    (hdrl_size,) = struct.unpack_from("<I", plain, hdrl_start + 4)
+    hdrl = plain[hdrl_start : hdrl_start + 8 + hdrl_size]
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    payloads, w, h = decode_avi_frames(data)
+    assert (len(payloads), w, h) == (3, 24, 16)
+    assert payloads == [bytes(j) for j in jf]
+
+
+def test_avi_malformed_raises_valueerror():
+    from datastream_deltalake_connector_spark.functions.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")  # not an AVI form
+    with pytest.raises(ValueError):
+        decode_avi_frames(_mjpeg_avi(2)[:60])  # truncated mid-header
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+
+
+def test_sample_video_frames_avi_path(spark):
+    """The production sampler sniffs RIFF/'AVI ', walks the container, and
+    entropy-decodes ONLY the sampled frames; pixels must clear 40 dB vs the
+    rule (JPEG is lossy, the gradient class survives quantization)."""
+    rows = [(f"av{i}", _mjpeg_avi(9)) for i in range(2)]
+    df = spark.createDataFrame(rows, ["video_id", "bytes"])
+    out = sample_video_frames(df, every_nth=4).collect()
+    assert len(out) == 6  # indices 0, 4, 8 per video
+    for r in out:
+        assert (r["w"], r["h"]) == (24, 16)
+        px = decode_image_np(r["frame_bytes"])
+        assert psnr_np(px, _gradient_frame(r["frame_index"])) >= 40.0
