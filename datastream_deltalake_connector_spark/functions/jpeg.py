@@ -180,6 +180,87 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+class _CleanBitReader:
+    """Drop-in for ``_BitReader`` over PRE-SPLIT, PRE-UNSTUFFED restart
+    segments: refills load 8 bytes per ``int.from_bytes`` with zero
+    per-byte 0xFF branches (each segment was unstuffed by one C-level
+    ``bytes.replace`` and padded with 1-bits, reproducing the spec's
+    feed-1s-past-the-segment behavior). ``term_pos`` is the original-stream
+    offset of the scan's terminating marker, replacing the post-hoc
+    ``_next_marker`` walk. Same decode interface (`nbits`/`acc`/`_fill`),
+    so ``_HuffTable.decode`` works unchanged."""
+
+    __slots__ = ("segs", "term_pos", "si", "buf", "p", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.segs: list[bytes] = []
+        n = len(data)
+        start = p = pos
+        self.term_pos = n
+        while True:
+            q = data.find(b"\xff", p)
+            if q < 0 or q + 1 >= n:
+                self.segs.append(data[start : n if q < 0 else q])
+                break
+            nxt = data[q + 1]
+            if nxt == 0x00:
+                p = q + 2
+                continue
+            r = q  # skip fill-byte run preceding the marker code
+            while r + 1 < n and data[r + 1] == 0xFF:
+                r += 1
+            if r + 1 >= n:
+                self.segs.append(data[start:q])
+                break
+            nxt = data[r + 1]
+            self.segs.append(data[start:q])
+            if 0xD0 <= nxt <= 0xD7:
+                start = p = r + 2
+                continue
+            self.term_pos = r  # offset of the terminating true marker
+            break
+        self.segs = [
+            s.replace(b"\xff\x00", b"\xff") + b"\xff" * 64 for s in self.segs
+        ]
+        self.si = 0
+        self.buf = self.segs[0]
+        self.p = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        self.acc = (self.acc << 64) | int.from_bytes(
+            self.buf[self.p : self.p + 8], "big"
+        )
+        self.nbits += 64
+        self.p += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def sync_restart(self) -> None:
+        self.si += 1
+        self.buf = self.segs[self.si]
+        self.p = 0
+        self.acc = 0
+        self.nbits = 0
+
+
 def jpeg_dims(data: bytes) -> tuple[int, int, int]:
     """Header-only probe: walk markers to the first SOF and return
     (w, h, n_components) without touching entropy data — the cheap
@@ -518,7 +599,7 @@ def _decode_progressive_scan(
     comps = frame["comps"]
     hmax, vmax, mcux, mcuy = _geometry(frame)
     cidx = {c["id"]: i for i, c in enumerate(comps)}
-    reader = _BitReader(data, pos)
+    reader = _CleanBitReader(data, pos)
     eobrun = 0
 
     if ss == 0 and len(scan_comps) > 1:  # ---- interleaved DC scan (MCU order)
@@ -541,7 +622,7 @@ def _decode_progressive_scan(
                     else:  # refinement: one bit per block
                         if reader.read_bit():
                             row[0] |= 1 << al
-        return _next_marker(data, reader.pos)
+        return reader.term_pos
 
     # ---- non-interleaved scan: single component, block-raster order
     if len(scan_comps) != 1:
@@ -552,52 +633,100 @@ def _decode_progressive_scan(
     is_dc = ss == 0
     if is_dc and se != 0:
         raise ValueError("corrupt JPEG: DC scan with Se != 0")
-    ac_t = huff.get((1, ta))
     dc_pred = 0
     # blocks covering the component's sample region (NOT the MCU-padded grid)
     comp_w = -(-(frame["w"] * c["h"]) // hmax)
     comp_h = -(-(frame["h"] * c["v"]) // vmax)
     bw, bh = -(-comp_w // 8), -(-comp_h // 8)
     p1, m1 = 1 << al, -1 << al
-    for bi in range(bw * bh):
-        if restart_interval and bi and bi % restart_interval == 0:
-            reader.sync_restart()
-            eobrun = 0
-            dc_pred = 0
-        by, bx = divmod(bi, bw)
-        my, sy = divmod(by, c["v"])
-        mx, sx = divmod(bx, c["h"])
-        row = store[ci][(my * mcux + mx) * c["h"] * c["v"] + sy * c["h"] + sx]
+    ch, cv = c["h"], c["v"]
 
-        if is_dc:  # non-interleaved DC scan, component-raster order
+    if is_dc:  # non-interleaved DC scan — one symbol/bit per block, not hot
+        for bi in range(bw * bh):
+            if restart_interval and bi and bi % restart_interval == 0:
+                reader.sync_restart()
+                dc_pred = 0
+            by, bx = divmod(bi, bw)
+            my, sy = divmod(by, cv)
+            mx, sx = divmod(bx, ch)
+            row = store[ci][(my * mcux + mx) * ch * cv + sy * ch + sx]
             if ah == 0:
                 t = huff[(0, td)].decode(reader)
                 dc_pred += _extend(reader.receive(t), t)
                 row[0] = dc_pred << al
             elif reader.read_bit():
                 row[0] |= 1 << al
-            continue
+        return reader.term_pos
 
-        if ah == 0:  # ---- first AC scan for this band
+    # ---- AC scans: the SA-ladder hot path. Same inlining discipline as the
+    # baseline loop — local acc/nbits over the pre-split unstuffed segments,
+    # packed-LUT decode, and (for first scans) bulk coefficient scatter. The
+    # running acc mask moves to the refill (garbage above nbits is harmless:
+    # every extract masks), saving one bigint AND per symbol/bit.
+    apk = huff[(1, ta)].lut_packed
+    half, sub = _EXT_HALF, _EXT_SUB
+    fb = int.from_bytes
+    segs = reader.segs
+    si = 0
+    buf = segs[0]
+    acc = 0
+    nbits = 0
+    p = 0
+    cstore = store[ci]
+    idxs: list[int] = []
+    vals: list[int] = []
+    first = ah == 0
+    for bi in range(bw * bh):
+        if restart_interval and bi and bi % restart_interval == 0:
+            si += 1
+            if si >= len(segs):
+                raise ValueError("corrupt JPEG: missing restart marker")
+            buf = segs[si]
+            acc = 0
+            nbits = 0
+            p = 0
+            eobrun = 0
+        by, bx = divmod(bi, bw)
+        my, sy = divmod(by, cv)
+        mx, sx = divmod(bx, ch)
+        row_idx = (my * mcux + mx) * ch * cv + sy * ch + sx
+
+        if first:  # ---- first AC scan for this band
             if eobrun:
                 eobrun -= 1
                 continue
+            base = row_idx * 64
             k = ss
             while k <= se:
-                rs = ac_t.decode(reader)
-                r, s = rs >> 4, rs & 0xF
+                if nbits < 31:
+                    acc = ((acc & ((1 << nbits) - 1)) << 64) | fb(
+                        buf[p : p + 8], "big"
+                    )
+                    nbits += 64
+                    p += 8
+                pk = apk[(acc >> (nbits - 16)) & 0xFFFF]
+                if pk < 256:
+                    raise ValueError("corrupt JPEG: Huffman code over 16 bits")
+                rs = pk & 0xFF
+                nbits -= pk >> 8
+                s = rs & 0xF
                 if s == 0:
+                    r = rs >> 4
                     if r < 15:  # EOBn: run of 2^r + extension bits blocks
                         eobrun = (1 << r) - 1
                         if r:
-                            eobrun += reader.receive(r)
+                            nbits -= r
+                            eobrun += (acc >> nbits) & sub[r]
                         break
                     k += 16  # ZRL
                     continue
-                k += r
+                k += rs >> 4
                 if k > se:
                     raise ValueError("corrupt JPEG: AC index past Se")
-                row[k] = _extend(reader.receive(s), s) << al
+                nbits -= s
+                v = (acc >> nbits) & sub[s]
+                idxs.append(base + k)
+                vals.append((v if v >= half[s] else v - sub[s]) << al)
                 k += 1
             continue
 
@@ -605,28 +734,50 @@ def _decode_progressive_scan(
         # coefficients, newly-nonzero insertions of ±2^Al. The walk reads
         # nearly every band position, so it runs on a plain-list working
         # copy (numpy scalar getitem is ~5x a list index) written back once.
+        row = cstore[row_idx]
         rl = row.tolist()
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = ac_t.decode(reader)
+                if nbits < 31:
+                    acc = ((acc & ((1 << nbits) - 1)) << 64) | fb(
+                        buf[p : p + 8], "big"
+                    )
+                    nbits += 64
+                    p += 8
+                pk = apk[(acc >> (nbits - 16)) & 0xFFFF]
+                if pk < 256:
+                    raise ValueError("corrupt JPEG: Huffman code over 16 bits")
+                rs = pk & 0xFF
+                nbits -= pk >> 8
                 r, s = rs >> 4, rs & 0xF
                 val = 0
                 if s == 0:
                     if r < 15:
                         eobrun = 1 << r
                         if r:
-                            eobrun += reader.receive(r)
+                            nbits -= r
+                            eobrun += (acc >> nbits) & sub[r]
                         break
                     # r == 15 → ZRL: skip 16 zero-history positions
                 else:
                     if s != 1:
                         raise ValueError("corrupt JPEG: refinement size != 1")
-                    val = p1 if reader.read_bit() else m1
+                    if nbits == 0:
+                        acc = fb(buf[p : p + 8], "big")
+                        nbits = 64
+                        p += 8
+                    nbits -= 1
+                    val = p1 if (acc >> nbits) & 1 else m1
                 while k <= se:
                     v = rl[k]
                     if v != 0:
-                        if reader.read_bit() and (v & p1) == 0:
+                        if nbits == 0:
+                            acc = fb(buf[p : p + 8], "big")
+                            nbits = 64
+                            p += 8
+                        nbits -= 1
+                        if (acc >> nbits) & 1 and (v & p1) == 0:
                             rl[k] = v + (p1 if v >= 0 else m1)
                     else:
                         if r == 0:
@@ -641,12 +792,19 @@ def _decode_progressive_scan(
             while k <= se:
                 v = rl[k]
                 if v != 0:
-                    if reader.read_bit() and (v & p1) == 0:
+                    if nbits == 0:
+                        acc = fb(buf[p : p + 8], "big")
+                        nbits = 64
+                        p += 8
+                    nbits -= 1
+                    if (acc >> nbits) & 1 and (v & p1) == 0:
                         rl[k] = v + (p1 if v >= 0 else m1)
                 k += 1
             eobrun -= 1
         row[ss : se + 1] = rl[ss : se + 1]
-    return _next_marker(data, reader.pos)
+    if idxs:
+        cstore.ravel()[np.asarray(idxs, dtype=np.int64)] = vals
+    return reader.term_pos
 
 
 # ------------------------------------------------------------------ encoder

@@ -126,9 +126,11 @@ def main() -> None:
     out["scan_rows"] = row["n"]
     out["scan_images_per_sec"] = round(row["n"] / out["scan_sec"])
     out["rss_gb_final"] = rss_gb()
-    out["wall_total_sec"] = round(
-        sum(v for k, v in out.items() if k.endswith("_sec") and k != "wall_total_sec"), 1
-    )
+    stage_keys = [
+        "ingest_sec", "compact_sec", "merge_sec", "merge_mor_sec",
+        "apply_deletes_sec", "cluster_sec", "scan_sec",
+    ]
+    out["wall_total_sec"] = round(sum(out[k] for k in stage_keys), 1)
     spark.stop()
     shutil.rmtree(os.path.dirname(root), ignore_errors=True)
     print("SCALE_CHAIN_JSON:" + json.dumps(out))
