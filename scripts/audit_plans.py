@@ -327,6 +327,24 @@ AUDIT = [
         "(degenerate buckets never materialize members), no cartesian or "
         "nested-loop join anywhere.",
     ),
+    (
+        "video_frame_sample",
+        "Real MJPEG-in-AVI frame sampling (r5): RIFF container walk + "
+        "per-sampled-frame JPEG decode inside the production "
+        "sample_video_frames explode. Expect: map-only chained "
+        "MapInPandas, ZERO exchanges — skipped frames are never "
+        "entropy-decoded (every MJPEG frame is an independent keyframe), "
+        "so cost is O(sampled), not O(stored).",
+    ),
+    (
+        "phash_neardup_images",
+        "Perceptual-hash near-dup pairs through the pigeonhole "
+        "hamming_pairs banding (r5: brute-force-oracled corpus). Expect: "
+        "JVM-only band expansion (no Python), ONE groupBy on "
+        "(band, bucket) feeding the capped in-array pair expansion, exact "
+        "bit_count verify as a filter — no self-join of the corpus, no "
+        "cartesian product.",
+    ),
 ]
 
 
