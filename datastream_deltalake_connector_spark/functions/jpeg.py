@@ -29,6 +29,7 @@ on executors — the engine never ships pixels through the driver.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -76,7 +77,7 @@ class _HuffTable:
     and its length). Plain Python lists — scalar list indexing beats numpy
     scalars in this bit-serial loop."""
 
-    _lut_cache: dict[tuple, tuple[list[int], list[int]]] = {}
+    _lut_cache: dict[tuple, tuple[list[int], list[int], list[int]]] = {}
 
     def __init__(self, bits: list[int], values: bytes) -> None:
         key = (tuple(bits), values)
@@ -291,8 +292,87 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG has no SOF segment")
 
 
+def _detect_accel():
+    """Probe for an optional accelerated JPEG decoder (ImportError-gated,
+    exactly like the ``google-cloud-storage``/``snappy`` optional deps).
+
+    The from-scratch T.81 decoder below is the reference semantics and the
+    only hard dependency; its per-MCU Huffman walk is the engine's 100-TB
+    real-ingest bound (~0.5 MB/s/core even after the LUT rework). When the
+    runtime image ships a native decoder (simplejpeg → libjpeg-turbo, PIL,
+    or OpenCV), ``decode_jpeg_np`` routes through it and falls back to the
+    pure path on ANY decode error, so capability never shrinks. Returns
+    ``(callable | None, name)``; disable with ``DATASTREAM_JPEG_ACCEL=0``.
+    Parity vs the pure decoder is pinned in tests/test_jpeg_accel.py
+    (dims exact, PSNR ≥ 40 dB — native IDCT/upsampling may differ by LSBs).
+    """
+    if os.environ.get("DATASTREAM_JPEG_ACCEL", "1").lower() in ("0", "false", "no"):
+        return None, "disabled"
+    try:
+        import simplejpeg  # type: ignore
+
+        def _dec_sj(data: bytes) -> np.ndarray:
+            _, _, nc = jpeg_dims(data)
+            cs = "GRAY" if nc == 1 else "RGB"
+            arr = simplejpeg.decode_jpeg(data, colorspace=cs)
+            return arr if arr.ndim == 3 else arr[:, :, None]
+
+        return _dec_sj, "simplejpeg"
+    except ImportError:
+        pass
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        def _dec_pil(data: bytes) -> np.ndarray:
+            with Image.open(io.BytesIO(data)) as im:
+                if im.mode == "L":
+                    return np.asarray(im, dtype=np.uint8)[:, :, None]
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+        return _dec_pil, "PIL"
+    except ImportError:
+        pass
+    try:
+        import cv2  # type: ignore
+
+        def _dec_cv(data: bytes) -> np.ndarray:
+            arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+            if arr is None:
+                raise ValueError("cv2 could not decode JPEG")
+            if arr.ndim == 2:
+                return arr[:, :, None]
+            return np.ascontiguousarray(arr[:, :, 2::-1])  # BGR → RGB
+
+        return _dec_cv, "cv2"
+    except ImportError:
+        pass
+    return None, "pure"
+
+
+_ACCEL_DECODER, _ACCEL_NAME = _detect_accel()
+
+
 def decode_jpeg_np(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → (h, w, c) uint8 with c ∈ {1, 3}."""
+    """Decode JFIF bytes → (h, w, c) uint8 with c ∈ {1, 3}.
+
+    Routes through the optional accelerated decoder when one is importable
+    (see ``_detect_accel``); any accel failure falls back to the from-scratch
+    T.81 decoder, which defines the engine's semantics.
+    """
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG byte stream")
+    if _ACCEL_DECODER is not None:
+        try:
+            return _ACCEL_DECODER(data)
+        except Exception:  # noqa: BLE001 — accel is best-effort by contract
+            pass
+    return _decode_jpeg_pure(data)
+
+
+def _decode_jpeg_pure(data: bytes) -> np.ndarray:
+    """From-scratch baseline + progressive decode (the reference semantics)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG byte stream")
     qt: dict[int, np.ndarray] = {}
