@@ -3103,6 +3103,117 @@ SELECT user_id, event_type, value, ts, seq, 1 AS n_snapshots FROM m WHERE droppe
 """
 
 
+def _icepack_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback / RESTORE (new r5, `IcepackTable.rollback`): append
+    the even-seq LWW snapshot (v1), destructively merge the odd-seq change
+    batch (updates + deletes + inserts), then roll HEAD back to v1. The
+    HEAD scan — not a version-pinned read — must reproduce the pre-merge
+    state bit-for-bit, INCLUDING the engine ts/seq metadata columns (a
+    restamped or partially-carried manifest would diverge). The new
+    snapshot's operation tag and restored_version are folded into hashed
+    columns so the metadata contract is oracled too, and the undone merge
+    version must remain time-travelable (history preserved, not rewound)."""
+    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-rb-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base, num_files=4)
+    v1 = t.head_version()
+    v_merge = merge_into_table(t, b1, key="user_id")
+    t.rollback(v1)
+    snap = t.snapshot()
+    merge_still_readable = t.scan(version=v_merge).limit(1).count() == 1
+    meta_ok = (
+        snap.operation == "rollback"
+        and snap.summary.get("restored_version") == v1
+        and merge_still_readable
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("rollback" if meta_ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_ROLLBACK_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'rollback' AS op FROM t0
+"""
+
+
+def _icepack_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed OUT of the table (new r5, `table_changes`,
+    operators/changes.py — Delta CDF / Iceberg changelog parity with no
+    stored change files): append the even-seq LWW snapshot, CoW-merge the
+    odd-seq batch, then reconstruct that commit's row-level feed from the
+    manifest diff + (ts, seq) row identity. Oracled end-to-end: inserts are
+    the batch winners on new keys, deletes/updates are the guard-passing
+    (`<=` on ts) winners against the v1 snapshot, update rows emit BOTH the
+    preimage (v1 payload) and postimage (batch payload), and carried rows
+    (CoW rewrites copy untouched neighbors into new files) must be
+    suppressed by the identity join — any leak shows up as extra rows."""
+    from datastream_deltalake_connector_spark.operators.changes import table_changes
+    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-cdf-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base, num_files=4)
+    v1 = t.head_version()
+    merge_into_table(t, b1, key="user_id")
+    return (
+        table_changes(t, v1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .orderBy("user_id", "change_type")
+    )
+
+
+_ICEPACK_CHANGES_ORACLE = f"""
+{_ICEPACK_CTES}
+, upd AS (
+  SELECT t0.user_id,
+         t0.event_type AS o_et, t0.value AS o_v, t0.ts AS o_ts, t0.seq AS o_seq,
+         w1.event_type AS n_et, w1.value AS n_v,
+         w1.source_timestamp AS n_ts, w1.change_seq AS n_seq,
+         w1.is_deleted
+  FROM t0 JOIN w1 USING (user_id)
+  WHERE t0.ts <= w1.source_timestamp
+)
+SELECT user_id, event_type, value, n_ts AS ts, change_seq AS seq,
+       'insert' AS change_type
+FROM (SELECT w1.*, w1.source_timestamp AS n_ts FROM w1
+      WHERE NOT is_deleted
+        AND user_id NOT IN (SELECT user_id FROM t0))
+UNION ALL
+SELECT user_id, o_et AS event_type, o_v AS value, o_ts AS ts, o_seq AS seq,
+       'delete' AS change_type
+FROM upd WHERE is_deleted
+UNION ALL
+SELECT user_id, o_et, o_v, o_ts, o_seq, 'update_preimage'
+FROM upd WHERE NOT is_deleted
+UNION ALL
+SELECT user_id, n_et, n_v, n_ts, n_seq, 'update_postimage'
+FROM upd WHERE NOT is_deleted
+"""
+
+
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-VIDEO frame sampling over MJPEG-in-AVI containers, ORACLED
     since r5 (closing the last synthetic-only multimodal format): smooth
@@ -3228,7 +3339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           corpus_filter, segment_dedup, repetition_metrics,
           corpus_shuffle, pii_redact, temperature_sample, corpus_stats,
           incremental_dedup, token_count_bpe, winnow_fingerprints — each
-          green in ≥2 driver artifacts incl. r4).
+          green in ≥2 driver artifacts incl. r4). Later in r5 the new
+          icepack_rollback (snapshot RESTORE, needs its first driver row)
+          took the slot of events_asof_join (green r1-r4), and the new
+          icepack_changes (change-data-feed reconstruction, needs its
+          first driver row) took the slot of events_pivot (green r4).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -3260,6 +3375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_time_travel": _icepack_time_travel,
         "icepack_pruned_scan": _icepack_pruned_scan,
         "icepack_expire": _icepack_expire,
+        "icepack_rollback": _icepack_rollback,
+        "icepack_changes": _icepack_changes,
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
@@ -3283,9 +3400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _windowed_agg,
         "events_sliding_window": _events_sliding_window,
         "events_json_extract": _events_json_extract,
+        # ---------------- position 51+: outside the driver's check window ---
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
-        # ---------------- position 51+: outside the driver's check window ---
         "exact_dedup_docs": _exact_dedup_docs,
         # (keep this marker DIRECTLY after the 50th entry when rotating)
         "doc_quality": _doc_quality,
@@ -3403,6 +3520,8 @@ def oracle_sql() -> dict[str, str]:
         "icepack_time_travel": _ICEPACK_TT_ORACLE,
         "icepack_pruned_scan": _ICEPACK_PRUNE_ORACLE,
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
+        "icepack_rollback": _ICEPACK_ROLLBACK_ORACLE,
+        "icepack_changes": _ICEPACK_CHANGES_ORACLE,
         "image_png_ingest": _IMAGE_PNG_INGEST_ORACLE,
         "image_jpeg_ingest": _IMAGE_JPEG_INGEST_ORACLE,
         "audio_wav_ingest": _AUDIO_WAV_INGEST_ORACLE,

@@ -22,6 +22,7 @@ matter of the submit command, not the code:
       autocompact --table PATH [--min-num-files N]  compact only past threshold
       cluster  --table PATH [--curve zorder|hilbert]
       expire   --table PATH [--keep-last N]
+      restore  --table PATH --version N          rollback HEAD to snapshot N
       orphans  --table PATH [--grace-seconds S] [--dry-run]
       describe --table PATH                      manifest-only snapshot summary
       scan     --table PATH [--out PARQUET]      full scan (+ optional export)
@@ -123,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("expire")
     common(p)
     p.add_argument("--keep-last", type=int, default=2)
+    p = sub.add_parser("restore")
+    common(p)
+    p.add_argument("--version", type=int, required=True,
+                   help="snapshot version to restore HEAD to")
     p = sub.add_parser("orphans")
     common(p)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
@@ -313,6 +318,10 @@ def main(argv: list[str] | None = None) -> int:
         out["expired"] = report["expired_snapshots"]
         out["deleted_files"] = report["n_deleted_files"]
         out["delete_failures"] = report.get("n_delete_failures", 0)
+    elif args.cmd == "restore":
+        t = IcepackTable.load(spark, args.table)
+        out["version"] = t.rollback(args.version)
+        out["restored_version"] = args.version
     elif args.cmd == "orphans":
         from .operators.expire import remove_orphans
 

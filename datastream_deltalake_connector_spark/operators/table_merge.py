@@ -407,6 +407,9 @@ def merge_into_table(
             "touched_files": len(touched_paths),
             "rewrite_mode": rewrite_mode,
             "batch_bytes_est": int(batch_bytes),
+            # lets table_changes (operators/changes.py) reconstruct the
+            # row-level change feed for this commit without a key argument
+            "keys": keys,
         },
     )
     journal.log_commit(version)

@@ -797,9 +797,15 @@ class IcepackTable:
         expected_parent: int | None = None,
         summary: dict | None = None,
         max_retries: int = 10,
+        entries_override: list[FileEntry] | None = None,
     ) -> int:
         """CAS-commit a new snapshot; retries on benign conflicts only when
-        the caller did not pin ``expected_parent``."""
+        the caller did not pin ``expected_parent``.
+
+        ``entries_override`` replaces the usual carry-forward+added/removed
+        entry derivation with an exact entry list, seq numbers INCLUDED —
+        the rollback path, where restamping seqs would re-scope pending
+        equality deletes (a delete file shadows only lower-seq data files)."""
         removed = set(removed_paths)
         added = list(added)
         for attempt in range(max_retries):
@@ -821,12 +827,20 @@ class IcepackTable:
                 prev = self.snapshot(parent)
                 old_entries = self.files(parent)
                 version = parent + 1
-                # Stamp the data sequence number: every file added by this
-                # commit is "as of" this snapshot. Carried-over entries keep
-                # theirs — the seq ordering is what scopes equality deletes.
-                for e in added:
-                    e.seq = version
-                entries = [e for e in old_entries if e.path not in removed] + added
+                if entries_override is not None:
+                    entries = list(entries_override)
+                    old_paths = {e.path for e in old_entries}
+                    new_paths = {e.path for e in entries}
+                    added = [e for e in entries if e.path not in old_paths]
+                    removed = old_paths - new_paths
+                else:
+                    # Stamp the data sequence number: every file added by
+                    # this commit is "as of" this snapshot. Carried-over
+                    # entries keep theirs — the seq ordering is what scopes
+                    # equality deletes.
+                    for e in added:
+                        e.seq = version
+                    entries = [e for e in old_entries if e.path not in removed] + added
                 # Manifest format by size: JSON for human-scale tables,
                 # PARQUET past the threshold — at 10^12 images / 512 MB
                 # files the manifest is ~2.4M entries, where JSON costs
@@ -1049,6 +1063,58 @@ class IcepackTable:
             df, num_files=num_files, partition_by=self.partition_spec() or None
         )
         return self.commit("overwrite", added=entries, removed_paths=old)
+
+    def rollback(self, version: int) -> int:
+        """Restore HEAD to the state of an earlier snapshot — Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` / Iceberg
+        ``rollback_to_snapshot`` parity (the reference leans on Delta's
+        version surface for recovery, README.md:103-113 time-travel notes).
+
+        Commits a NEW snapshot (history is preserved: the undone versions
+        stay time-travelable until expired) whose manifest is exactly the
+        target snapshot's entry list. Entries keep their ORIGINAL data
+        sequence numbers — restamping would re-scope pending equality
+        deletes, silently resurrecting or dropping rows under merge-on-read
+        (a delete file shadows only lower-seq data files). The target
+        snapshot's schema is restored too, undoing later evolve_schema
+        commits.
+
+        Raises ``FileNotFoundError`` if any target data file was already
+        physically removed (snapshot expired + orphans vacuumed) — same
+        failure mode as Delta RESTORE after VACUUM. Driver cost is one
+        manifest read + one manifest write; no data moves."""
+        head = self.head_version()
+        if version == head:
+            return head
+        target = self.snapshot(version)  # raises on unknown version
+        entries = self.files(version)
+        missing = [
+            e.path
+            for e in entries
+            if not os.path.exists(os.path.join(self.root, e.path))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot rollback to v{version}: {len(missing)} data file(s) "
+                f"no longer exist (expired/vacuumed), e.g. {missing[0]}"
+            )
+        # The summary must restore the TARGET's state keys, not inherit
+        # HEAD's: e.g. rolling back over an apply_deletes must bring back
+        # eq_delete_cols or the restored delete files are unreadable
+        # ("corrupt metadata" on scan). Forced even when absent in the
+        # target so a pending->clean rollback clears it too. Bookkeeping
+        # totals are recomputed by commit() regardless.
+        tgt_summary = target.summary or {}
+        return self.commit(
+            "rollback",
+            schema=target.schema,
+            summary={
+                **tgt_summary,
+                "eq_delete_cols": tgt_summary.get("eq_delete_cols"),
+                "restored_version": version,
+            },
+            entries_override=entries,
+        )
 
     def evolve_schema(
         self, batch_schema: T.StructType, strategy: str = "merge"

@@ -18,6 +18,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     (
+        "icepack_changes",
+        "Change-data-feed reconstruction for one CoW merge commit. Expect: "
+        "the commit's ADDED files and the resolved preimages of its REMOVED "
+        "files full-outer-joined on the merge key (one exchange pair — both "
+        "sides are the commit's churn working set, never the table), "
+        "explode of the per-row change array, no scan of untouched files.",
+    ),
+    (
+        "icepack_rollback",
+        "Post-rollback HEAD scan. Rollback is a manifest-only commit (one "
+        "manifest read + one write, no data movement), so the scan must be "
+        "a plain parquet read of the restored snapshot's original files — "
+        "no exchanges beyond the final ordering, no joins.",
+    ),
+    (
         "cdc_merge_upsert_mor",
         "Merge-on-read resolved scan. Expect: plain parquet scan of "
         "unaffected files unioned with candidate files anti-joined against "
