@@ -3214,6 +3214,158 @@ FROM upd WHERE NOT is_deleted
 """
 
 
+def _icepack_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraint enforcement (new r5, `add_check_constraint` /
+    `write_data_files` — Delta ADD CONSTRAINT parity): append the even-seq
+    LWW snapshot, add `value > -100` (validated against existing data,
+    metadata-only commit), then attempt a CoW merge of the odd-seq batch
+    poisoned to value=-999. The merge must be REJECTED atomically — no
+    commit, no manifest change, no stray staged rows — and the HEAD scan
+    must still be exactly the v1 snapshot. Rejection, head-stability, and
+    the persisted constraint map are folded into a hashed column so the
+    oracle checks the enforcement contract, not just the surviving rows."""
+    from datastream_deltalake_connector_spark.operators.table_merge import merge_into_table
+    from datastream_deltalake_connector_spark.table import (
+        ConstraintViolation,
+        IcepackTable,
+    )
+
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-ck-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base, num_files=4)
+    v1 = t.head_version()
+    t.add_check_constraint("value_floor", "value > -100")
+    v_ck = t.head_version()
+    poisoned = b1.withColumn("value", F.lit(-999.0))
+    rejected = False
+    try:
+        merge_into_table(t, poisoned, key="user_id")
+    except ConstraintViolation:
+        rejected = True
+    ok = (
+        rejected
+        and t.head_version() == v_ck
+        and t.check_constraints() == {"value_floor": "value > -100"}
+        and {e.path for e in t.files()} == {e.path for e in t.files(v1)}
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("status", F.lit("enforced" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_CONSTRAINTS_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'enforced' AS status FROM t0
+"""
+
+
+def _image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-EXIF extraction, oracled (new r5, functions/exif.py): fixture
+    camera metadata derived from closed-form rules (make/model/orientation/
+    capture date/dims/exposure/f-number/ISO/GPS — every float chosen
+    exactly representable: dyadic exposures 1/2^k, half-integer f-numbers,
+    quarter-degree GPS minutes) is written into REAL JPEGs as spec-compliant
+    APP1 TIFF-IFD segments (alternating II/MM byte order so both endian
+    paths run), then parsed back by the production `exif_udf` pandas UDF.
+    The oracle re-derives every field from the rule; a parser that misreads
+    any IFD offset, type, rational, or GPS sign hash-mismatches. Map-only
+    plan; at 100 TB EXIF extraction is a header-range read (the parser
+    never touches entropy-coded bytes — pinned in tests/test_exif.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.exif import (
+        exif_udf,
+        insert_exif,
+    )
+    from datastream_deltalake_connector_spark.functions.jpeg import encode_jpeg_np
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 5
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = (i + 3 * y + 3 * x + 30 * c).astype(np.uint8)
+                fields = {
+                    "make": f"Maker{i % 3}",
+                    "model": f"M-{i % 5}",
+                    "orientation": 1 + i % 8,
+                    "datetime_original": f"2024:01:{1 + i % 28:02d} 10:00:00",
+                    "pixel_x": w,
+                    "pixel_y": h,
+                    "exposure_time": (1, 1 << (1 + i % 6)),
+                    "f_number": (2 * (i % 4) + 5, 2),
+                    "iso": 100 * (1 + i % 16),
+                    "gps_lat": (i % 90, 15 * (i % 4), 0, 1),
+                    "gps_lat_ref": "S" if i % 2 else "N",
+                    "gps_lon": (i % 180, 15 * ((i // 4) % 4), 0, 1),
+                    "gps_lon_ref": "W" if i % 3 == 0 else "E",
+                }
+                data = insert_exif(
+                    encode_jpeg_np(px, quality=95),
+                    fields,
+                    byte_order="II" if i % 2 == 0 else "MM",
+                )
+                rows.append((f"img-{i:04d}", bytearray(data)))
+            yield pd.DataFrame(rows, columns=["image_id", "data"])
+
+    df = spark.range(96, numPartitions=8).mapInPandas(
+        gen, "image_id string, data binary"
+    )
+    ex = exif_udf()
+    return (
+        df.select("image_id", ex("data").alias("x"))
+        .select(
+            "image_id",
+            "x.make",
+            "x.model",
+            "x.orientation",
+            F.col("x.datetime_original").alias("dto"),
+            "x.pixel_x",
+            "x.pixel_y",
+            "x.exposure_time",
+            "x.f_number",
+            "x.iso",
+            "x.gps_lat",
+            "x.gps_lon",
+        )
+        .orderBy("image_id")
+    )
+
+
+_IMAGE_EXIF_ORACLE = """
+SELECT printf('img-%04d', i) AS image_id,
+       'Maker' || (i % 3) AS make,
+       'M-' || (i % 5) AS model,
+       1 + i % 8 AS orientation,
+       '2024:01:' || lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0') || ' 10:00:00' AS dto,
+       8 + i % 9 AS pixel_x,
+       8 + i % 5 AS pixel_y,
+       1.0 / (1 << (1 + i % 6)) AS exposure_time,
+       (2 * (i % 4) + 5) / 2.0 AS f_number,
+       100 * (1 + i % 16) AS iso,
+       (CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END)
+           * ((i % 90) + (15 * (i % 4)) / 60.0) AS gps_lat,
+       (CASE WHEN i % 3 = 0 THEN -1 ELSE 1 END)
+           * ((i % 180) + (15 * ((i // 4) % 4)) / 60.0) AS gps_lon
+FROM range(96) t(i)
+"""
+
+
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-VIDEO frame sampling over MJPEG-in-AVI containers, ORACLED
     since r5 (closing the last synthetic-only multimodal format): smooth
@@ -3343,7 +3495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           icepack_rollback (snapshot RESTORE, needs its first driver row)
           took the slot of events_asof_join (green r1-r4), and the new
           icepack_changes (change-data-feed reconstruction, needs its
-          first driver row) took the slot of events_pivot (green r4).
+          first driver row) took the slot of events_pivot (green r4), and
+          the new image_exif (real APP1 TIFF-IFD parse through exif_udf)
+          took the slot of events_json_extract (green r4), and the new
+          icepack_constraints (CHECK enforcement) took the slot of
+          events_sliding_window (green r4).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -3359,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup_images": _phash_neardup_images,
         "image_features": _image_features,
         "video_frame_sample": _video_frames,
+        "image_exif": _image_exif,
         # --- oracled queries with driver rows from earlier rounds ---
         "orders_anti_recent": _orders_anti_recent,
         "customers_semi_urgent": _customers_semi_urgent,
@@ -3377,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_expire": _icepack_expire,
         "icepack_rollback": _icepack_rollback,
         "icepack_changes": _icepack_changes,
+        "icepack_constraints": _icepack_constraints,
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
@@ -3398,9 +3556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
+        # ---------------- position 51+: outside the driver's check window ---
         "events_sliding_window": _events_sliding_window,
         "events_json_extract": _events_json_extract,
-        # ---------------- position 51+: outside the driver's check window ---
         "events_pivot": _events_pivot,
         "events_asof_join": _events_asof_join,
         "exact_dedup_docs": _exact_dedup_docs,
@@ -3522,6 +3680,8 @@ def oracle_sql() -> dict[str, str]:
         "icepack_expire": _ICEPACK_EXPIRE_ORACLE,
         "icepack_rollback": _ICEPACK_ROLLBACK_ORACLE,
         "icepack_changes": _ICEPACK_CHANGES_ORACLE,
+        "image_exif": _IMAGE_EXIF_ORACLE,
+        "icepack_constraints": _ICEPACK_CONSTRAINTS_ORACLE,
         "image_png_ingest": _IMAGE_PNG_INGEST_ORACLE,
         "image_jpeg_ingest": _IMAGE_JPEG_INGEST_ORACLE,
         "audio_wav_ingest": _AUDIO_WAV_INGEST_ORACLE,

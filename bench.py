@@ -149,6 +149,7 @@ def _maintenance_chain(spark, n_images: int) -> dict:
     t: IcepackTable = res.pop("table")
     gb = res["table_bytes"] / 1e9
     cores = spark.sparkContext.defaultParallelism
+    v_ingested = t.head_version()
     probes = {"ingest": _stage_probe()}
 
     # 1. compaction over the small ingest files (the reference's dominant
@@ -208,6 +209,19 @@ def _maintenance_chain(spark, n_images: int) -> dict:
     apply_deletes_sec = time.time() - t0
     probes["apply_deletes"] = _stage_probe()
 
+    # 2c. change-data-feed reconstruction across BOTH merge commits
+    # (operators/changes.py): with uniform keys the CoW merge rewrote every
+    # file, so the feed's working set is the worst case — old table + new
+    # table full-outer-joined on the key (real commits with key locality
+    # read only their churn). apply_deletes is row-preserving and must add
+    # nothing. Row identity suppresses the carried rows, leaving exactly
+    # the 2x n_changes guard-passing change rows.
+    from datastream_deltalake_connector_spark.operators.changes import table_changes
+    t0 = time.time()
+    cdf_rows = table_changes(t, v_ingested, key="image_id").count()
+    cdf_sec = time.time() - t0
+    probes["cdf"] = _stage_probe()
+
     # 3. Z-order rewrite; 2 files per core keeps the post-maintenance scan
     # fully parallel at bench scale (at 100 TB file count does this naturally)
     t0 = time.time()
@@ -232,6 +246,11 @@ def _maintenance_chain(spark, n_images: int) -> dict:
         # the deferred rewrite: uniform-key batches overlap every file, so
         # apply_deletes rewrites the whole table — table GB over its wall time
         "apply_deletes_gb_per_min": gb / (apply_deletes_sec / 60),
+        "cdf_sec": cdf_sec,
+        "cdf_change_rows": cdf_rows,
+        # worst-case working set: the uniform-key CoW commit's preimages +
+        # postimages are each the whole table → ~2x table bytes diffed
+        "cdf_gb_per_min": 2 * gb / (cdf_sec / 60),
         "compact_sec": compact_sec,
         "compact_gb_per_min": gb / (compact_sec / 60),
         "cluster_sec": cluster_sec,
@@ -249,6 +268,7 @@ _BEST_OF_STAGES = [
     ("merge_sec", min), ("merge_changes_per_sec", max), ("merge_gb_per_min", max),
     ("merge_mor_sec", min), ("merge_mor_changes_per_sec", max),
     ("apply_deletes_sec", min), ("apply_deletes_gb_per_min", max),
+    ("cdf_sec", min), ("cdf_gb_per_min", max),
     ("compact_sec", min), ("compact_gb_per_min", max),
     ("cluster_sec", min), ("cluster_gb_per_min", max),
     ("scan_sec", min), ("scan_images_per_sec", max),
@@ -880,6 +900,8 @@ def write_bench_md(payload: dict) -> None:
         f"({m['merge_sec']/m['merge_mor_sec']:.1f}x the CoW merge) | {probe('merge_mor')} |",
         f"| apply_deletes (deferred MoR rewrite, uniform keys → full table) | {m['apply_deletes_sec']:.1f} | "
         f"{m['apply_deletes_gb_per_min']:.2f} GB/min | {probe('apply_deletes')} |",
+        f"| change-data-feed reconstruction (both merge commits, worst-case 2x-table diff) | {m['cdf_sec']:.1f} | "
+        f"{m['cdf_gb_per_min']:.2f} GB/min ({m['cdf_change_rows']} change rows) | {probe('cdf')} |",
         f"| compaction (FFD→512MB) | {m['compact_sec']:.1f} | {m['compact_gb_per_min']:.2f} GB/min | {probe('compact')} |",
         f"| Z-order cluster | {m['cluster_sec']:.1f} | {m['cluster_gb_per_min']:.2f} GB/min | {probe('cluster')} |",
         f"| post-maintenance full scan (decode+phash) | {m['scan_sec']:.1f} | {m['scan_images_per_sec']:.0f} images/sec | {probe('scan')} |",

@@ -23,9 +23,12 @@ matter of the submit command, not the code:
       cluster  --table PATH [--curve zorder|hilbert]
       expire   --table PATH [--keep-last N]
       restore  --table PATH --version N          rollback HEAD to snapshot N
+      constraint --table PATH (--add NAME EXPR | --drop NAME | --list)
+      clone    --table SRC --dest DST            zero-copy shallow clone
       orphans  --table PATH [--grace-seconds S] [--dry-run]
       describe --table PATH                      manifest-only snapshot summary
-      scan     --table PATH [--out PARQUET]      full scan (+ optional export)
+      scan     --table PATH [--out PARQUET] [--version N | --as-of-ms MS]
+                                                 snapshot scan (+ export)
       connector --root PATH --warehouse PATH     reference-style CDC pipeline
                                                  (discover → log → merge, one drain)
       daemon    --root PATH --warehouse PATH     resident mode: continuous
@@ -128,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--version", type=int, required=True,
                    help="snapshot version to restore HEAD to")
+    p = sub.add_parser("clone")
+    common(p)
+    p.add_argument("--dest", required=True, help="destination table root")
+    p = sub.add_parser("constraint")
+    common(p)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--add", nargs=2, metavar=("NAME", "EXPR"),
+                   help="add CHECK constraint (validates existing data)")
+    g.add_argument("--drop", metavar="NAME")
+    g.add_argument("--list", action="store_true", dest="list_constraints")
     p = sub.add_parser("orphans")
     common(p)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
@@ -137,6 +150,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("scan")
     common(p)
     p.add_argument("--out", default=None)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--as-of-ms", type=int, default=None,
+                   help="TIMESTAMP AS OF: latest snapshot at/before epoch-ms")
     p = sub.add_parser("connector")
     p.add_argument("--root", required=True)
     p.add_argument("--warehouse", required=True)
@@ -322,6 +338,19 @@ def main(argv: list[str] | None = None) -> int:
         t = IcepackTable.load(spark, args.table)
         out["version"] = t.rollback(args.version)
         out["restored_version"] = args.version
+    elif args.cmd == "clone":
+        t = IcepackTable.load(spark, args.table)
+        c = t.clone(args.dest)
+        out["dest"] = args.dest
+        out["cloned_version"] = c.snapshot().summary["cloned_version"]
+        out["rows"] = c.count_rows()
+    elif args.cmd == "constraint":
+        t = IcepackTable.load(spark, args.table)
+        if args.add:
+            out["version"] = t.add_check_constraint(args.add[0], args.add[1])
+        elif args.drop:
+            out["version"] = t.drop_check_constraint(args.drop)
+        out["constraints"] = t.check_constraints()
     elif args.cmd == "orphans":
         from .operators.expire import remove_orphans
 
@@ -339,12 +368,15 @@ def main(argv: list[str] | None = None) -> int:
         out.update(t.describe())
     elif args.cmd == "scan":
         t = IcepackTable.load(spark, args.table)
-        df = t.scan()
+        df = t.scan(version=args.version, as_of_timestamp_ms=args.as_of_ms)
+        v = (t.version_as_of(args.as_of_ms) if args.as_of_ms is not None
+             else args.version if args.version is not None
+             else t.head_version())
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
         out["rows"] = df.count()
-        out["files"] = len(t.files())
-        out["version"] = t.head_version()
+        out["files"] = len(t.files(v))
+        out["version"] = v
     print(json.dumps(out))
     return 0
 

@@ -42,7 +42,10 @@ update_preimage, update_postimage, delete} plus ``_commit_version``.
 
 from __future__ import annotations
 
+import json
 import os
+import tempfile
+from typing import Callable, NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,7 +54,7 @@ from pyspark.sql import types as T
 from ..table.icepack import FileEntry, IcepackTable
 from .merge import SEQ_META, TS_META
 
-__all__ = ["table_changes"]
+__all__ = ["table_changes", "incremental_changes", "foreach_changes"]
 
 # commits whose resolved row set is identical to their parent's: emit nothing
 _ROW_PRESERVING_OPS = {
@@ -59,6 +62,7 @@ _ROW_PRESERVING_OPS = {
     "cluster",
     "apply-deletes",
     "evolve-schema",
+    "set-constraint",
     "create",
 }
 
@@ -87,7 +91,7 @@ def _read(
 ) -> DataFrame:
     if not entries:
         return table.spark.createDataFrame([], schema)
-    paths = [os.path.join(table.root, e.path) for e in entries]
+    paths = [table.data_path(e.path) for e in entries]
     return table.spark.read.schema(schema).parquet(*paths)
 
 
@@ -218,7 +222,9 @@ def table_changes(
 
         schema = snap.schema
         cols = [f.name for f in schema.fields]
-        if op == "append" and not removed:
+        # a clone's first commit is an append from the clone's own history:
+        # every referenced (source-owned) file is new to THIS version line
+        if op in ("append", "clone") and not removed:
             diff = _read(table, added_data, schema).withColumn(
                 "_change_type", F.lit("insert")
             )
@@ -318,3 +324,84 @@ def table_changes(
             "_change_type", F.lit("").cast("string")
         ).withColumn("_commit_version", F.lit(0)).limit(0)
     return out.select(*out_cols, "_change_type", "_commit_version")
+
+
+class ChangeBatch(NamedTuple):
+    """One incremental read of the feed: the change rows for
+    ``(from_version, to_version]`` plus the ``ack`` that advances the
+    durable cursor — call it only AFTER the downstream commit succeeds."""
+
+    df: DataFrame
+    from_version: int
+    to_version: int
+    ack: Callable[[], None]
+
+
+def _read_cursor(path: str) -> int | None:
+    try:
+        with open(path) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        return None
+
+
+def incremental_changes(
+    table: IcepackTable,
+    cursor_path: str,
+    key: str | list[str] | None = None,
+    start_version: int = 0,
+) -> ChangeBatch | None:
+    """Incremental, exactly-once consumption of the change feed — the
+    Iceberg incremental-read / Delta ``startingVersion`` streaming analogue
+    for downstream replicas, indexes, and feature stores.
+
+    The consumed position is a durable cursor file (atomic temp+rename,
+    same discipline as the manifest write). At-least-once delivery with
+    a transactional downstream becomes exactly-once: the cursor advances
+    only when the caller invokes ``ack()`` after its own commit, so a
+    crash between read and ack replays the SAME version range — and the
+    feed for a fixed range is deterministic (reconstructed from immutable
+    snapshots, not consumed from a queue).
+
+    Returns ``None`` when there is nothing new. Raises ``ValueError`` if
+    the cursor is AHEAD of the table head (a cursor file pointed at the
+    wrong table — silently re-reading from 0 would double-deliver)."""
+    last = _read_cursor(cursor_path)
+    if last is None:
+        last = start_version
+    head = table.head_version()
+    if last > head:
+        raise ValueError(
+            f"cursor {cursor_path} is at v{last} but table head is v{head}: "
+            "cursor does not belong to this table"
+        )
+    if head == last:
+        return None
+    df = table_changes(table, last, head, key=key)
+
+    def ack() -> None:
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(cursor_path)), suffix=".tmp"
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": head}, f)
+        os.replace(tmp, cursor_path)
+
+    return ChangeBatch(df=df, from_version=last, to_version=head, ack=ack)
+
+
+def foreach_changes(
+    table: IcepackTable,
+    cursor_path: str,
+    fn: Callable[[DataFrame, int, int], None],
+    key: str | list[str] | None = None,
+) -> int | None:
+    """Drain convenience: run ``fn(df, from_version, to_version)`` on the
+    pending feed and ack iff it returns without raising. Returns the new
+    cursor version, or ``None`` when there was nothing to consume."""
+    batch = incremental_changes(table, cursor_path, key=key)
+    if batch is None:
+        return None
+    fn(batch.df, batch.from_version, batch.to_version)
+    batch.ack()
+    return batch.to_version

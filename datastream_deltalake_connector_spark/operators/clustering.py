@@ -104,10 +104,10 @@ def cluster(
     done = journal.completed("cluster")
     if "all" in done and not journal.committed():
         rec = done["all"]
-        if all(os.path.exists(os.path.join(table.root, p)) for p in rec["files_out"]):
+        if all(os.path.exists(table.data_path(p)) for p in rec["files_out"]):
             staged = [
                 table._footer_entry(
-                    os.path.join(table.root, p), p, set(table.stats_cols())
+                    table.data_path(p), p, set(table.stats_cols())
                 )
                 for p in rec["files_out"]
             ]
@@ -131,7 +131,7 @@ def cluster(
     # Read exactly the files being rewritten (all of them in full mode, the
     # dirty subset in incremental mode). Boundaries come from a key-only
     # pass over the same files: column pruning keeps pixel bytes out of it.
-    paths = [os.path.join(table.root, e.path) for e in entries]
+    paths = [table.data_path(e.path) for e in entries]
     schema = table.schema(parent)
     # Splits sized to the rewrite (~2 per core, 16 MB floor): re-clustering a
     # compacted table means reading a few ~512 MB files, which at the default
@@ -146,7 +146,8 @@ def cluster(
         # by partition value at write time (one file per bucket × partition),
         # so pruning composes — partition dirs first, then key ranges.
         added = table.write_data_files(
-            clustered, partition_by=table.partition_spec() or None
+            clustered, partition_by=table.partition_spec() or None,
+            enforce_constraints=False,  # re-files already-validated rows
         )
     journal.log_task(
         stage="cluster",

@@ -145,14 +145,14 @@ def compact(
             rec = done[bin_id]
             staged = [
                 table._footer_entry(
-                    os.path.join(table.root, p), p, set(table.stats_cols())
+                    table.data_path(p), p, set(table.stats_cols())
                 )
                 for p in rec["files_out"]
-                if os.path.exists(os.path.join(table.root, p))
+                if os.path.exists(table.data_path(p))
             ]
             if len(staged) == len(rec["files_out"]):
                 return bin_id, rec["files_in"], staged  # resume: reuse staged output
-        paths = [os.path.join(table.root, e.path) for e in members]
+        paths = [table.data_path(e.path) for e in members]
         # repartition(1), NOT coalesce(1): coalesce collapses the whole plan
         # (read + decode + encode + write) into a single task, serializing the
         # read of every input file in the bin. repartition keeps the read
@@ -161,7 +161,8 @@ def compact(
         # faster per bin at 512 MB.
         df = table.spark.read.schema(schema).parquet(*paths).repartition(1)
         added = table.write_data_files(
-            df, partition_by=table.partition_spec() or None
+            df, partition_by=table.partition_spec() or None,
+            enforce_constraints=False,  # re-files already-validated rows
         )
         journal.log_task(
             stage="compact-bin",

@@ -79,9 +79,19 @@ def expire_snapshots(
             reachable.add(e.path)
 
     expired_files: set[str] = set()
+    external_skipped: set[str] = set()
     for s in expired:
         for e in table.files(s.version):
-            if e.path not in reachable:
+            if e.path in reachable:
+                continue
+            # SHALLOW-CLONE safety: absolute paths reference ANOTHER table's
+            # files (the clone source). This table's expiry must never
+            # delete them — only the owning table's expiry may (the same
+            # contract as Delta: VACUUM on a shallow clone leaves source
+            # files alone). Dropping them from OUR manifests is enough.
+            if os.path.isabs(e.path):
+                external_skipped.add(e.path)
+            else:
                 expired_files.add(e.path)
 
     report = {
@@ -90,6 +100,7 @@ def expire_snapshots(
         "deleted_files": sorted(expired_files),
         "n_expired_snapshots": len(expired),
         "n_deleted_files": len(expired_files),
+        "n_external_skipped": len(external_skipped),
         "dry_run": dry_run,
     }
     if dry_run:

@@ -124,7 +124,7 @@ def merge_into_table_mor(
                 cand_entries, pending_deletes, schema, recorded or keys
             )
         else:
-            paths = [os.path.join(table.root, e.path) for e in cand_entries]
+            paths = [table.data_path(e.path) for e in cand_entries]
             cand_df = table.spark.read.schema(schema).parquet(*paths)
         visible = cand_df.groupBy(*keys).agg(F.max(TS_META).alias("__t_ts"))
         # cached: read twice (upsert data files + tombstone delete file);
@@ -166,7 +166,9 @@ def merge_into_table_mor(
     del_entries: list[FileEntry] = []
     if touched_paths:
         del_df = tombstones.orderBy(*keys).coalesce(1)
-        del_entries = table.write_data_files(del_df)
+        # key-only tombstones aren't table data; constraint columns are
+        # validated where they exist (the co-committed data files)
+        del_entries = table.write_data_files(del_df, enforce_constraints=False)
         for e in del_entries:
             e.content = "eq_deletes"
 
@@ -243,7 +245,8 @@ def apply_deletes(
             hit, deletes, table.schema(parent), key_cols, candidates=hit
         )
         added = table.write_data_files(
-            resolved, partition_by=table.partition_spec() or None
+            resolved, partition_by=table.partition_spec() or None,
+            enforce_constraints=False,  # re-files already-validated rows
         )
     journal.log_task(
         stage="apply-deletes",

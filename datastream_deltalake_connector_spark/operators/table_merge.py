@@ -365,7 +365,7 @@ def merge_into_table(
         if touched_paths:
             import os
 
-            paths = [os.path.join(table.root, p) for p in touched_paths]
+            paths = [table.data_path(p) for p in touched_paths]
             target = table.spark.read.schema(table.schema()).parquet(*paths)
         else:
             target = table.spark.createDataFrame([], table.schema())

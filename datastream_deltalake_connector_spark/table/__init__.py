@@ -1,3 +1,17 @@
-from .icepack import ConflictError, FileEntry, IcepackTable, SchemaEvolutionError, Snapshot
+from .icepack import (
+    ConflictError,
+    ConstraintViolation,
+    FileEntry,
+    IcepackTable,
+    SchemaEvolutionError,
+    Snapshot,
+)
 
-__all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError", "SchemaEvolutionError"]
+__all__ = [
+    "IcepackTable",
+    "FileEntry",
+    "Snapshot",
+    "ConflictError",
+    "ConstraintViolation",
+    "SchemaEvolutionError",
+]

@@ -64,6 +64,11 @@ class ConflictError(RuntimeError):
     """Another writer committed since this writer's snapshot was resolved."""
 
 
+class ConstraintViolation(ValueError):
+    """A staged batch (or the existing table, on ADD CONSTRAINT) contains
+    rows for which a CHECK constraint evaluates to false."""
+
+
 class SchemaEvolutionError(RuntimeError):
     """Batch schema changed while the evolution strategy forbids it
     (reference: SchemaEvolutionStrategy 'none', SchemaEvolutionStrategy.scala:15-26)."""
@@ -330,6 +335,33 @@ class IcepackTable:
         with open(os.path.join(self.meta_dir, f"snap-{v}.json")) as f:
             return Snapshot(**json.load(f))
 
+    def data_path(self, rel_or_abs: str) -> str:
+        """Resolve a manifest path: table-relative for native files, kept
+        verbatim when absolute — SHALLOW CLONE manifests reference the
+        source table's files by absolute path until a rewrite localizes
+        them (same contract as Delta shallow clones)."""
+        if os.path.isabs(rel_or_abs):
+            return rel_or_abs
+        return os.path.join(self.root, rel_or_abs)
+
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Delta ``TIMESTAMP AS OF`` resolution: the LATEST snapshot
+        committed at or before ``timestamp_ms`` (Delta and Iceberg both
+        pick the floor, not the nearest). Raises ``ValueError`` before the
+        first commit — reading a table that didn't exist yet must be loud,
+        and expired snapshots resolve to a version whose manifest read then
+        fails loudly too (same as Delta after VACUUM). Driver cost: one
+        pass over the snapshot metadata, no manifest reads."""
+        candidates = [
+            s.version for s in self.snapshots() if s.timestamp_ms <= timestamp_ms
+        ]
+        if not candidates:
+            raise ValueError(
+                f"no snapshot exists at or before timestamp_ms={timestamp_ms} "
+                f"(earliest is {self.snapshots()[0].timestamp_ms})"
+            )
+        return max(candidates)
+
     def snapshots(self) -> list[Snapshot]:
         out = []
         for name in sorted(os.listdir(self.meta_dir)):
@@ -395,8 +427,13 @@ class IcepackTable:
         filters: list[tuple] | None = None,
         columns: list[str] | None = None,
         apply_filters: bool = True,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Read a pinned snapshot as a DataFrame with manifest-level pruning.
+
+        ``as_of_timestamp_ms``: Delta ``TIMESTAMP AS OF`` parity — resolve
+        the latest snapshot committed at or before the given epoch-millis
+        (mutually exclusive with ``version``).
 
         ``filters``: [(col, op, value)] with op in = < <= > >= between in
         (value = iterable of members for ``in``). Files whose min/max stats
@@ -415,6 +452,12 @@ class IcepackTable:
         through untouched, so at 100 TB the resolution cost is proportional
         to the recent-churn working set, not the table.
         """
+        if as_of_timestamp_ms is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass either version or as_of_timestamp_ms, not both"
+                )
+            version = self.version_as_of(as_of_timestamp_ms)
         snap = self.snapshot(version)
         entries = self.files(snap.version)
         deletes = [e for e in entries if e.content == "eq_deletes"]
@@ -436,7 +479,7 @@ class IcepackTable:
                 snap.summary.get("eq_delete_cols") or [],
             )
         else:
-            paths = [os.path.join(self.root, e.path) for e in entries]
+            paths = [self.data_path(e.path) for e in entries]
             # Explicit schema: files written before a schema evolution lack the
             # new columns; the parquet reader null-fills them (mergeSchema
             # read semantics, DeltaSchemaMigrationSpec parity).
@@ -521,7 +564,7 @@ class IcepackTable:
         by_seq: dict[int, list] = {}
         for d in deletes:
             by_seq.setdefault(d.seq, []).append(
-                _delete_key_hashes(os.path.join(self.root, d.path), key)
+                _delete_key_hashes(self.data_path(d.path), key)
             )
         seq_hashes = {s: np.concatenate(a) for s, a in by_seq.items()}
         # per distinct data seq: hashes of every delete NEWER than it
@@ -587,7 +630,7 @@ class IcepackTable:
         plain = [e for e in data if e.path not in cand_paths]
 
         if plain:
-            paths = [os.path.join(self.root, e.path) for e in plain]
+            paths = [self.data_path(e.path) for e in plain]
             df = self.spark.read.schema(schema).parquet(*paths)
         else:
             df = self.spark.createDataFrame([], schema)
@@ -597,9 +640,7 @@ class IcepackTable:
         def by_seq(entries: list[FileEntry]) -> dict[int, list[str]]:
             groups: dict[int, list[str]] = {}
             for e in entries:
-                groups.setdefault(e.seq, []).append(
-                    os.path.join(self.root, e.path)
-                )
+                groups.setdefault(e.seq, []).append(self.data_path(e.path))
             return groups
 
         cand_df = None
@@ -638,9 +679,14 @@ class IcepackTable:
         sort_within_partitions: list[str] | None = None,
         num_files: int | None = None,
         partition_by: list[str] | None = None,
+        enforce_constraints: bool = True,
     ) -> list[FileEntry]:
         """Stage a DataFrame as immutable parquet data files; returns manifest
         entries with footer-derived stats. Does NOT commit.
+
+        ``enforce_constraints=False`` skips CHECK validation — for
+        maintenance rewrites (compact/cluster/apply-deletes), which only
+        re-file rows the table already validated.
 
         ``partition_by`` writes hive-layout subdirectories (``col=val/``) —
         but, unlike plain ``partitionBy``, the partition columns are KEPT in
@@ -656,6 +702,8 @@ class IcepackTable:
         merge split) are deleted on the spot: they would never join a
         manifest, and snapshot expiry only removes files reachable from
         expired snapshots — left in place they leak forever."""
+        if enforce_constraints:
+            self._enforce_check_constraints(df)
         stage = f"data/{uuid.uuid4().hex}"
         out_dir = os.path.join(self.root, stage)
         if num_files is not None:
@@ -1051,6 +1099,91 @@ class IcepackTable:
         """Table partition columns declared at create time ([] if none)."""
         return list(self.snapshot().summary.get("partition_by") or [])
 
+    # ---------------------------------------------------- CHECK constraints
+    def check_constraints(self) -> dict[str, str]:
+        """Active CHECK constraints as {name: sql_expr} (Delta
+        ``ALTER TABLE ADD CONSTRAINT`` parity). Carried forward by every
+        commit's summary merge; rollback restores the target snapshot's
+        set (constraints added later are rolled back with it, like Delta)."""
+        return dict(self.snapshot().summary.get("check_constraints") or {})
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Register a CHECK constraint after validating the EXISTING data
+        satisfies it (full-table scan with limit-1 early exit — the Delta
+        ADD CONSTRAINT contract: a constraint you can't trust on day one
+        is worthless). Metadata-only commit; enforcement happens on every
+        subsequent data write in ``write_data_files``. SQL-standard
+        semantics: NULL/unknown passes, only definite FALSE violates."""
+        from pyspark.sql import functions as F
+
+        cs = self.check_constraints()
+        if name in cs:
+            raise ValueError(f"constraint {name!r} already exists: {cs[name]}")
+        # analysis errors (typos, unknown columns) surface here, loudly
+        bad = (
+            self.scan()
+            .filter(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"existing data violates CHECK {name!r} ({expr}), e.g. "
+                f"{str(bad[0].asDict())[:200]}"
+            )
+        cs[name] = expr
+        return self.commit("set-constraint", summary={"check_constraints": cs})
+
+    def drop_check_constraint(self, name: str) -> int:
+        cs = self.check_constraints()
+        if name not in cs:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cs[name]
+        return self.commit("set-constraint", summary={"check_constraints": cs})
+
+    def _enforce_check_constraints(self, df: DataFrame) -> None:
+        """Reject a staged batch containing any row where a constraint is
+        definitively false. One filter+limit(1) pass over the batch (no
+        shuffle, stops at the first violation; clean batches pay one extra
+        batch-local scan — maintenance rewrites skip it entirely since
+        they carry already-validated rows). Constraints referencing
+        columns absent from this frame (equality-delete key files) are
+        skipped: their columns were validated where they exist."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        applicable: dict[str, str] = {}
+        for n, e in self.check_constraints().items():
+            try:
+                df.select(F.expr(e))  # driver-side analysis only
+            except AnalysisException:
+                continue
+            applicable[n] = e
+        if not applicable:
+            return
+        ok = [
+            F.coalesce(F.expr(e).cast("boolean"), F.lit(True))
+            for e in applicable.values()
+        ]
+        violated = ~_functools.reduce(lambda a, b: a & b, ok)
+        probe = (
+            df.filter(violated)
+            .select(
+                *[o.alias(f"__ok_{n}") for n, o in zip(applicable, ok)],
+                F.struct(*df.columns).alias("__row"),
+            )
+            .limit(1)
+            .collect()
+        )
+        if probe:
+            row = probe[0]
+            names = [n for n in applicable if not row[f"__ok_{n}"]]
+            raise ConstraintViolation(
+                f"batch violates CHECK constraint(s) {names} "
+                f"({ {n: applicable[n] for n in names} }), e.g. "
+                f"{str(row['__row'].asDict())[:200]}"
+            )
+
     def append(self, df: DataFrame, num_files: int | None = None) -> int:
         entries = self.write_data_files(
             df, num_files=num_files, partition_by=self.partition_spec() or None
@@ -1091,7 +1224,7 @@ class IcepackTable:
         missing = [
             e.path
             for e in entries
-            if not os.path.exists(os.path.join(self.root, e.path))
+            if not os.path.exists(self.data_path(e.path))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1111,10 +1244,66 @@ class IcepackTable:
             summary={
                 **tgt_summary,
                 "eq_delete_cols": tgt_summary.get("eq_delete_cols"),
+                # same forcing for CHECK constraints: a constraint added
+                # after the target snapshot must roll back with it (commit()
+                # merges HEAD's summary, which would otherwise keep it)
+                "check_constraints": tgt_summary.get("check_constraints"),
                 "restored_version": version,
             },
             entries_override=entries,
         )
+
+    def clone(self, dest_root: str) -> "IcepackTable":
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE`` parity):
+        a new, independent table whose first commit references THIS table's
+        current data files by absolute path — zero bytes copied, driver
+        cost is one manifest read + one manifest write. Writes to the clone
+        stage new files under the clone's own root; maintenance rewrites
+        (compact/cluster/merge) progressively localize it. The clone's
+        expiry never deletes absolute (source-owned) paths — it only drops
+        them from its manifests (operators/expire.py) — while expiry on the
+        SOURCE can still invalidate a clone that references expired files,
+        exactly Delta's documented VACUUM-vs-clone hazard.
+
+        Cloned entries are re-stamped to data-sequence 1: with no pending
+        equality deletes their relative seq order carries no information,
+        and future MoR delete files in the clone (seq = commit version >= 2)
+        must shadow them. Cloning a table WITH pending deletes is refused —
+        the delete files' seq scoping is meaningless under a fresh version
+        line; run ``apply_deletes`` first."""
+        import dataclasses
+
+        head = self.snapshot()
+        entries = self.files(head.version)
+        if any(e.content == "eq_deletes" for e in entries):
+            raise ValueError(
+                "cannot shallow-clone a table with pending equality-delete "
+                "files (their seq scoping would not survive the clone's "
+                "fresh version line); run apply_deletes() first"
+            )
+        summary = head.summary or {}
+        t = IcepackTable.create(
+            self.spark,
+            dest_root,
+            head.schema,
+            stats_cols=summary.get("stats_cols"),
+            partition_by=summary.get("partition_by"),
+            bloom_cols=summary.get("bloom_cols"),
+        )
+        cloned = [
+            dataclasses.replace(e, path=self.data_path(e.path), seq=1)
+            for e in entries
+        ]
+        t.commit(
+            "clone",
+            summary={
+                "cloned_from": os.path.abspath(self.root),
+                "cloned_version": head.version,
+                "check_constraints": summary.get("check_constraints"),
+            },
+            entries_override=cloned,
+        )
+        return t
 
     def evolve_schema(
         self, batch_schema: T.StructType, strategy: str = "merge"

@@ -26,6 +26,13 @@ AUDIT = [
         "explode of the per-row change array, no scan of untouched files.",
     ),
     (
+        "image_exif",
+        "EXIF extraction over binary JPEGs. Expect: map-only — one "
+        "mapInPandas fixture stage feeding one ArrowEvalPython (the "
+        "exif_udf struct extraction), zero exchanges beyond the final "
+        "ordering, zero joins.",
+    ),
+    (
         "icepack_rollback",
         "Post-rollback HEAD scan. Rollback is a manifest-only commit (one "
         "manifest read + one write, no data movement), so the scan must be "

@@ -9,7 +9,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from datastream_deltalake_connector_spark.operators.changes import table_changes
+from datastream_deltalake_connector_spark.operators.changes import (
+    foreach_changes,
+    incremental_changes,
+    table_changes,
+)
 from datastream_deltalake_connector_spark.operators.clustering import cluster
 from datastream_deltalake_connector_spark.operators.compaction import compact
 from datastream_deltalake_connector_spark.operators.mor import (
@@ -212,6 +216,59 @@ def test_feed_replay_reproduces_snapshot(spark, tmp_path):
         elif r["_change_type"] in ("insert", "update_postimage"):
             state[r["image_id"]] = (r["caption"], r["phash"], r[TS], r[SEQ])
     assert state == rows_by_key(t, head)
+
+
+def test_incremental_consumer_exactly_once(spark, tmp_path):
+    """Cursor-based consumption: unacked batches replay the same range,
+    acked batches advance, caught-up consumers get None."""
+    t = fresh_table(spark, tmp_path)
+    cursor = str(tmp_path / "cursor.json")
+
+    b1 = incremental_changes(t, cursor)
+    assert (b1.from_version, b1.to_version) == (0, t.head_version())
+    assert feed_set(b1.df) == expected_feed(t, 0, t.head_version())
+    # crash before ack: the SAME range is re-delivered, deterministically
+    b1_again = incremental_changes(t, cursor)
+    assert (b1_again.from_version, b1_again.to_version) == (0, b1.to_version)
+    assert feed_set(b1_again.df) == feed_set(b1.df)
+    b1.ack()
+    assert incremental_changes(t, cursor) is None
+
+    merge_into_table(t, cb(spark, 0), target_rows_per_file=40)
+    b2 = incremental_changes(t, cursor)
+    assert b2.from_version == b1.to_version
+    assert feed_set(b2.df) == expected_feed(t, b2.from_version, b2.to_version)
+    b2.ack()
+    assert incremental_changes(t, cursor) is None
+
+
+def test_foreach_changes_acks_only_on_success(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    cursor = str(tmp_path / "cursor.json")
+    seen = []
+
+    def boom(df, lo, hi):
+        raise RuntimeError("downstream commit failed")
+
+    with pytest.raises(RuntimeError):
+        foreach_changes(t, cursor, boom)
+    # failed handler did not advance the cursor: the range replays
+    v = foreach_changes(t, cursor, lambda df, lo, hi: seen.append((lo, hi, df.count())))
+    assert v == t.head_version()
+    assert seen == [(0, v, N_BASE)]
+    assert foreach_changes(t, cursor, lambda *a: seen.append(a)) is None
+    assert len(seen) == 1
+
+
+def test_incremental_cursor_ahead_of_head_raises(spark, tmp_path):
+    t = fresh_table(spark, tmp_path)
+    cursor = str(tmp_path / "cursor.json")
+    import json
+
+    with open(cursor, "w") as f:
+        json.dump({"version": t.head_version() + 5}, f)
+    with pytest.raises(ValueError, match="does not belong"):
+        incremental_changes(t, cursor)
 
 
 def test_invalid_range_raises(spark, tmp_path):

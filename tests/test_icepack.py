@@ -382,3 +382,59 @@ def test_footer_entry_and_overwrite_keep_partitions(spark, tmp_path):
     after = t.files()
     assert after and all(e.partition.get("fmt") in ("png", "jpeg") for e in after)
     assert t.scan().count() == 20
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta TIMESTAMP AS OF parity: version_as_of resolves the FLOOR
+    snapshot, scan(as_of_timestamp_ms=...) reads it, pre-creation reads
+    fail loudly, and version/as_of are mutually exclusive."""
+    import time as _time
+
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for lo in (0, 100, 200):
+        t.append(make_df(spark, lo, lo + 100), num_files=1)
+        _time.sleep(0.02)  # commits land in the same ms otherwise
+
+    snaps = t.snapshots()
+    assert [s.version for s in snaps] == [0, 1, 2, 3]
+    for s in snaps:
+        # exactly at a commit timestamp → that commit (floor, inclusive)
+        assert t.version_as_of(s.timestamp_ms) >= s.version
+    # strictly between v1 and v2 commit times → v1
+    mid = (snaps[1].timestamp_ms + snaps[2].timestamp_ms) // 2
+    if snaps[1].timestamp_ms < mid < snaps[2].timestamp_ms:
+        assert t.version_as_of(mid) == 1
+        assert t.scan(as_of_timestamp_ms=mid).count() == 100
+    # far future → head; far past → loud error
+    assert t.version_as_of(snaps[-1].timestamp_ms + 10_000) == 3
+    with pytest.raises(ValueError, match="no snapshot exists"):
+        t.version_as_of(snaps[0].timestamp_ms - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.scan(version=1, as_of_timestamp_ms=mid)
+    # pinned-timestamp read sees history, not HEAD
+    assert t.scan(as_of_timestamp_ms=snaps[1].timestamp_ms).count() in (100, 200, 300)
+    assert t.scan().count() == 300
+
+
+def test_scan_cli_version_and_as_of(spark, tmp_path, capsys):
+    import json as _json
+
+    from datastream_deltalake_connector_spark.jobs import main
+
+    root = str(tmp_path / "t")
+    t = IcepackTable.create(spark, root, SCHEMA)
+    t.append(make_df(spark, 0, 50), num_files=1)
+    v1 = t.head_version()
+    t.append(make_df(spark, 50, 150), num_files=1)
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("scan", "--table", root, "--version", str(v1))
+    assert (out["rows"], out["version"]) == (50, v1)
+    out = run("scan", "--table", root)
+    assert (out["rows"], out["version"]) == (150, t.head_version())
+    out = run("scan", "--table", root, "--as-of-ms",
+              str(t.snapshot(v1).timestamp_ms))
+    assert out["rows"] in (50, 150) and out["version"] >= v1
