@@ -3366,6 +3366,172 @@ FROM range(96) t(i)
 """
 
 
+def _icepack_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ``DELETE FROM ... WHERE`` (new r5, operators/rowops.py —
+    Delta DELETE parity): the events LWW snapshot is appended as three
+    range-disjoint file sets on user_id ([0,50), [50,100), [100,∞)), then
+    ``delete_where(user_id < 75)`` runs. The [0,50) file set must be
+    dropped METADATA-ONLY (bounds + exact zero null counts prove every row
+    matches — no read), [50,100) partially rewritten, [100,∞) pruned
+    untouched; the three-way split and exact row arithmetic are folded into
+    the hashed `op` column, and the HEAD scan must equal the SQL truth.
+    Time travel to the pre-delete snapshot is asserted intact."""
+    from datastream_deltalake_connector_spark.operators.rowops import delete_where
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-del-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    for lo, hi in ((0, 50), (50, 100), (100, 10**9)):
+        t.append(
+            base.where((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            num_files=1,
+        )
+    v_before = t.head_version()
+    n_before = t.count_rows()  # manifest-only
+    rep = delete_where(t, [("user_id", "<", 75)])
+    ok = (
+        rep["files_dropped_metadata_only"] == 1
+        and rep["files_rewritten"] == 1
+        and rep["files_pruned"] == 1
+        and rep["rows_deleted"] == n_before - t.count_rows()
+        and t.scan(version=v_before).count() == n_before  # history intact
+        and t.snapshot().operation == "delete"
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("delete" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_DELETE_WHERE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'delete' AS op
+FROM t0 WHERE user_id >= 75
+"""
+
+
+def _icepack_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate ``UPDATE ... SET ... WHERE`` (new r5, operators/rowops.py —
+    Delta UPDATE parity): same three-file range layout as the delete twin;
+    ``update_where(SET value = value + 1000, event_type = upper(event_type)
+    WHERE user_id BETWEEN 30 AND 59)`` must rewrite only the two files the
+    range touches (the third prunes via manifest stats), count updated rows
+    ON the write job (DataFrame.observe — no extra scan), and leave every
+    other row bit-identical. Assignments read pre-update values by
+    contract; the oracle recomputes both columns with CASE."""
+    from datastream_deltalake_connector_spark.operators.rowops import update_where
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-upd-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    for lo, hi in ((0, 50), (50, 100), (100, 10**9)):
+        t.append(
+            base.where((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            num_files=1,
+        )
+    rep = update_where(
+        t,
+        {"value": "value + 1000", "event_type": "upper(event_type)"},
+        [("user_id", "between", (30, 59))],
+    )
+    ok = (
+        rep["files_rewritten"] == 2
+        and rep["files_pruned"] == 1
+        and rep["version"] is not None
+        and t.snapshot().summary.get("rows_updated") == rep["rows_updated"]
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("update" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_UPDATE_WHERE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id,
+       CASE WHEN user_id BETWEEN 30 AND 59 THEN upper(event_type)
+            ELSE event_type END AS event_type,
+       CASE WHEN user_id BETWEEN 30 AND 59 THEN value + 1000
+            ELSE value END AS value,
+       ts, seq, 'update' AS op
+FROM t0
+"""
+
+
+def _icepack_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over branches (new r5, Iceberg refs parity):
+    the odd-seq change batch is CoW-merged into a BRANCH view of the table
+    ("wap"); main must stay byte-identical to the pre-merge snapshot while
+    the branch diverges (audited via manifest row counts + head pin), then
+    ``fast_forward`` publishes the branch onto main — a metadata-only
+    ancestry walk + pointer swap. The published main scan is hashed against
+    the same SQL merge truth as `cdc_merge_upsert`, so a publish that
+    loses, duplicates, or restamps any row fails the gate; isolation and
+    pointer bookkeeping are folded into the hashed `op` column."""
+    from datastream_deltalake_connector_spark.operators.table_merge import (
+        merge_into_table,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-wap-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base, num_files=4)
+    v1 = t.head_version()
+    n1 = t.count_rows()
+    t.create_branch("wap")
+    bt = t.branch("wap")
+    v_merge = merge_into_table(bt, b1, key="user_id")
+    isolated = (
+        t.head_version() == v1  # main never moved during the branch merge
+        and t.count_rows() == n1
+        and bt.head_version() == v_merge
+        and t.refs()["branches"]["wap"] == v_merge
+    )
+    v_pub = t.fast_forward("wap")
+    t.drop_branch("wap")
+    ok = isolated and v_pub == v_merge and t.head_version() == v_merge
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("wap" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+# the published main must equal the straight CoW merge truth, plus the
+# folded isolation/pointer bit
+_ICEPACK_WAP_ORACLE = _MERGE_ORACLE.replace(
+    "SELECT user_id, event_type, value, ts, seq FROM m WHERE dropped = 0",
+    "SELECT user_id, event_type, value, ts, seq, 'wap' AS op "
+    "FROM m WHERE dropped = 0",
+)
+
+
 def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-VIDEO frame sampling over MJPEG-in-AVI containers, ORACLED
     since r5 (closing the last synthetic-only multimodal format): smooth
@@ -3499,7 +3665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           the new image_exif (real APP1 TIFF-IFD parse through exif_udf)
           took the slot of events_json_extract (green r4), and the new
           icepack_constraints (CHECK enforcement) took the slot of
-          events_sliding_window (green r4).
+          events_sliding_window (green r4). Finally the new
+          icepack_delete_where / icepack_update_where (predicate row-level
+          ops, operators/rowops.py) and icepack_wap_publish (branch
+          write-audit-publish) took the slots of lang_id_docs,
+          vocabulary_docs and contamination_docs (each green r4).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -3535,6 +3705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_rollback": _icepack_rollback,
         "icepack_changes": _icepack_changes,
         "icepack_constraints": _icepack_constraints,
+        "icepack_delete_where": _icepack_delete_where,
+        "icepack_update_where": _icepack_update_where,
+        "icepack_wap_publish": _icepack_wap_publish,
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
@@ -3548,15 +3721,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
-        "lang_id_docs": _lang_id_docs,
-        "vocabulary_docs": _vocabulary_docs,
-        "contamination_docs": _contamination_docs,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "neardup_clusters_docs": _neardup_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
         # ---------------- position 51+: outside the driver's check window ---
+        "lang_id_docs": _lang_id_docs,
+        "vocabulary_docs": _vocabulary_docs,
+        "contamination_docs": _contamination_docs,
         "events_sliding_window": _events_sliding_window,
         "events_json_extract": _events_json_extract,
         "events_pivot": _events_pivot,
@@ -3616,6 +3789,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert_bloom": _MERGE_ORACLE,
         "cdc_merge_composite": _MERGE_COMPOSITE_ORACLE,
         "icepack_bloom_lookup": _BLOOM_LOOKUP_ORACLE,
+        "icepack_delete_where": _ICEPACK_DELETE_WHERE_ORACLE,
+        "icepack_update_where": _ICEPACK_UPDATE_WHERE_ORACLE,
+        "icepack_wap_publish": _ICEPACK_WAP_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

@@ -25,9 +25,18 @@ matter of the submit command, not the code:
       restore  --table PATH --version N          rollback HEAD to snapshot N
       constraint --table PATH (--add NAME EXPR | --drop NAME | --list)
       clone    --table SRC --dest DST            zero-copy shallow clone
+      branch   --table PATH (--create NAME [--at N] | --drop NAME | --list)
+      tag      --table PATH (--create NAME [--at N] | --drop NAME)
+      publish  --table PATH --branch NAME [--to main] [--keep-branch]
+                                                 WAP fast-forward publish
+      delete   --table PATH --where SQL [--filters JSON]
+                                                 DELETE FROM ... WHERE
+      update   --table PATH --set JSON --where SQL [--filters JSON]
+                                                 UPDATE ... SET ... WHERE
       orphans  --table PATH [--grace-seconds S] [--dry-run]
       describe --table PATH                      manifest-only snapshot summary
-      scan     --table PATH [--out PARQUET] [--version N | --as-of-ms MS]
+      scan     --table PATH [--out PARQUET]
+               [--version N | --as-of-ms MS | --ref NAME]
                                                  snapshot scan (+ export)
       connector --root PATH --warehouse PATH     reference-style CDC pipeline
                                                  (discover → log → merge, one drain)
@@ -141,6 +150,49 @@ def main(argv: list[str] | None = None) -> int:
                    help="add CHECK constraint (validates existing data)")
     g.add_argument("--drop", metavar="NAME")
     g.add_argument("--list", action="store_true", dest="list_constraints")
+    p = sub.add_parser("branch", help="create/drop/list branches (refs.json)")
+    common(p)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--create", metavar="NAME")
+    g.add_argument("--drop", metavar="NAME")
+    g.add_argument("--list", action="store_true", dest="list_refs")
+    p.add_argument("--at", type=int, default=None,
+                   help="snapshot version to cut the branch at (default HEAD)")
+    p = sub.add_parser("tag", help="create/drop immutable tags (pin retention)")
+    common(p)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--create", metavar="NAME")
+    g.add_argument("--drop", metavar="NAME")
+    p.add_argument("--at", type=int, default=None)
+    p = sub.add_parser(
+        "publish",
+        help="WAP publish: fast-forward main (or --to) onto a branch head",
+    )
+    common(p)
+    p.add_argument("--branch", required=True)
+    p.add_argument("--to", default="main")
+    p.add_argument("--keep-branch", action="store_true",
+                   help="do not drop the branch after publishing")
+    p = sub.add_parser(
+        "delete", help="DELETE FROM table WHERE <SQL predicate> (rowops)"
+    )
+    common(p)
+    p.add_argument("--where", required=True, help="SQL predicate")
+    p.add_argument(
+        "--filters",
+        default=None,
+        help='JSON [[col,op,value],...] prunable conjunction ANDed with '
+        '--where (enables manifest pruning + metadata-only drops)',
+    )
+    p = sub.add_parser(
+        "update", help="UPDATE table SET <assignments> WHERE <SQL predicate>"
+    )
+    common(p)
+    p.add_argument("--set", required=True, dest="assignments",
+                   help='JSON {"col": "SQL expr", ...} (exprs see OLD values)')
+    p.add_argument("--where", required=True, help="SQL predicate")
+    p.add_argument("--filters", default=None,
+                   help="JSON [[col,op,value],...] prunable conjunction")
     p = sub.add_parser("orphans")
     common(p)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
@@ -153,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--as-of-ms", type=int, default=None,
                    help="TIMESTAMP AS OF: latest snapshot at/before epoch-ms")
+    p.add_argument("--ref", default=None,
+                   help="read a named branch or tag (VERSION AS OF 'ref')")
     p = sub.add_parser("connector")
     p.add_argument("--root", required=True)
     p.add_argument("--warehouse", required=True)
@@ -351,6 +405,47 @@ def main(argv: list[str] | None = None) -> int:
         elif args.drop:
             out["version"] = t.drop_check_constraint(args.drop)
         out["constraints"] = t.check_constraints()
+    elif args.cmd == "branch":
+        t = IcepackTable.load(spark, args.table)
+        if args.create:
+            out["version"] = t.create_branch(args.create, version=args.at)
+            out["branch"] = args.create
+        elif args.drop:
+            t.drop_branch(args.drop)
+            out["dropped"] = args.drop
+        out["refs"] = t.refs()
+    elif args.cmd == "tag":
+        t = IcepackTable.load(spark, args.table)
+        if args.create:
+            out["version"] = t.create_tag(args.create, version=args.at)
+            out["tag"] = args.create
+        elif args.drop:
+            t.drop_tag(args.drop)
+            out["dropped"] = args.drop
+        out["refs"] = t.refs()
+    elif args.cmd == "publish":
+        t = IcepackTable.load(spark, args.table)
+        out["version"] = t.fast_forward(args.branch, to_branch=args.to)
+        if not args.keep_branch:
+            t.drop_branch(args.branch)
+        out["published"] = args.branch
+        out["to"] = args.to
+    elif args.cmd == "delete":
+        from .operators.rowops import delete_where
+
+        t = IcepackTable.load(spark, args.table)
+        filters = [tuple(f) for f in json.loads(args.filters)] if args.filters else None
+        out.update(delete_where(t, filters, residual_sql=args.where))
+    elif args.cmd == "update":
+        from .operators.rowops import update_where
+
+        t = IcepackTable.load(spark, args.table)
+        filters = [tuple(f) for f in json.loads(args.filters)] if args.filters else None
+        out.update(
+            update_where(
+                t, json.loads(args.assignments), filters, residual_sql=args.where
+            )
+        )
     elif args.cmd == "orphans":
         from .operators.expire import remove_orphans
 
@@ -368,8 +463,11 @@ def main(argv: list[str] | None = None) -> int:
         out.update(t.describe())
     elif args.cmd == "scan":
         t = IcepackTable.load(spark, args.table)
-        df = t.scan(version=args.version, as_of_timestamp_ms=args.as_of_ms)
-        v = (t.version_as_of(args.as_of_ms) if args.as_of_ms is not None
+        df = t.scan(
+            version=args.version, as_of_timestamp_ms=args.as_of_ms, ref=args.ref
+        )
+        v = (t.ref_version(args.ref) if args.ref is not None
+             else t.version_as_of(args.as_of_ms) if args.as_of_ms is not None
              else args.version if args.version is not None
              else t.head_version())
         if args.out:

@@ -194,16 +194,30 @@ def table_changes(
     """
     head = table.head_version()
     to_version = head if to_version is None else to_version
-    if not 0 <= from_version <= to_version <= head:
+    if from_version < 0 or to_version > head:
         raise ValueError(
             f"invalid version range [{from_version}, {to_version}] "
             f"(head is {head})"
+        )
+    # Versions are allocated globally across branches, so the commits of
+    # THIS ref's line are found by walking the parent chain, never by
+    # enumerating version ints (which would interleave other branches'
+    # commits into the feed). Linear tables walk the same path either way.
+    path: list[int] = []
+    v_walk: int | None = to_version
+    while v_walk is not None and v_walk != from_version:
+        path.append(v_walk)
+        v_walk = table.snapshot(v_walk).parent
+    if v_walk != from_version:
+        raise ValueError(
+            f"v{from_version} is not an ancestor of v{to_version} "
+            "(different branch?) — no linear change feed exists between them"
         )
     out: DataFrame | None = None
     out_schema = table.schema(to_version)
     out_cols = [f.name for f in out_schema.fields]
     prev_entries = table.files(from_version)
-    for v in range(from_version + 1, to_version + 1):
+    for v in reversed(path):
         snap = table.snapshot(v)
         entries = table.files(v)
         op = snap.operation

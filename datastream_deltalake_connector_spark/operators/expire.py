@@ -63,6 +63,11 @@ def expire_snapshots(
     snaps = table.snapshots()
     head = table.head_version()
     cutoff = older_than_ms if older_than_ms is not None else int(time.time() * 1000) + 1
+    # Named refs pin their snapshots regardless of age: a branch mid-WAP or
+    # a tag marking a training-run input must survive any retention policy
+    # (Iceberg's retain-refs contract). Drop the ref to release them.
+    refs = table.refs()
+    pinned = set(refs["branches"].values()) | set(refs["tags"].values())
 
     retained, expired = [], []
     for s in snaps:
@@ -70,6 +75,7 @@ def expire_snapshots(
             s.version == head
             or s.version > head - keep_last
             or s.timestamp_ms >= cutoff
+            or s.version in pinned
         )
         (retained if keep else expired).append(s)
 

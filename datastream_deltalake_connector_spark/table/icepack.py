@@ -51,6 +51,7 @@ import time
 import uuid
 
 import numpy as np
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from typing import Any, Iterable
 
@@ -108,6 +109,13 @@ def _footer_stats(
     cols = set(stats_cols)
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    # Per-column null totals (None = at least one row group didn't record
+    # them). min/max alone can only prove "no row matches"; null counts are
+    # what lets must_match_all prove "EVERY row matches" — the metadata-only
+    # DELETE (a null never satisfies a predicate, so a file with unknown
+    # null count can never be dropped without reading it).
+    nulls: dict[str, int | None] = {}
+    seen_rgs: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -116,6 +124,12 @@ def _footer_stats(
             if name not in cols or col.statistics is None:
                 continue
             st = col.statistics
+            seen_rgs[name] = seen_rgs.get(name, 0) + 1
+            if name not in nulls:
+                nulls[name] = 0
+            if nulls[name] is not None:
+                nc = st.null_count
+                nulls[name] = None if nc is None else nulls[name] + int(nc)
             if not st.has_min_max:
                 continue
             mn, mx = _json_safe(st.min), _json_safe(st.max)
@@ -123,7 +137,15 @@ def _footer_stats(
                 mins[name] = mn
             if mx is not None and (name not in maxs or mx > maxs[name]):
                 maxs[name] = mx
-    stats = {c: {"min": mins.get(c), "max": maxs.get(c)} for c in set(mins) | set(maxs)}
+    # a column whose statistics were missing from SOME row group has an
+    # unknowable total — never report a partial count as exact
+    for c, n_seen in seen_rgs.items():
+        if n_seen < md.num_row_groups:
+            nulls[c] = None
+    stats = {
+        c: {"min": mins.get(c), "max": maxs.get(c), "nulls": nulls.get(c)}
+        for c in set(mins) | set(maxs) | set(nulls)
+    }
     if bloom_cols:
         import pyarrow as _pa
 
@@ -255,6 +277,55 @@ class FileEntry:
             return True  # incomparable types: never prune
         return True
 
+    # Parquet writers may TRUNCATE long binary/string column statistics
+    # (min rounded down, max rounded up) — sound for may_match pruning but
+    # fatal for proofs of equality. must_match_all only trusts string
+    # bounds comfortably below the common 64-byte truncation threshold.
+    _STR_STAT_TRUST_LEN = 48
+
+    def must_match_all(self, col: str, op: str, value: Any) -> bool:
+        """True only when stats PROVE every row in this file matches — the
+        dual of :meth:`may_match`, enabling METADATA-ONLY deletes (Iceberg's
+        `delete with metadata` / Delta's file-drop fast path): a predicate
+        delete drops the whole file from the manifest without reading it.
+
+        Requires an exact null count of zero for the column (a null never
+        satisfies a predicate — a file with nulls, or with an unknown null
+        count from a pre-r5 manifest, is never droppable without a read).
+        Conservative on any doubt: returning False merely routes the file
+        through the rewrite path."""
+        st = self.stats.get(col)
+        if not st:
+            return False
+        if st.get("nulls") != 0:
+            return False  # unknown (None/absent) or >0: can't prove
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            return False
+        for bound in (lo, hi):
+            if isinstance(bound, str) and len(bound) >= self._STR_STAT_TRUST_LEN:
+                return False  # possibly truncated stats: no equality proofs
+        try:
+            if op == "in":
+                return lo == hi and any(lo == _json_safe(v) for v in value)
+            if op == "between":
+                vlo, vhi = _json_safe(value[0]), _json_safe(value[1])
+                return vlo <= lo and hi <= vhi
+            value = _json_safe(value)
+            if op == "=":
+                return lo == value == hi
+            if op == "<":
+                return hi < value
+            if op == "<=":
+                return hi <= value
+            if op == ">":
+                return lo > value
+            if op == ">=":
+                return lo >= value
+        except TypeError:
+            return False  # incomparable types: never prove
+        return False
+
 
 @dataclass
 class Snapshot:
@@ -281,6 +352,11 @@ class IcepackTable:
         self.spark = spark
         self.root = os.path.abspath(root)
         self.meta_dir = os.path.join(self.root, "metadata")
+        # Which named ref this handle reads from / commits to. "main" is
+        # the implicit default branch backed by the HEAD file (pre-refs
+        # tables keep working unchanged); branch views from .branch(name)
+        # resolve through metadata/refs.json instead.
+        self._ref = "main"
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -327,8 +403,177 @@ class IcepackTable:
 
     # ------------------------------------------------------------- metadata
     def head_version(self) -> int:
+        if self._ref != "main":
+            branches = self.refs()["branches"]
+            if self._ref not in branches:
+                raise KeyError(f"branch {self._ref!r} does not exist (dropped?)")
+            return branches[self._ref]
+        return self._main_head()
+
+    def _main_head(self) -> int:
         with open(os.path.join(self.meta_dir, "HEAD")) as f:
             return int(f.read().strip())
+
+    def _max_version(self) -> int:
+        """Highest snapshot version present on disk — one directory listing,
+        no file reads. Expiry only ever removes OLD snapshots, so the max is
+        always >= every live ref pointer."""
+        mx = -1
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    mx = max(mx, int(name[5:-5]))
+                except ValueError:
+                    pass
+        return mx
+
+    # ----------------------------------------------------- refs (branch/tag)
+    # Iceberg branches-and-tags parity: named pointers into the global
+    # snapshot line, stored in metadata/refs.json. Branches are writable
+    # heads (commits through a .branch(name) view advance them); tags are
+    # immutable read markers. Snapshot versions are allocated GLOBALLY
+    # (commit() takes max-existing + 1), so two branches never collide on
+    # snap-N names; each snapshot's `parent` records its branch ancestry.
+    def refs(self) -> dict:
+        p = os.path.join(self.meta_dir, "refs.json")
+        if not os.path.exists(p):
+            return {"branches": {}, "tags": {}}
+        with open(p) as f:
+            r = json.load(f)
+        r.setdefault("branches", {})
+        r.setdefault("tags", {})
+        return r
+
+    def _write_refs(self, refs: dict) -> None:
+        """Caller must hold the commit lock."""
+        self._atomic_write(
+            os.path.join(self.meta_dir, "refs.json"),
+            json.dumps(refs, sort_keys=True),
+        )
+
+    @contextmanager
+    def _meta_lock(self, max_retries: int = 50):
+        """Serialize a refs mutation against commits (and other ref ops)
+        with the same COMMIT.lock commit() uses."""
+        lock_path = os.path.join(self.meta_dir, "COMMIT.lock")
+        for attempt in range(max_retries):
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                time.sleep(0.05 * min(attempt + 1, 10))
+                continue
+            try:
+                yield
+                return
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
+        raise ConflictError("could not acquire commit lock for refs update")
+
+    def _validate_ref_name(self, name: str) -> None:
+        if not name or name == "main" or "/" in name or os.sep in name:
+            raise ValueError(f"invalid ref name: {name!r}")
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Create a writable branch at ``version`` (default: this handle's
+        current head). The write-audit-publish flow: create_branch →
+        commits through .branch(name) → audit its scan → fast_forward →
+        drop_branch."""
+        self._validate_ref_name(name)
+        with self._meta_lock():
+            refs = self.refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise ValueError(f"ref {name!r} already exists")
+            v = self.head_version() if version is None else version
+            self.snapshot(v)  # loud on an unknown/expired version
+            refs["branches"][name] = v
+            self._write_refs(refs)
+        return v
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable tag — a retention-pinning read marker
+        (expire_snapshots never expires a ref-pointed snapshot)."""
+        self._validate_ref_name(name)
+        with self._meta_lock():
+            refs = self.refs()
+            if name in refs["branches"] or name in refs["tags"]:
+                raise ValueError(f"ref {name!r} already exists")
+            v = self.head_version() if version is None else version
+            self.snapshot(v)
+            refs["tags"][name] = v
+            self._write_refs(refs)
+        return v
+
+    def drop_branch(self, name: str) -> None:
+        with self._meta_lock():
+            refs = self.refs()
+            if name not in refs["branches"]:
+                raise KeyError(f"branch {name!r} does not exist")
+            del refs["branches"][name]
+            self._write_refs(refs)
+
+    def drop_tag(self, name: str) -> None:
+        with self._meta_lock():
+            refs = self.refs()
+            if name not in refs["tags"]:
+                raise KeyError(f"tag {name!r} does not exist")
+            del refs["tags"][name]
+            self._write_refs(refs)
+
+    def branch(self, name: str) -> "IcepackTable":
+        """A view of this table whose reads AND commits target branch
+        ``name``. Every IcepackTable entry point (scan, merge, compaction,
+        constraints, rollback, CDF) works unchanged through the view —
+        they all resolve through head_version()."""
+        if name != "main" and name not in self.refs()["branches"]:
+            raise KeyError(f"branch {name!r} does not exist")
+        t = IcepackTable(self.spark, self.root)
+        t._ref = name
+        return t
+
+    def ref_version(self, name: str) -> int:
+        """Resolve a branch or tag name to its snapshot version."""
+        if name == "main":
+            return self._main_head()
+        refs = self.refs()
+        if name in refs["branches"]:
+            return refs["branches"][name]
+        if name in refs["tags"]:
+            return refs["tags"][name]
+        raise KeyError(f"no branch or tag named {name!r}")
+
+    def fast_forward(self, from_branch: str, to_branch: str = "main") -> int:
+        """Publish ``from_branch`` by fast-forwarding ``to_branch`` onto its
+        head — the WAP (write-audit-publish) publish step. Metadata-only:
+        one ancestry walk + one pointer write; no data moves. Raises
+        ``ConflictError`` when ``to_branch`` advanced since the branch was
+        cut (its head is no longer an ancestor of the branch head), exactly
+        Iceberg's fast_forward precondition — rebase by re-merging instead."""
+        with self._meta_lock():
+            refs = self.refs()
+            if from_branch not in refs["branches"]:
+                raise KeyError(f"branch {from_branch!r} does not exist")
+            src = refs["branches"][from_branch]
+            if to_branch == "main":
+                dst = self._main_head()
+            elif to_branch in refs["branches"]:
+                dst = refs["branches"][to_branch]
+            else:
+                raise KeyError(f"branch {to_branch!r} does not exist")
+            v: int | None = src
+            while v is not None and v != dst:
+                v = self.snapshot(v).parent
+            if v != dst:
+                raise ConflictError(
+                    f"cannot fast-forward {to_branch!r} (v{dst}) to "
+                    f"{from_branch!r} (v{src}): v{dst} is not an ancestor"
+                )
+            if to_branch == "main":
+                self._atomic_write(os.path.join(self.meta_dir, "HEAD"), str(src))
+            else:
+                refs["branches"][to_branch] = src
+                self._write_refs(refs)
+        return src
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.head_version() if version is None else version
@@ -350,17 +595,27 @@ class IcepackTable:
         pick the floor, not the nearest). Raises ``ValueError`` before the
         first commit — reading a table that didn't exist yet must be loud,
         and expired snapshots resolve to a version whose manifest read then
-        fails loudly too (same as Delta after VACUUM). Driver cost: one
-        pass over the snapshot metadata, no manifest reads."""
-        candidates = [
-            s.version for s in self.snapshots() if s.timestamp_ms <= timestamp_ms
-        ]
-        if not candidates:
-            raise ValueError(
-                f"no snapshot exists at or before timestamp_ms={timestamp_ms} "
-                f"(earliest is {self.snapshots()[0].timestamp_ms})"
-            )
-        return max(candidates)
+        fails loudly too (same as Delta after VACUUM). Resolution walks
+        THIS ref's ancestry (parent chain from its head): commit timestamps
+        are monotone along a line, so the first ancestor at or before the
+        target is the floor — and another branch's commits can never hijack
+        this ref's time travel. Driver cost: one pass over snapshot
+        metadata, no manifest reads."""
+        v: int | None = self.head_version()
+        earliest = None
+        while v is not None:
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                break  # ancestor expired: nothing older is resolvable
+            if s.timestamp_ms <= timestamp_ms:
+                return s.version
+            earliest = s.timestamp_ms
+            v = s.parent
+        raise ValueError(
+            f"no snapshot exists at or before timestamp_ms={timestamp_ms} "
+            f"(earliest reachable is {earliest})"
+        )
 
     def snapshots(self) -> list[Snapshot]:
         out = []
@@ -428,12 +683,17 @@ class IcepackTable:
         columns: list[str] | None = None,
         apply_filters: bool = True,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read a pinned snapshot as a DataFrame with manifest-level pruning.
 
         ``as_of_timestamp_ms``: Delta ``TIMESTAMP AS OF`` parity — resolve
         the latest snapshot committed at or before the given epoch-millis
         (mutually exclusive with ``version``).
+
+        ``ref``: read a named branch or tag (``VERSION AS OF 'ref'`` /
+        Iceberg ``ref`` read option) — resolves through refs.json, mutually
+        exclusive with ``version``/``as_of_timestamp_ms``.
 
         ``filters``: [(col, op, value)] with op in = < <= > >= between in
         (value = iterable of members for ``in``). Files whose min/max stats
@@ -452,6 +712,12 @@ class IcepackTable:
         through untouched, so at 100 TB the resolution cost is proportional
         to the recent-churn working set, not the table.
         """
+        if ref is not None:
+            if version is not None or as_of_timestamp_ms is not None:
+                raise ValueError(
+                    "pass ref OR version/as_of_timestamp_ms, not both"
+                )
+            version = self.ref_version(ref)
         if as_of_timestamp_ms is not None:
             if version is not None:
                 raise ValueError(
@@ -874,7 +1140,11 @@ class IcepackTable:
                     continue  # re-resolve under next loop iteration
                 prev = self.snapshot(parent)
                 old_entries = self.files(parent)
-                version = parent + 1
+                # Versions are allocated GLOBALLY (max existing + 1), not
+                # parent + 1: with branches, two lines committing from
+                # different parents must never collide on snap-N names.
+                # Linear histories are unaffected (max existing == parent).
+                version = max(self._max_version(), parent) + 1
                 if entries_override is not None:
                     entries = list(entries_override)
                     old_paths = {e.path for e in old_entries}
@@ -934,7 +1204,19 @@ class IcepackTable:
                 self._write_json(
                     os.path.join(self.meta_dir, f"snap-{version}.json"), asdict(snap)
                 )
-                self._atomic_write(os.path.join(self.meta_dir, "HEAD"), str(version))
+                if self._ref == "main":
+                    self._atomic_write(
+                        os.path.join(self.meta_dir, "HEAD"), str(version)
+                    )
+                else:
+                    # already under the commit lock — safe to rewrite refs
+                    refs = self.refs()
+                    if self._ref not in refs["branches"]:
+                        raise ConflictError(
+                            f"branch {self._ref!r} was dropped mid-commit"
+                        )
+                    refs["branches"][self._ref] = version
+                    self._write_refs(refs)
                 return version
             finally:
                 os.close(fd)

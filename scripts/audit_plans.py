@@ -18,6 +18,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     (
+        "icepack_delete_where",
+        "Post-DELETE HEAD scan. The delete itself pruned 1 file by manifest "
+        "stats, dropped 1 METADATA-ONLY (bounds + zero null count prove "
+        "every row matched — never read), and CoW-rewrote 1; the returned "
+        "scan is a plain parquet read of the surviving files — no "
+        "exchanges beyond the final ordering, no joins, ReadSchema limited "
+        "to the 5 output columns.",
+    ),
+    (
+        "icepack_update_where",
+        "Post-UPDATE HEAD scan. The update rewrote exactly the 2 files the "
+        "BETWEEN range touches (third pruned by manifest stats) with the "
+        "updated-row count observed ON the write job (no extra count "
+        "scan); the returned scan is a plain parquet read — no exchanges "
+        "beyond the final ordering, no joins.",
+    ),
+    (
+        "icepack_wap_publish",
+        "Published-main scan after a branch merge + fast_forward. Publish "
+        "is an ancestry walk + pointer swap (zero jobs); the scan must be "
+        "a plain parquet read of the branch-merged snapshot — no exchanges "
+        "beyond the final ordering, no joins.",
+    ),
+    (
         "icepack_changes",
         "Change-data-feed reconstruction for one CoW merge commit. Expect: "
         "the commit's ADDED files and the resolved preimages of its REMOVED "

@@ -274,7 +274,9 @@ def test_incremental_cursor_ahead_of_head_raises(spark, tmp_path):
 def test_invalid_range_raises(spark, tmp_path):
     t = fresh_table(spark, tmp_path)
     head = t.head_version()
-    with pytest.raises(ValueError, match="invalid version range"):
+    # with globally-allocated versions, a reversed range is just "the target
+    # is not a descendant" — the ancestry walk reports it
+    with pytest.raises(ValueError, match="not an ancestor"):
         table_changes(t, head, head - 1)
     with pytest.raises(ValueError, match="invalid version range"):
         table_changes(t, 0, head + 1)

@@ -166,3 +166,66 @@ def test_job_init_bloom_cols(spark, tmp_path, capsys):
     assert t.snapshot().summary["candidate_files"] <= 6  # pruned, not 16
     scan = run(capsys, "scan", "--table", table)
     assert scan["rows"] == 400
+
+
+def test_job_branch_wap_and_rowops(spark, tmp_path, capsys):
+    """branch/tag/publish + delete/update verbs drive the WAP loop and
+    predicate row-level ops end-to-end from the CLI."""
+    table = str(tmp_path / "wap_images")
+    base_pq = str(tmp_path / "wap_base.parquet")
+    batch_pq = str(tmp_path / "wap_batch.parquet")
+    generate_images(spark, 40, num_partitions=4).select(
+        "*",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(
+            "datastream_metadata_source_timestamp"
+        ),
+        F.lit(0).cast("long").alias("datastream_metadata_change_seq"),
+    ).write.parquet(base_pq)
+    generate_change_batch(
+        spark, 40, batch_index=0, updates=8, inserts=4, deletes=4, num_partitions=4
+    ).write.parquet(batch_pq)
+
+    run(capsys, "init", "--table", table)
+    run(capsys, "ingest", "--table", table, "--batch", base_pq, "--num-files", "4")
+    t = IcepackTable.load(spark, table)
+    v_main = t.head_version()
+    n_main = t.count_rows()
+
+    # cut a branch, merge into it, main untouched
+    br = run(capsys, "branch", "--table", table, "--create", "wap")
+    assert br["version"] == v_main and "wap" in br["refs"]["branches"]
+    bt = t.branch("wap")
+    from datastream_deltalake_connector_spark.operators.table_merge import (
+        merge_into_table,
+    )
+
+    merge_into_table(bt, spark.read.parquet(batch_pq), key="image_id")
+    assert t.head_version() == v_main and t.count_rows() == n_main
+
+    # tag the pre-publish main, then publish
+    v_branch = bt.head_version()
+    run(capsys, "tag", "--table", table, "--create", "prepub")
+    pub = run(capsys, "publish", "--table", table, "--branch", "wap")
+    assert pub["version"] == v_branch == t.head_version()
+    assert "wap" not in t.refs()["branches"]  # dropped by default
+    assert t.scan(ref="prepub").count() == n_main
+    scan = run(capsys, "scan", "--table", table, "--ref", "prepub")
+    assert scan["rows"] == n_main and scan["version"] == v_main
+
+    # predicate delete + update through the CLI
+    ids = sorted(r.image_id for r in t.scan().select("image_id").limit(3).collect())
+    rep = run(
+        capsys, "delete", "--table", table,
+        "--where", f"image_id = '{ids[0]}'",
+        "--filters", json.dumps([["image_id", "=", ids[0]]]),
+    )
+    assert rep["rows_deleted"] == 1 and rep["files_pruned"] >= 0
+    upd = run(
+        capsys, "update", "--table", table,
+        "--set", json.dumps({"caption": "upper(caption)"}),
+        "--where", f"image_id = '{ids[1]}'",
+        "--filters", json.dumps([["image_id", "=", ids[1]]]),
+    )
+    assert upd["rows_updated"] == 1
+    got = t.scan(filters=[("image_id", "=", ids[1])]).select("caption").collect()
+    assert got[0].caption == got[0].caption.upper()
