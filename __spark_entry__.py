@@ -3476,6 +3476,71 @@ FROM t0
 """
 
 
+def _icepack_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (new r5, table/transforms.py — Iceberg partition-
+    transform parity; Delta only has identity partition columns): the events
+    LWW snapshot is written with partition spec ``day(source_ts)`` +
+    ``bucket(4, user_id)`` over the RAW month-long event log (not the LWW
+    snapshot, whose timestamps all cluster at month-end) — hive values
+    derived from SOURCE columns at write, no derived column in the user
+    schema — then scanned with a week-long timestamp range AND a user_id
+    point probe. Both transforms must prune driver-side from per-file
+    partition values (files read < files total, folded into the hashed op
+    column) while the row sets equal the plain SQL filter truth — a
+    transform that mis-buckets or mis-days a single row loses it from the
+    scan and fails the hash."""
+    from datetime import datetime
+
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    log = _events_cdc(spark, sf_dir).select(
+        "user_id", "event_type", "value",
+        F.col("source_timestamp").alias("ts"),
+        F.col("change_seq").alias("seq"),
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-hp-"), "events")
+    t = IcepackTable.create(
+        spark,
+        root,
+        log.schema,
+        partition_by=["day(ts)", "bucket(4, user_id)"],
+    )
+    t.append(log)
+    fs = t.files()
+    layout_ok = all(
+        {"ts_day", "user_id_bucket4"} <= set(e.partition) for e in fs
+    )
+    lo, hi = datetime(2024, 1, 8), datetime(2024, 1, 15)
+    rng = t.scan(filters=[("ts", "between", (lo, hi))])
+    pt = t.scan(filters=[("user_id", "=", 17)])
+    pruned_ok = (
+        len(rng.inputFiles()) < len(fs) and len(pt.inputFiles()) < len(fs)
+    )
+    ok = layout_ok and pruned_ok
+    cols = ["user_id", "event_type", "value", "ts", "seq"]
+    rng_rows = rng.select(*cols)
+    pt_rows = pt.select(*cols)
+    return (
+        rng_rows.withColumn("probe", F.lit("range"))
+        .unionByName(pt_rows.withColumn("probe", F.lit("point")))
+        .withColumn("op", F.lit("hidden" if ok else "broken"))
+        .orderBy("probe", "user_id")
+    )
+
+
+_ICEPACK_HIDDEN_PART_ORACLE = f"""
+WITH cdc AS ({_CDC_SQL}),
+log AS (SELECT user_id, event_type, value,
+               source_timestamp AS ts, change_seq AS seq FROM cdc)
+SELECT user_id, event_type, value, ts, seq, 'range' AS probe, 'hidden' AS op
+FROM log
+WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00' AND TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
+SELECT user_id, event_type, value, ts, seq, 'point' AS probe, 'hidden' AS op
+FROM log WHERE user_id = 17
+"""
+
+
 def _icepack_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish over branches (new r5, Iceberg refs parity):
     the odd-seq change batch is CoW-merged into a BRANCH view of the table
@@ -3669,7 +3734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           icepack_delete_where / icepack_update_where (predicate row-level
           ops, operators/rowops.py) and icepack_wap_publish (branch
           write-audit-publish) took the slots of lang_id_docs,
-          vocabulary_docs and contamination_docs (each green r4).
+          vocabulary_docs and contamination_docs (each green r4), and
+          icepack_hidden_partitioning (partition transforms,
+          table/transforms.py) took the slot of jaccard_pairs_docs
+          (green r2-r4).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -3708,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_delete_where": _icepack_delete_where,
         "icepack_update_where": _icepack_update_where,
         "icepack_wap_publish": _icepack_wap_publish,
+        "icepack_hidden_partitioning": _icepack_hidden_partitioning,
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
@@ -3721,12 +3790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- previously-green oracled rows kept in the checked window ---
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
-        "jaccard_pairs_docs": _jaccard_pairs_docs,
         "neardup_clusters_docs": _neardup_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         "events_windowed_agg": _windowed_agg,
         # ---------------- position 51+: outside the driver's check window ---
+        "jaccard_pairs_docs": _jaccard_pairs_docs,
         "lang_id_docs": _lang_id_docs,
         "vocabulary_docs": _vocabulary_docs,
         "contamination_docs": _contamination_docs,
@@ -3792,6 +3861,7 @@ def oracle_sql() -> dict[str, str]:
         "icepack_delete_where": _ICEPACK_DELETE_WHERE_ORACLE,
         "icepack_update_where": _ICEPACK_UPDATE_WHERE_ORACLE,
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,
+        "icepack_hidden_partitioning": _ICEPACK_HIDDEN_PART_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

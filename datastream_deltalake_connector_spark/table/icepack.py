@@ -369,6 +369,19 @@ class IcepackTable:
         partition_by: list[str] | None = None,
         bloom_cols: list[str] | None = None,
     ) -> "IcepackTable":
+        if partition_by:
+            from .transforms import parse_spec
+
+            missing = [
+                tr.col
+                for tr in parse_spec(partition_by)  # loud on bad spec syntax
+                if tr.col not in {f.name for f in schema.fields}
+            ]
+            if missing:
+                raise ValueError(
+                    f"partition transform source column(s) not in schema: "
+                    f"{missing}"
+                )
         t = cls(spark, root)
         os.makedirs(t.meta_dir, exist_ok=False)
         os.makedirs(os.path.join(t.root, "data"), exist_ok=True)
@@ -729,11 +742,30 @@ class IcepackTable:
         deletes = [e for e in entries if e.content == "eq_deletes"]
         entries = [e for e in entries if e.content == "data"]
         if filters:
-            entries = [
-                e
-                for e in entries
-                if all(e.may_match(c, op, v) for (c, op, v) in filters)
-            ]
+            from .transforms import partition_may_match, transforms_for_keys
+
+            # Transform-partition pruning composes with stats pruning: each
+            # file's hive keys reverse-parse to the transforms that wrote it
+            # (spec evolution can never mis-prune — old files self-describe
+            # their own layout). Driver-side, zero data reads.
+            schema_cols = {f.name for f in snap.schema.fields}
+            tf_cache: dict[frozenset, list] = {}
+
+            def _keep(e: FileEntry) -> bool:
+                if not all(e.may_match(c, op, v) for (c, op, v) in filters):
+                    return False
+                if not e.partition:
+                    return True
+                keys = frozenset(e.partition)
+                if keys not in tf_cache:
+                    tf_cache[keys] = transforms_for_keys(keys, schema_cols)
+                tfs = tf_cache[keys]
+                return all(
+                    partition_may_match(e.partition, tfs, c, op, v)
+                    for (c, op, v) in filters
+                )
+
+            entries = [e for e in entries if _keep(e)]
         schema = snap.schema
         if not entries:
             df = self.spark.createDataFrame([], schema)
@@ -981,11 +1013,17 @@ class IcepackTable:
         if sort_within_partitions:
             df = df.sortWithinPartitions(*sort_within_partitions)
         if partition_by:
-            from pyspark.sql import functions as F
+            from .transforms import parse_spec
 
-            dup = [F.col(c).alias(f"__p_{c}") for c in partition_by]
+            # Identity specs keep their bare column name (pname == col), so
+            # pre-transform tables write the exact same layout; transform
+            # specs (day(ts), bucket(16, image_id), truncate(4, fmt)) derive
+            # the hive value from the source column — Iceberg hidden
+            # partitioning: the user schema never sees the derived column.
+            specs = parse_spec(partition_by)
+            dup = [t.column().alias(f"__p_{t.pname}") for t in specs]
             writer = df.select("*", *dup).write.mode("overwrite").partitionBy(
-                *[f"__p_{c}" for c in partition_by]
+                *[f"__p_{t.pname}" for t in specs]
             )
             writer.parquet(out_dir)
             self._strip_partition_prefix(out_dir)
@@ -1377,6 +1415,52 @@ class IcepackTable:
         }
 
     # ------------------------------------------------------- common actions
+    def set_partition_spec(self, partition_by: list[str] | None) -> int:
+        """Partition-spec EVOLUTION (Iceberg ``update_spec`` parity):
+        metadata-only commit; files written from now on use the new layout,
+        existing files keep their old hive values, and scan pruning handles
+        both (each file's partition keys reverse-parse to the transforms
+        that wrote it — `transforms.transforms_for_keys`). Pass None/[] to
+        stop partitioning new writes."""
+        if partition_by:
+            from .transforms import parse_spec
+
+            schema_cols = {f.name for f in self.schema().fields}
+            missing = [
+                tr.col for tr in parse_spec(partition_by)
+                if tr.col not in schema_cols
+            ]
+            if missing:
+                raise ValueError(
+                    f"partition transform source column(s) not in schema: "
+                    f"{missing}"
+                )
+        return self.commit(
+            "set-partition-spec",
+            summary={"partition_by": list(partition_by or [])},
+        )
+
+    def partitions_df(self) -> DataFrame:
+        """The `partitions` metadata table (Iceberg ``table.partitions``
+        analogue): one row per live partition tuple with file/row/byte
+        totals — manifest-only, zero data reads. Unpartitioned files group
+        under the empty-JSON partition."""
+        agg: dict[str, list[int]] = {}
+        for e in self.files():
+            if e.content != "data":
+                continue
+            k = json.dumps(e.partition, sort_keys=True)
+            a = agg.setdefault(k, [0, 0, 0])
+            a[0] += 1
+            a[1] += e.rows
+            a[2] += e.bytes
+        rows = [
+            (k, n, r, b) for k, (n, r, b) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition string, n_files long, rows long, bytes long"
+        )
+
     def partition_spec(self) -> list[str]:
         """Table partition columns declared at create time ([] if none)."""
         return list(self.snapshot().summary.get("partition_by") or [])

@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     (
+        "icepack_hidden_partitioning",
+        "Transform-partitioned scans (day + bucket hidden partitioning). "
+        "Both probes must be plain parquet reads of the PRUNED file lists "
+        "(transform pruning is driver-side, zero data reads) with the "
+        "residual predicates pushed into the scan — a union of two pruned "
+        "scans, no joins, PushedFilters present on both branches.",
+    ),
+    (
         "icepack_delete_where",
         "Post-DELETE HEAD scan. The delete itself pruned 1 file by manifest "
         "stats, dropped 1 METADATA-ONLY (bounds + zero null count prove "
