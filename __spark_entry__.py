@@ -3541,6 +3541,62 @@ FROM log WHERE user_id = 17
 """
 
 
+def _icepack_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """icepack as a REGISTERED Spark data source (new r5, sources/pyds.py —
+    PySpark 4 Python DataSource API): the events LWW snapshot is read back
+    through ``spark.read.format("icepack")`` with a user_id range predicate.
+    The pushed filters must reach ``pushFilters`` and prune files BEFORE
+    Spark plans the scan (planned partitions < total files, folded into the
+    hashed op column); executors read their file with pyarrow directly and
+    the row set must equal the SQL truth. Version pinning through the
+    ``version`` option is asserted against the pre-append snapshot — the
+    same read path the streaming source and MoR resolution ride (those are
+    pinned by tests/test_pyds.py; streams have no SQL twin)."""
+    from datastream_deltalake_connector_spark.sources.pyds import register
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    register(spark)
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-ds-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    t.append(base.repartitionByRange(6, F.col("user_id")))
+    v1 = t.head_version()
+    n1 = t.count_rows()
+    t.append(base.limit(7))  # head moves; version option must pin v1
+
+    def load():
+        # one load() per logical query: Spark 4.1 caches the planned
+        # (pruned) scan on the relation node (see sources/pyds.py)
+        return (
+            spark.read.format("icepack")
+            .option("path", root)
+            .option("version", v1)
+            .load()
+        )
+
+    flt = load().where((F.col("user_id") >= 40) & (F.col("user_id") < 90))
+    pruned_ok = (
+        flt.rdd.getNumPartitions() < len(t.files(v1))
+        and load().count() == n1
+    )
+    return flt.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col(TS_META).alias("ts"),
+        F.col(SEQ_META).alias("seq"),
+    ).withColumn("op", F.lit("pushdown" if pruned_ok else "broken")).orderBy(
+        "user_id"
+    )
+
+
+_ICEPACK_DATASOURCE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'pushdown' AS op
+FROM t0 WHERE user_id >= 40 AND user_id < 90
+"""
+
+
 def _icepack_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish over branches (new r5, Iceberg refs parity):
     the odd-seq change batch is CoW-merged into a BRANCH view of the table
@@ -3737,7 +3793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           vocabulary_docs and contamination_docs (each green r4), and
           icepack_hidden_partitioning (partition transforms,
           table/transforms.py) took the slot of jaccard_pairs_docs
-          (green r2-r4).
+          (green r2-r4), and icepack_datasource_read (registered Spark
+          data source with filter pushdown, sources/pyds.py) took the
+          slot of events_windowed_agg (green r4).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -3777,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_update_where": _icepack_update_where,
         "icepack_wap_publish": _icepack_wap_publish,
         "icepack_hidden_partitioning": _icepack_hidden_partitioning,
+        "icepack_datasource_read": _icepack_datasource_read,
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
@@ -3793,8 +3852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_docs": _neardup_clusters,
         "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
-        "events_windowed_agg": _windowed_agg,
         # ---------------- position 51+: outside the driver's check window ---
+        "events_windowed_agg": _windowed_agg,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "lang_id_docs": _lang_id_docs,
         "vocabulary_docs": _vocabulary_docs,
@@ -3862,6 +3921,7 @@ def oracle_sql() -> dict[str, str]:
         "icepack_update_where": _ICEPACK_UPDATE_WHERE_ORACLE,
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,
         "icepack_hidden_partitioning": _ICEPACK_HIDDEN_PART_ORACLE,
+        "icepack_datasource_read": _ICEPACK_DATASOURCE_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,

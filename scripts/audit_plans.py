@@ -18,6 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     (
+        "icepack_datasource_read",
+        "Registered-format read (Python DataSource API). Expect: a "
+        "BatchScan icepack node (one input partition per surviving file — "
+        "pushFilters pruned the rest during planning, driver-side) under "
+        "the residual Filter Spark re-applies; no exchanges beyond the "
+        "final ordering, no joins.",
+    ),
+    (
         "icepack_hidden_partitioning",
         "Transform-partitioned scans (day + bucket hidden partitioning). "
         "Both probes must be plain parquet reads of the PRUNED file lists "
