@@ -56,7 +56,7 @@ def test_version_ref_timestamp_options(spark, tmp_path):
     t, df = simple_table(spark, tmp_path, name="pin")
     v1 = t.head_version()
     ts1 = t.snapshot(v1).timestamp_ms
-    t.create_tag("训练" if False else "run1")
+    t.create_tag("run1")
     t.append(df.limit(10))
     assert read(spark, t).count() == 210
     assert read(spark, t, version=v1).count() == 200
