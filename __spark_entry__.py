@@ -3597,6 +3597,77 @@ FROM t0 WHERE user_id >= 40 AND user_id < 90
 """
 
 
+def _icepack_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """icepack as a REGISTERED Spark WRITE format (new r5, sources/pyds.py
+    ``IcepackBatchWriter``): the events LWW snapshot lands through
+    ``df.write.format("icepack")`` — executors stage Arrow batches straight
+    to parquet, the driver-side commit worker CAS-commits footer-derived
+    manifest entries. Three writer behaviors are folded into the hashed
+    ``op`` column: (a) two mode("append") saves commit two snapshots whose
+    union is exactly the split input (nothing lost or duplicated across the
+    stage/commit boundary); (b) mode("overwrite") replaces ALL prior files
+    in one atomic snapshot whose operation is recorded as "overwrite";
+    (c) a schema-mismatched frame is rejected driver-side (the format
+    writer never evolves implicitly — reference parity: the connector
+    evolves schema only through its explicit merge path,
+    DeltaSchemaMigration.scala). The final scan is hashed against the same
+    SQL snapshot truth as the read twin, so a writer that drops, mangles,
+    or re-types any row fails the gate."""
+    from datastream_deltalake_connector_spark.sources.pyds import register
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    register(spark)
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-dsw-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+
+    def save(df, mode):
+        df.write.format("icepack").mode(mode).option("path", root).save()
+
+    # (a) two appends through the registered format
+    save(base.where(F.col("user_id") % 2 == 0), "append")
+    save(base.where(F.col("user_id") % 2 == 1), "append")
+    appended_ok = (
+        t.head_version() == 2
+        and [s.operation for s in t.snapshots()[1:]] == ["append", "append"]
+        and t.count_rows() == base.count()
+    )
+    # (c) schema guard: dropping a column must abort before any commit
+    try:
+        save(base.drop("value"), "append")
+        guard_ok = False
+    except Exception:
+        guard_ok = t.head_version() == 2
+    # (b) overwrite: one snapshot, every pre-existing file removed
+    files_before = {e.path for e in t.files()}
+    save(base, "overwrite")
+    head = t.snapshot()
+    overwrote_ok = (
+        head.operation == "overwrite"
+        and t.head_version() == 3
+        and not files_before & {e.path for e in t.files()}
+    )
+    ok = appended_ok and guard_ok and overwrote_ok
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("writer" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_DATASOURCE_WRITE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'writer' AS op FROM t0
+"""
+
+
 def _icepack_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish over branches (new r5, Iceberg refs parity):
     the odd-seq change batch is CoW-merged into a BRANCH view of the table
@@ -3795,7 +3866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           table/transforms.py) took the slot of jaccard_pairs_docs
           (green r2-r4), and icepack_datasource_read (registered Spark
           data source with filter pushdown, sources/pyds.py) took the
-          slot of events_windowed_agg (green r4).
+          slot of events_windowed_agg (green r4), and
+          icepack_datasource_write (the registered format's BATCH WRITER:
+          append/overwrite/schema-guard through df.write.format) took the
+          slot of ann_cosine_topk (green r1-r4, still timed in every
+          bench.py run).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -3847,12 +3922,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icepack_bloom_lookup": _icepack_bloom_lookup,
         "hilbert_key": _hilbert_key,
         # --- previously-green oracled rows kept in the checked window ---
+        "icepack_datasource_write": _icepack_datasource_write,
         "cdc_lww_dedup_window": _lww("window"),
         "cdc_merge_upsert": _merge_upsert,
         "neardup_clusters_docs": _neardup_clusters,
-        "ann_cosine_topk": _ann_cosine_topk,
         "cdc_lww_composite_key": _lww_composite,
         # ---------------- position 51+: outside the driver's check window ---
+        "ann_cosine_topk": _ann_cosine_topk,
         "events_windowed_agg": _windowed_agg,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
         "lang_id_docs": _lang_id_docs,
@@ -3922,6 +3998,7 @@ def oracle_sql() -> dict[str, str]:
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,
         "icepack_hidden_partitioning": _ICEPACK_HIDDEN_PART_ORACLE,
         "icepack_datasource_read": _ICEPACK_DATASOURCE_ORACLE,
+        "icepack_datasource_write": _ICEPACK_DATASOURCE_WRITE_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "topk_orders": _TOPK_ORACLE,
         "broadcast_join_agg": _BROADCAST_ORACLE,
