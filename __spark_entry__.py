@@ -3476,6 +3476,135 @@ FROM t0
 """
 
 
+def _icepack_delete_where_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ``DELETE FROM ... WHERE`` via POSITIONAL delete files
+    (new r5, operators/rowops.py delete_where_mor — Iceberg-v2 position
+    deletes): same three-file range layout as the CoW twin, same
+    ``user_id < 75`` predicate, but the partially-matching file is NOT
+    rewritten — its matches are shadowed by ONE (file, row-index) delete
+    file, O(matched rows) written. Asserted into the hashed `op` column:
+    the fully-matching file still drops metadata-only, the third file
+    prunes, NO data file is rewritten (the pre-delete data file set is a
+    superset of the post-delete one), count_rows stays manifest-exact
+    (net = gross - shadowed, no counting scan), and the returned scan
+    itself exercises the broadcast anti-join resolution
+    (IcepackTable._scan_with_pos_deletes) against the DuckDB truth."""
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        delete_where_mor,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-delpos-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    for lo, hi in ((0, 50), (50, 100), (100, 10**9)):
+        t.append(
+            base.where((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            num_files=1,
+        )
+    v_before = t.head_version()
+    n_before = t.count_rows()
+    data_before = {e.path for e in t.files() if e.content == "data"}
+    rep = delete_where_mor(t, [("user_id", "<", 75)])
+    data_after = {e.path for e in t.files() if e.content == "data"}
+    ok = (
+        rep["files_dropped_metadata_only"] == 1
+        and rep["pos_delete_files"] == 1
+        and rep["files_pruned"] == 1
+        and data_after < data_before  # dropped one, rewrote NONE
+        and rep["rows_deleted"] == n_before - t.count_rows()
+        and t.scan(version=v_before).count() == n_before  # history intact
+        and t.snapshot().operation == "delete-pos"
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("delete-pos" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_DELETE_WHERE_POS_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'delete-pos' AS op
+FROM t0 WHERE user_id >= 75
+"""
+
+
+def _icepack_update_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ``UPDATE ... SET ... WHERE`` (new r5,
+    operators/rowops.py update_where_mor): same layout and assignments as
+    the CoW twin, but the touched files are NOT rewritten — updated rows
+    are APPENDED as new data files and their old physical positions
+    shadowed by ONE positional-delete file (write cost O(matched rows)).
+    Asserted: every pre-update data file is still in the manifest (zero
+    rewrites), exactly one pos-delete file with rows == rows_updated,
+    count_rows unchanged (the shadow arithmetic nets out), and the HEAD
+    scan — new files unioned with the anti-joined old ones — must equal
+    the CASE-recomputed DuckDB truth."""
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        update_where_mor,
+    )
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    root = os.path.join(tempfile.mkdtemp(prefix="icepack-updmor-"), "events")
+    t = IcepackTable.create(spark, root, base.schema)
+    for lo, hi in ((0, 50), (50, 100), (100, 10**9)):
+        t.append(
+            base.where((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            num_files=1,
+        )
+    n_before = t.count_rows()
+    data_before = {e.path for e in t.files() if e.content == "data"}
+    rep = update_where_mor(
+        t,
+        {"value": "value + 1000", "event_type": "upper(event_type)"},
+        [("user_id", "between", (30, 59))],
+    )
+    data_after = {e.path for e in t.files() if e.content == "data"}
+    pos = [e for e in t.files() if e.content == "pos_deletes"]
+    ok = (
+        rep["version"] is not None
+        and rep["files_pruned"] == 1
+        and data_before < data_after  # appended postimages, removed nothing
+        and len(pos) == 1
+        and pos[0].rows == rep["rows_updated"]
+        and t.count_rows() == n_before  # shadow arithmetic nets out
+        and t.snapshot().summary.get("rows_updated") == rep["rows_updated"]
+    )
+    return (
+        t.scan()
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col(TS_META).alias("ts"),
+            F.col(SEQ_META).alias("seq"),
+        )
+        .withColumn("op", F.lit("update-mor" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_UPDATE_WHERE_MOR_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id,
+       CASE WHEN user_id BETWEEN 30 AND 59 THEN upper(event_type)
+            ELSE event_type END AS event_type,
+       CASE WHEN user_id BETWEEN 30 AND 59 THEN value + 1000
+            ELSE value END AS value,
+       ts, seq, 'update-mor' AS op
+FROM t0
+"""
+
+
 def _icepack_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning (new r5, table/transforms.py — Iceberg partition-
     transform parity; Delta only has identity partition columns): the events
@@ -3874,6 +4003,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
+        # positional deletes (Iceberg-v2 MoR DML, operators/rowops.py); the
+        # two slots they take pushed neardup_clusters_docs and
+        # cdc_lww_composite_key (both green r4) out of the 50-row window
+        "icepack_delete_where_pos": _icepack_delete_where_pos,
+        "icepack_update_where_mor": _icepack_update_where_mor,
         "pack_sequences_docs": _pack_sequences_docs,
         "minhash_lsh_pairs_docs": _minhash_lsh_docs,
         "simhash_pairs_docs": _simhash_pairs_docs,
@@ -3995,6 +4129,8 @@ def oracle_sql() -> dict[str, str]:
         "icepack_bloom_lookup": _BLOOM_LOOKUP_ORACLE,
         "icepack_delete_where": _ICEPACK_DELETE_WHERE_ORACLE,
         "icepack_update_where": _ICEPACK_UPDATE_WHERE_ORACLE,
+        "icepack_delete_where_pos": _ICEPACK_DELETE_WHERE_POS_ORACLE,
+        "icepack_update_where_mor": _ICEPACK_UPDATE_WHERE_MOR_ORACLE,
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,
         "icepack_hidden_partitioning": _ICEPACK_HIDDEN_PART_ORACLE,
         "icepack_datasource_read": _ICEPACK_DATASOURCE_ORACLE,

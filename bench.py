@@ -719,6 +719,70 @@ def mor_soak_bench(spark, n_images: int = 4000, batches: int = 20) -> dict:
     }
 
 
+def pos_delete_bench(spark, n_images: int = 24000) -> dict:
+    """Positional-delete DML vs copy-on-write on the worst CoW shape: a
+    ~1%-selectivity DELETE whose matches are hash-scattered across EVERY
+    file of an image table, behind a residual SQL predicate no manifest
+    stat can prune. CoW must re-encode the whole table to drop 1% of its
+    rows; the MoR path writes ONE (file, row-index) delete file — the
+    write-amplification gap is the reason position deletes exist. Also
+    timed: the resolved scan while positions are pending (the anti-join
+    read tax) and the deferred apply_deletes fold."""
+    from pyspark.sql import functions as F
+
+    from datastream_deltalake_connector_spark.operators.merge import SEQ_META, TS_META
+    from datastream_deltalake_connector_spark.operators.mor import apply_deletes
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        delete_where,
+        delete_where_mor,
+    )
+    from datastream_deltalake_connector_spark.sources.generator import generate_images
+    from datastream_deltalake_connector_spark.table import IcepackTable
+
+    base = None
+    pred = "pmod(xxhash64(image_id), 100) = 0"  # ~1%, scattered, unprunable
+    out: dict = {"images": n_images, "predicate": pred}
+    for mode in ("cow", "mor"):
+        root = os.path.join(tempfile.mkdtemp(prefix=f"bench-posdel-{mode}-"), "t")
+        if base is None:
+            base = generate_images(
+                spark, n_images, seed=42, min_px=32, max_px=64
+            ).select(
+                "*",
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias(TS_META),
+                F.lit(0).cast("long").alias(SEQ_META),
+            ).cache()
+            base.count()
+        t = IcepackTable.create(spark, root, base.schema)
+        t.append(base, num_files=32)
+        out["table_bytes"] = sum(e.bytes for e in t.files())
+        out["files"] = len(t.files())
+        before = {e.path for e in t.files()}
+        t0 = time.time()
+        rep = (delete_where if mode == "cow" else delete_where_mor)(
+            t, residual_sql=pred
+        )
+        out[f"{mode}_delete_sec"] = round(time.time() - t0, 3)
+        out[f"{mode}_bytes_written"] = sum(
+            e.bytes for e in t.files() if e.path not in before
+        )
+        out["rows_deleted"] = rep["rows_deleted"]
+        t0 = time.time()
+        t.scan().agg(F.count(F.lit(1))).collect()
+        out[f"{mode}_scan_after_sec"] = round(time.time() - t0, 3)
+        if mode == "mor":
+            t0 = time.time()
+            apply_deletes(t)
+            out["apply_deletes_sec"] = round(time.time() - t0, 3)
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    base.unpersist()
+    out["write_amplification_x"] = round(
+        out["cow_bytes_written"] / max(out["mor_bytes_written"], 1), 1
+    )
+    out["probe_4p_sec"] = _stage_probe()
+    return out
+
+
 def _probe_work(n: int) -> float:
     import numpy as np
 
@@ -1086,6 +1150,32 @@ def write_bench_md(payload: dict) -> None:
             f"{ms['scan_sec_last']} s (probe {ms['probe_4p_sec']} s)",
             "",
         ]
+    pd_ = payload.get("pos_delete")
+    if pd_:
+        lines += [
+            "## Positional-delete DML vs copy-on-write (scattered 1% DELETE)",
+            "",
+            "A residual-SQL DELETE matching ~1% of rows hash-scattered",
+            "across every file — no manifest stat can prune it, so CoW",
+            "re-encodes the whole table while the MoR path writes ONE",
+            "(file, row-index) delete file (operators/rowops.py",
+            "delete_where_mor, Iceberg-v2 position deletes). The pending-",
+            "positions scan pays a broadcast anti-join; apply_deletes",
+            "folds the positions back into plain files.",
+            "",
+            f"- table: {pd_['images']} images / {pd_['files']} files "
+            f"({pd_['table_bytes'] / 1e6:.0f} MB); predicate "
+            f"`{pd_['predicate']}` deleted {pd_['rows_deleted']} rows",
+            f"- CoW delete: {pd_['cow_delete_sec']} s, "
+            f"{pd_['cow_bytes_written'] / 1e6:.1f} MB rewritten",
+            f"- MoR (positional) delete: **{pd_['mor_delete_sec']} s**, "
+            f"{pd_['mor_bytes_written'] / 1e3:.1f} KB written — "
+            f"**{pd_['write_amplification_x']}x less write amplification**",
+            f"- scan after: CoW {pd_['cow_scan_after_sec']} s | MoR pending "
+            f"{pd_['mor_scan_after_sec']} s; apply_deletes fold "
+            f"{pd_['apply_deletes_sec']} s (probe {pd_['probe_4p_sec']} s)",
+            "",
+        ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 
@@ -1119,6 +1209,7 @@ def main() -> None:
     bloom = bloom_prune_bench(spark)
     skew = skew_bench(spark)
     mor_soak = mor_soak_bench(spark)
+    pos_del = pos_delete_bench(spark)
     spark.stop()
 
     scaling = None
@@ -1149,6 +1240,7 @@ def main() -> None:
         "bloom_pruning": bloom,
         "skew": skew,
         "mor_soak": mor_soak,
+        "pos_delete": pos_del,
         "scaling": scaling,
     }
     payload["maintenance"]["root"] = maintenance["root"]

@@ -29,10 +29,11 @@ matter of the submit command, not the code:
       tag      --table PATH (--create NAME [--at N] | --drop NAME)
       publish  --table PATH --branch NAME [--to main] [--keep-branch]
                                                  WAP fast-forward publish
-      delete   --table PATH --where SQL [--filters JSON]
+      delete   --table PATH --where SQL [--filters JSON] [--mode cow|mor]
                                                  DELETE FROM ... WHERE
+                                                 (mor = positional deletes)
       update   --table PATH --set JSON --where SQL [--filters JSON]
-                                                 UPDATE ... SET ... WHERE
+               [--mode cow|mor]                  UPDATE ... SET ... WHERE
       orphans  --table PATH [--grace-seconds S] [--dry-run]
       describe --table PATH                      manifest-only snapshot summary
       scan     --table PATH [--out PARQUET]
@@ -184,6 +185,9 @@ def main(argv: list[str] | None = None) -> int:
         help='JSON [[col,op,value],...] prunable conjunction ANDed with '
         '--where (enables manifest pruning + metadata-only drops)',
     )
+    p.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                   help="cow rewrites touched files; mor lands ONE "
+                   "positional-delete file (O(matched rows) writes)")
     p = sub.add_parser(
         "update", help="UPDATE table SET <assignments> WHERE <SQL predicate>"
     )
@@ -193,6 +197,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where", required=True, help="SQL predicate")
     p.add_argument("--filters", default=None,
                    help="JSON [[col,op,value],...] prunable conjunction")
+    p.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                   help="cow rewrites touched files; mor appends updated "
+                   "rows + ONE positional-delete file")
     p = sub.add_parser("orphans")
     common(p)
     p.add_argument("--grace-seconds", type=float, default=3 * 24 * 3600)
@@ -431,18 +438,20 @@ def main(argv: list[str] | None = None) -> int:
         out["published"] = args.branch
         out["to"] = args.to
     elif args.cmd == "delete":
-        from .operators.rowops import delete_where
+        from .operators.rowops import delete_where, delete_where_mor
 
         t = IcepackTable.load(spark, args.table)
         filters = [tuple(f) for f in json.loads(args.filters)] if args.filters else None
-        out.update(delete_where(t, filters, residual_sql=args.where))
+        op = delete_where_mor if args.mode == "mor" else delete_where
+        out.update(op(t, filters, residual_sql=args.where))
     elif args.cmd == "update":
-        from .operators.rowops import update_where
+        from .operators.rowops import update_where, update_where_mor
 
         t = IcepackTable.load(spark, args.table)
         filters = [tuple(f) for f in json.loads(args.filters)] if args.filters else None
+        op = update_where_mor if args.mode == "mor" else update_where
         out.update(
-            update_where(
+            op(
                 t, json.loads(args.assignments), filters, residual_sql=args.where
             )
         )

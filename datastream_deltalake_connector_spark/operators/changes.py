@@ -102,16 +102,40 @@ def _resolved_old(
     schema: T.StructType,
 ) -> DataFrame:
     """Rows of ``entries`` as they were VISIBLE at ``parent`` — preimages
-    must not include rows a pending equality-delete file had already
-    shadowed (they were logically gone before this commit)."""
+    must not include rows a pending delete file (equality or positional)
+    had already shadowed (they were logically gone before this commit)."""
     if not entries:
         return table.spark.createDataFrame([], schema)
-    parent_entries = table.files(parent)
-    pending = [e for e in parent_entries if e.content == "eq_deletes"]
-    if not pending:
-        return _read(table, entries, schema)
-    key_cols = table.snapshot(parent).summary.get("eq_delete_cols") or []
-    return table._scan_with_deletes(entries, pending, schema, key_cols)
+    _data, pending_eq, pending_pos = table._split_deletes(table.files(parent))
+    if pending_eq:
+        key_cols = table.snapshot(parent).summary.get("eq_delete_cols") or []
+        return table._scan_with_deletes(entries, pending_eq, schema, key_cols)
+    if pending_pos:
+        return table._scan_with_pos_deletes(entries, pending_pos, schema)
+    return _read(table, entries, schema)
+
+
+def _rows_at_positions(
+    table: IcepackTable,
+    files: list[FileEntry],
+    pairs: DataFrame,
+    schema: T.StructType,
+) -> DataFrame:
+    """Rows of ``files`` addressed by the (``__dabs``, ``__dpos``) pairs —
+    one broadcast semi-join on the physical row ordinal, the exact-lookup
+    core of the positional-delete change feed."""
+    if not files:
+        return table.spark.createDataFrame([], schema)
+    df = (
+        table.spark.read.schema(schema)
+        .parquet(*[table.data_path(e.path) for e in files])
+        .withColumn("__abs", F.col("_metadata.file_path"))
+        .withColumn("__idx", F.col("_metadata.row_index"))
+    )
+    cond = (F.col("__abs") == F.col("__dabs")) & (
+        F.col("__idx") == F.col("__dpos")
+    )
+    return df.join(F.broadcast(pairs), cond, "left_semi").drop("__abs", "__idx")
 
 
 def _classify(
@@ -148,10 +172,19 @@ def _classify(
 
     has_old = F.col("__o_present").isNotNull()
     has_new = F.col("__n_present").isNotNull()
-    same = (
-        F.col(f"__o_{TS_META}").eqNullSafe(F.col(f"__n_{TS_META}"))
-        & F.col(f"__o_{SEQ_META}").eqNullSafe(F.col(f"__n_{SEQ_META}"))
-    )
+    if TS_META in cols and SEQ_META in cols:
+        same = (
+            F.col(f"__o_{TS_META}").eqNullSafe(F.col(f"__n_{TS_META}"))
+            & F.col(f"__o_{SEQ_META}").eqNullSafe(F.col(f"__n_{SEQ_META}"))
+        )
+    else:
+        # tables without the merge-metadata identity (plain appends +
+        # row-level DML): a carried row is one whose every column survived
+        # unchanged — null-safe so NULL == NULL counts as carried
+        same = None
+        for c in cols:
+            eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+            same = eq if same is None else same & eq
     # empty branch needs the same element type as the populated ones
     empty = F.slice(F.array(img("n", "x")), 1, 0)
     changes = (
@@ -233,6 +266,7 @@ def table_changes(
         added_dels = [e for e in added if e.content == "eq_deletes"]
         removed_data = [e for e in removed if e.content == "data"]
         removed_dels = [e for e in removed if e.content == "eq_deletes"]
+        affect_pos = [e for e in added + removed if e.content == "pos_deletes"]
 
         schema = snap.schema
         cols = [f.name for f in schema.fields]
@@ -306,11 +340,59 @@ def table_changes(
                     new_df = new_df.unionByName(
                         new_vis.join(F.broadcast(del_keys), keys, "left_semi")
                     )
+            if affect_pos:
+                # Positional-delete files added or removed by this commit
+                # flip the visibility of EXACT rows: pair sets diffed across
+                # the two manifests give newly-shadowed positions (preimages
+                # — delete_where_mor / update_where_mor) and un-shadowed
+                # ones (resurrections — rollback), each restricted to the
+                # named data files present in BOTH manifests. No resolved
+                # double-scan is needed (the eq path's machinery): the pairs
+                # ARE the diff, so the feed reads only the addressed files.
+                parent_pos = [
+                    e
+                    for e in old_by_path.values()
+                    if e.content == "pos_deletes"
+                ]
+                now_pos = [e for e in entries if e.content == "pos_deletes"]
+                empty_pairs = table.spark.createDataFrame(
+                    [], "__dabs string, __dpos long"
+                )
+                p_prev = (
+                    table._pos_delete_df(parent_pos)
+                    if parent_pos
+                    else empty_pairs
+                )
+                p_now = (
+                    table._pos_delete_df(now_pos) if now_pos else empty_pairs
+                )
+                named = set(table.pos_delete_targets(affect_pos))
+                kept_named = [
+                    e
+                    for e in entries
+                    if e.content == "data"
+                    and e.path in old_by_path
+                    and e.path in named
+                ]
+                if kept_named:
+                    uris = [table._file_uri(e.path) for e in kept_named]
+                    newly = p_now.exceptAll(p_prev).where(
+                        F.col("__dabs").isin(uris)
+                    )
+                    unshadowed = p_prev.exceptAll(p_now).where(
+                        F.col("__dabs").isin(uris)
+                    )
+                    old_parts.append(
+                        _rows_at_positions(table, kept_named, newly, schema)
+                    )
+                    new_df = new_df.unionByName(
+                        _rows_at_positions(table, kept_named, unshadowed, schema)
+                    )
             old_df = old_parts[0]
             for p in old_parts[1:]:
                 old_df = old_df.unionByName(p)
             if not keys:
-                if op not in ("overwrite", "rollback"):
+                if op not in ("overwrite", "rollback", "delete-pos"):
                     raise ValueError(
                         f"commit v{v} ({op}) needs a merge key to classify "
                         "changes; pass key=..."

@@ -73,10 +73,11 @@ def cluster(
     journal = LineageJournal(table.root, job_id)
     parent = table.head_version()
     entries = table.files(parent)
-    # Apply pending equality deletes first: a clustering rewrite re-stamps
-    # data-sequence numbers, which would un-shadow rows a delete file killed
-    # (same guard as compact(); Iceberg's rewrite_data_files does likewise).
-    if any(e.content == "eq_deletes" for e in entries):
+    # Apply pending deletes (equality OR positional) first: a clustering
+    # rewrite re-stamps data-sequence numbers and re-files every row — both
+    # would un-shadow rows a delete file killed (same guard as compact();
+    # Iceberg's rewrite_data_files does likewise).
+    if any(e.content != "data" for e in entries):
         from .mor import apply_deletes
 
         apply_deletes(table)

@@ -114,11 +114,12 @@ def compact(
     journal = LineageJournal(table.root, job_id)
     parent = table.head_version()
     entries = table.files(parent)
-    # Pending equality deletes must be applied BEFORE any data-file rewrite:
-    # commit() stamps rewritten files with a fresh data-sequence number, which
-    # would lift them above the delete files' seq and un-shadow dead rows.
-    # (Iceberg's rewrite_data_files applies deletes for the same reason.)
-    if any(e.content == "eq_deletes" for e in entries):
+    # Pending deletes must be applied BEFORE any data-file rewrite: commit()
+    # stamps rewritten files with a fresh data-sequence number, which would
+    # lift them above an equality-delete file's seq and un-shadow dead rows —
+    # and a positional delete's (file, pos) refs don't survive re-filing at
+    # all. (Iceberg's rewrite_data_files applies deletes for the same reason.)
+    if any(e.content != "data" for e in entries):
         from .mor import apply_deletes
 
         apply_deletes(table)

@@ -77,6 +77,14 @@ def merge_into_table_mor(
     parent = table.head_version()
     journal = LineageJournal(table.root, job_id or f"merge-mor-{uuid.uuid4().hex[:12]}")
 
+    if any(e.content == "pos_deletes" for e in table.files(parent)):
+        # DML positional deletes (rowops.delete_where_mor/update_where_mor)
+        # and CDC equality deletes never coexist in one snapshot — fold the
+        # pending positions into the data files and proceed on a clean
+        # manifest (the pos-delete writers do the same for pending eq files)
+        apply_deletes(table)
+        parent = table.head_version()
+
     recorded = table.snapshot(parent).summary.get("eq_delete_cols")
     if recorded and recorded != keys:
         # Pending tombstones recorded under a DIFFERENT key set cannot be
@@ -215,10 +223,12 @@ def apply_deletes(
     table: IcepackTable,
     job_id: str | None = None,
 ) -> int | None:
-    """Major compaction of equality deletes: rewrite exactly the data files a
-    pending delete file can hit (newer delete seq + overlapping key range),
-    drop every delete file, and restore the pure-data manifest. Returns the
-    new version, or None when no delete files are pending.
+    """Major compaction of pending delete files — equality (CDC merge
+    tombstones) or positional (rowops DML) alike: rewrite exactly the data
+    files a pending delete file can hit (eq: newer delete seq + overlapping
+    key range/bloom; pos: the exact files the delete rows name), drop every
+    delete file, and restore the pure-data manifest. Returns the new
+    version, or None when no delete files are pending.
 
     The rewrite reads each affected file through the same broadcast anti-join
     scan() uses, at its natural splits (one output per split, pixels never
@@ -226,24 +236,35 @@ def apply_deletes(
     cost is proportional to the churned working set — the same bound the
     merge itself had."""
     parent = table.head_version()
-    entries = table.files(parent)
-    deletes = [e for e in entries if e.content == "eq_deletes"]
-    if not deletes:
+    data, deletes, pos_deletes = table._split_deletes(table.files(parent))
+    if not deletes and not pos_deletes:
         return None
-    data = [e for e in entries if e.content == "data"]
     key_cols = table.snapshot(parent).summary.get("eq_delete_cols") or []
     journal = LineageJournal(table.root, job_id or f"apply-del-{uuid.uuid4().hex[:12]}")
 
-    # range + (when available) driver-side bloom refinement — on an
-    # arrival-ordered layout the blooms are what keep a sparse tombstone
-    # set from forcing a full-table rewrite here
-    hit = table.delete_hit_candidates(data, deletes, key_cols)
+    if pos_deletes:
+        # positional deletes name their victim files exactly — the hit set
+        # is the named ∩ live files, no range/bloom refinement needed
+        live = {e.path for e in data}
+        named = set(table.pos_delete_targets(pos_deletes)) & live
+        hit = [e for e in data if e.path in named]
+        deletes = pos_deletes
+    else:
+        # range + (when available) driver-side bloom refinement — on an
+        # arrival-ordered layout the blooms are what keep a sparse tombstone
+        # set from forcing a full-table rewrite here
+        hit = table.delete_hit_candidates(data, deletes, key_cols)
     removed = [e.path for e in hit] + [e.path for e in deletes]
     added: list[FileEntry] = []
     if hit:
-        resolved = table._scan_with_deletes(
-            hit, deletes, table.schema(parent), key_cols, candidates=hit
-        )
+        if pos_deletes:
+            resolved = table._scan_with_pos_deletes(
+                hit, pos_deletes, table.schema(parent), candidates=hit
+            )
+        else:
+            resolved = table._scan_with_deletes(
+                hit, deletes, table.schema(parent), key_cols, candidates=hit
+            )
         added = table.write_data_files(
             resolved, partition_by=table.partition_spec() or None,
             enforce_constraints=False,  # re-files already-validated rows
@@ -283,7 +304,7 @@ def maybe_apply_deletes(
     the table's rows (scan-side anti-join cost grows with churn). Driver-side
     manifest math only; returns the new version or None (no-op)."""
     entries = table.files()
-    dels = [e for e in entries if e.content == "eq_deletes"]
+    dels = [e for e in entries if e.content != "data"]
     if not dels:
         return None
     data_rows = sum(e.rows for e in entries if e.content == "data") or 1

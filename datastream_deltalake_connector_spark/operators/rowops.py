@@ -32,9 +32,14 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..table.icepack import FileEntry, IcepackTable
+from ..table.icepack import POS_FILE_COL, POS_IDX_COL, FileEntry, IcepackTable
 
-__all__ = ["delete_where", "update_where"]
+__all__ = [
+    "delete_where",
+    "update_where",
+    "delete_where_mor",
+    "update_where_mor",
+]
 
 Filter = tuple  # (col, op, value) with op in = < <= > >= between in
 
@@ -89,13 +94,18 @@ def _read_candidates(
     deletes: list[FileEntry],
     schema,
     eq_cols: list[str],
+    pos_deletes: list[FileEntry] = (),
 ) -> DataFrame:
     """Read exactly the candidate files, with pending merge-on-read deletes
-    resolved: a CoW rewrite stamps a fresh (higher) data-sequence number, so
-    an unresolved shadowed row would RESURRECT — same discipline as
-    clustering/compaction."""
+    (equality or positional) resolved: a CoW rewrite stamps a fresh (higher)
+    data-sequence number / a fresh physical file, so an unresolved shadowed
+    row would RESURRECT — same discipline as clustering/compaction. A pos
+    row whose named file this rewrite removes dangles harmlessly (every
+    resolver intersects named files with the live manifest)."""
     if deletes:
         return table._scan_with_deletes(cand, deletes, schema, eq_cols)
+    if pos_deletes:
+        return table._scan_with_pos_deletes(cand, pos_deletes, schema)
     paths = [table.data_path(e.path) for e in cand]
     return table.spark.read.schema(schema).parquet(*paths)
 
@@ -124,15 +134,16 @@ def delete_where(
     Returns a report dict; ``version`` is None when the delete provably
     matched nothing (no commit, staged bytes reclaimed)."""
     snap = table.snapshot()
-    entries = table.files(snap.version)
-    deletes = [e for e in entries if e.content == "eq_deletes"]
-    data = [e for e in entries if e.content == "data"]
+    data, deletes, pos_pending = table._split_deletes(table.files(snap.version))
     filters = filters or []
     pred = _pred_column(filters, residual_sql)  # validates non-empty early
 
     cand = [
         e for e in data if all(e.may_match(c, op, v) for (c, op, v) in filters)
     ]
+    pos_named = (
+        set(table.pos_delete_targets(pos_pending)) if pos_pending else set()
+    )
     droppable = (
         []
         if residual_sql
@@ -140,6 +151,10 @@ def delete_where(
             e
             for e in cand
             if filters
+            # a file with pending pos-deleted rows is NOT fully matching —
+            # its shadowed rows are logically gone already and must not be
+            # double-counted by a metadata drop
+            and e.path not in pos_named
             and all(e.must_match_all(c, op, v) for (c, op, v) in filters)
         ]
     )
@@ -156,6 +171,7 @@ def delete_where(
             deletes,
             snap.schema,
             snap.summary.get("eq_delete_cols") or [],
+            pos_deletes=pos_pending,
         )
         kept_df = df.where(~F.coalesce(pred, F.lit(False)))
         # deletes only re-file rows the table already validated
@@ -167,7 +183,7 @@ def delete_where(
     # Provable no-op: nothing droppable, no pending MoR deletes muddying the
     # gross/kept arithmetic, and the rewrite kept every row — skip the commit
     # and reclaim the staged bytes instead of churning the manifest.
-    if not droppable and not deletes and rows_kept == rows_gross:
+    if not droppable and not deletes and not pos_pending and rows_kept == rows_gross:
         _reclaim_staged(table, added)
         return {
             "version": None,
@@ -202,6 +218,253 @@ def delete_where(
     }
 
 
+def _fold_eq_deletes(table: IcepackTable) -> None:
+    """Positional-delete DML never coexists with pending CDC equality
+    deletes in one snapshot (delete-kind homogeneity — every reader resolves
+    ONE kind): fold pending eq tombstones into the data files first, exactly
+    as merge_into_table_mor folds pending positions."""
+    if any(e.content == "eq_deletes" for e in table.files()):
+        from .mor import apply_deletes
+
+        apply_deletes(table)
+
+
+def _read_with_positions(
+    table: IcepackTable,
+    cand: list[FileEntry],
+    pos_pending: list[FileEntry],
+) -> DataFrame:
+    """Candidate files with their physical row ordinals (``__abs`` file URI,
+    ``__idx`` row index), pending positional deletes resolved out — a row a
+    previous MoR DML already deleted can never re-match, and an update built
+    from it can never resurrect it."""
+    df = (
+        table.spark.read.schema(table.schema())
+        .parquet(*[table.data_path(e.path) for e in cand])
+        .withColumn("__abs", F.col("_metadata.file_path"))
+        .withColumn("__idx", F.col("_metadata.row_index"))
+    )
+    if pos_pending:
+        del_df = table._pos_delete_df(pos_pending)
+        cond = (F.col("__abs") == F.col("__dabs")) & (
+            F.col("__idx") == F.col("__dpos")
+        )
+        df = df.join(F.broadcast(del_df), cond, "left_anti")
+    return df
+
+
+def _write_pos_delete_file(
+    table: IcepackTable,
+    positions: DataFrame,
+    cand: list[FileEntry],
+) -> list[FileEntry]:
+    """Stage ONE positional-delete file from (``__abs``, ``__idx``) rows:
+    URIs map back to manifest-relative paths through a broadcast of the
+    candidate list (driver-side, exact), sorted (file, pos) so footer stats
+    stay tight. Returns the staged entries re-tagged ``pos_deletes``."""
+    mapping = table.spark.createDataFrame(
+        [(table._file_uri(e.path), e.path) for e in cand],
+        "__abs string, __relfile string",
+    )
+    pos_df = (
+        positions.join(F.broadcast(mapping), "__abs")
+        .select(
+            F.col("__relfile").alias(POS_FILE_COL),
+            F.col("__idx").alias(POS_IDX_COL),
+        )
+        .orderBy(POS_FILE_COL, POS_IDX_COL)
+        .coalesce(1)
+    )
+    added = table.write_data_files(pos_df, enforce_constraints=False)
+    for e in added:
+        e.content = "pos_deletes"
+    return added
+
+
+def delete_where_mor(
+    table: IcepackTable,
+    filters: list[Filter] | None = None,
+    residual_sql: str | None = None,
+) -> dict:
+    """``DELETE FROM table WHERE <pred>``, merge-on-read: metadata-drop
+    fully-matching files, and shadow the remaining matches with ONE
+    positional-delete file of (file, row-index) pairs instead of rewriting
+    their files.
+
+    The copy-on-write twin (:func:`delete_where`) re-encodes every byte of
+    every partially-matching file; at 100 TB of image rows a predicate that
+    deletes 0.1% of rows scattered across the table makes that a full-table
+    rewrite. This path writes O(matched rows) — a few longs per deleted
+    row — and defers the rewrite to ``apply_deletes`` (policy-batched via
+    ``maybe_apply_deletes``, exactly like CDC equality tombstones).
+
+    Same predicate surface and report shape as ``delete_where``; identical
+    visible rows afterwards (pinned by tests/test_pos_deletes.py parity)."""
+    _fold_eq_deletes(table)
+    snap = table.snapshot()
+    data, _eq, pos_pending = table._split_deletes(table.files(snap.version))
+    filters = filters or []
+    pred = _pred_column(filters, residual_sql)  # validates non-empty early
+
+    cand = [
+        e for e in data if all(e.may_match(c, op, v) for (c, op, v) in filters)
+    ]
+    pos_named = (
+        set(table.pos_delete_targets(pos_pending)) if pos_pending else set()
+    )
+    # metadata-only drops still beat a pos-delete file — but a file with
+    # pending pos rows must stay row-level (dropping it would strand its
+    # positions and break the metadata-only count arithmetic)
+    droppable = (
+        []
+        if residual_sql
+        else [
+            e
+            for e in cand
+            if filters
+            and e.path not in pos_named
+            and all(e.must_match_all(c, op, v) for (c, op, v) in filters)
+        ]
+    )
+    drop_paths = {e.path for e in droppable}
+    rewrite = [e for e in cand if e.path not in drop_paths]
+
+    added: list[FileEntry] = []
+    if rewrite:
+        table._check_uri_formula(rewrite[0])
+        df = _read_with_positions(table, rewrite, pos_pending)
+        matched = df.where(F.coalesce(pred, F.lit(False))).select("__abs", "__idx")
+        added = _write_pos_delete_file(table, matched, rewrite)
+    rows_deleted = sum(e.rows for e in added)
+
+    if not droppable and rows_deleted == 0:
+        return {
+            "version": None,
+            "rows_deleted": 0,
+            "files_scanned": len(rewrite),
+            "files_dropped_metadata_only": 0,
+            "pos_delete_files": 0,
+            "files_pruned": len(data) - len(cand),
+            "predicate": _describe_pred(filters, residual_sql),
+        }
+
+    version = table.commit(
+        "delete-pos",
+        added=added,
+        removed_paths=[e.path for e in droppable],
+        summary={
+            "predicate": _describe_pred(filters, residual_sql),
+            "files_dropped_metadata_only": len(droppable),
+            "rows_pos_deleted": rows_deleted,
+        },
+    )
+    return {
+        "version": version,
+        "rows_deleted": sum(e.rows for e in droppable) + rows_deleted,
+        "files_scanned": len(rewrite),
+        "files_dropped_metadata_only": len(droppable),
+        "pos_delete_files": len(added),
+        "files_pruned": len(data) - len(cand),
+        "predicate": _describe_pred(filters, residual_sql),
+    }
+
+
+def update_where_mor(
+    table: IcepackTable,
+    assignments: dict[str, Any],
+    filters: list[Filter] | None = None,
+    residual_sql: str | None = None,
+    num_files: int | None = None,
+) -> dict:
+    """``UPDATE table SET <assignments> WHERE <pred>``, merge-on-read:
+    append the updated rows as new data files and shadow their old physical
+    positions with ONE positional-delete file — write cost O(matched rows),
+    never O(files touched).
+
+    Same assignment semantics as :func:`update_where` (all expressions see
+    the pre-update row; values cast back to declared types; CHECK
+    constraints enforced on the updated rows). The new data files are
+    co-committed with the pos-delete file; positions address only the OLD
+    physical rows by (file, row-index), so the commit can never shadow its
+    own output — the path-exact analogue of the eq-delete seq scoping."""
+    snap0 = table.snapshot()
+    field_types = {f.name: f.dataType for f in snap0.schema.fields}
+    bad = sorted(set(assignments) - set(field_types))
+    if bad:
+        raise ValueError(f"unknown column(s) in assignments: {bad}")
+    _fold_eq_deletes(table)
+    snap = table.snapshot()
+    data, _eq, pos_pending = table._split_deletes(table.files(snap.version))
+    filters = filters or []
+    pred = _pred_column(filters, residual_sql)
+
+    cand = [
+        e for e in data if all(e.may_match(c, op, v) for (c, op, v) in filters)
+    ]
+    report_base = {
+        "files_pruned": len(data) - len(cand),
+        "predicate": _describe_pred(filters, residual_sql),
+    }
+    if not cand:
+        return {"version": None, "rows_updated": 0, "pos_delete_files": 0,
+                **report_base}
+
+    table._check_uri_formula(cand[0])
+    df = _read_with_positions(table, cand, pos_pending)
+    # matched rows only — bounded by the predicate's churn, read twice
+    # (postimage data files + pos-delete file); unpersisted after both
+    matched = df.where(F.coalesce(pred, F.lit(False))).cache()
+    new_cols = {
+        col: (F.expr(expr) if isinstance(expr, str) else expr).cast(
+            field_types[col]
+        )
+        for col, expr in assignments.items()
+    }
+    post = matched.withColumns(new_cols).drop("__abs", "__idx")
+    added_data = table.write_data_files(
+        post,
+        num_files=num_files,
+        partition_by=table.partition_spec() or None,
+        enforce_constraints=True,  # an UPDATE can introduce violations
+    )
+    rows_updated = sum(e.rows for e in added_data)
+    if rows_updated == 0:
+        matched.unpersist()
+        return {"version": None, "rows_updated": 0, "pos_delete_files": 0,
+                **report_base, "files_scanned": len(cand)}
+
+    pos_entries = _write_pos_delete_file(
+        table, matched.select("__abs", "__idx"), cand
+    )
+    matched.unpersist()
+    pos_rows = sum(e.rows for e in pos_entries)
+    if pos_rows != rows_updated:
+        # the URI mapping dropped rows — abort loudly before committing a
+        # snapshot that would double-count the updated rows
+        _reclaim_staged(table, added_data + pos_entries)
+        raise RuntimeError(
+            f"update_where_mor position mapping mismatch: {rows_updated} "
+            f"updated rows but {pos_rows} positions staged"
+        )
+
+    version = table.commit(
+        "update-mor",
+        added=added_data + pos_entries,
+        summary={
+            "predicate": report_base["predicate"],
+            "assignments": {k: str(v) for k, v in assignments.items()},
+            "rows_updated": rows_updated,
+        },
+    )
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "pos_delete_files": len(pos_entries),
+        "files_scanned": len(cand),
+        **report_base,
+    }
+
+
 def update_where(
     table: IcepackTable,
     assignments: dict[str, Any],
@@ -225,9 +488,7 @@ def update_where(
     bad = sorted(set(assignments) - set(field_types))
     if bad:
         raise ValueError(f"unknown column(s) in assignments: {bad}")
-    entries = table.files(snap.version)
-    deletes = [e for e in entries if e.content == "eq_deletes"]
-    data = [e for e in entries if e.content == "data"]
+    data, deletes, pos_pending = table._split_deletes(table.files(snap.version))
     filters = filters or []
     pred = _pred_column(filters, residual_sql)
 
@@ -243,7 +504,12 @@ def update_where(
         return {"version": None, "rows_updated": 0, **report_base}
 
     df = _read_candidates(
-        table, cand, deletes, schema, snap.summary.get("eq_delete_cols") or []
+        table,
+        cand,
+        deletes,
+        schema,
+        snap.summary.get("eq_delete_cols") or [],
+        pos_deletes=pos_pending,
     )
     hit = F.coalesce(pred, F.lit(False))
     # all WHEN branches read OLD values: build every assignment against df's
@@ -259,15 +525,20 @@ def update_where(
     from pyspark.sql import Observation
 
     obs = Observation()
-    out = df.withColumns(new_cols).observe(
+    # observe BEFORE the projection: an assignment that modifies a predicate
+    # column (SET g = g + 100 WHERE g = 2) must count hits against the OLD
+    # values — observed after withColumns, the metric re-evaluates the
+    # predicate on updated rows, reads 0, and the no-op short-circuit
+    # silently reclaims a real update (caught by test_pos_deletes parity)
+    out = df.observe(
         obs, F.sum(hit.cast("long")).alias("rows_updated")
-    )
+    ).withColumns(new_cols)
     added = table.write_data_files(
         out, num_files=num_files, enforce_constraints=True
     )
     rows_updated = int(obs.get["rows_updated"] or 0)
 
-    if rows_updated == 0 and not deletes:
+    if rows_updated == 0 and not deletes and not pos_pending:
         # provable no-op (the conservative manifest pruning over-selected):
         # reclaim staged bytes, leave the manifest alone
         _reclaim_staged(table, added)

@@ -326,10 +326,11 @@ def merge_into_table(
     _t = _time.time()
     parent = table.head_version()
     # A CoW merge rewrites touched data files with a fresh data-sequence
-    # stamp, which would un-shadow rows a pending equality-delete file
-    # (operators/mor.py) killed — apply the deletes first, same guard as
+    # stamp (un-shadowing rows a pending equality-delete file killed) and
+    # re-files rows (stranding a positional delete's (file, pos) refs) —
+    # apply pending deletes of either kind first, same guard as
     # compact()/cluster_table().
-    if any(e.content == "eq_deletes" for e in table.files(parent)):
+    if any(e.content != "data" for e in table.files(parent)):
         from .mor import apply_deletes
 
         apply_deletes(table)

@@ -121,6 +121,12 @@ class _FilePart(InputPartition):
     # overlapping key range — empty for the common (clean) case
     delete_paths: tuple
     key_cols: tuple
+    # positional deletes: absolute paths of pos-delete files NAMING this data
+    # file (exact, from their __file column), plus the manifest-relative path
+    # the executor filters those files on. Never set together with
+    # delete_paths (delete-kind homogeneity invariant).
+    pos_delete_paths: tuple = ()
+    rel_path: str = ""
 
 
 def _arrow_batches(
@@ -153,6 +159,22 @@ def _arrow_batches(
             cols.append(pa.nulls(n, field.type))
     out = pa.table(dict(zip(target.names, cols)), schema=target)
 
+    if part.pos_delete_paths:
+        # masked on the ORIGINAL row ordinals (before any other filter):
+        # a pos-delete row shadows the file's physical row index
+        import numpy as np
+        import pyarrow.compute as pc
+
+        dead: set[int] = set()
+        for dp in part.pos_delete_paths:
+            dt = pq.read_table(dp, columns=["__file", "__pos"])
+            mine = dt.filter(pc.equal(dt.column("__file"), part.rel_path))
+            dead.update(mine.column("__pos").to_pylist())
+        if dead:
+            keep = np.ones(n, dtype=bool)
+            keep[np.fromiter(dead, dtype=np.int64)] = False
+            out = out.filter(pa.array(keep))
+
     if part.delete_paths and part.key_cols:
         shadowed = set()
         for dp in part.delete_paths:
@@ -174,9 +196,9 @@ class IcepackBatchReader(DataSourceReader):
         t = _table(self.root)
         self.version = _resolve_version(t, options)
         snap = t.snapshot(self.version)
-        entries = t.files(self.version)
-        self.deletes = [e for e in entries if e.content == "eq_deletes"]
-        self.data = [e for e in entries if e.content == "data"]
+        self.data, self.deletes, self.pos_deletes = t._split_deletes(
+            t.files(self.version)
+        )
         self.eq_cols = tuple(snap.summary.get("eq_delete_cols") or [])
         self.schema_cols = {f.name for f in snap.schema.fields}
         self._t = t
@@ -239,6 +261,13 @@ class IcepackBatchReader(DataSourceReader):
         # merge-on-read: per data file, the newer-seq delete files whose key
         # range overlaps (the same candidate logic scan() uses, but shipped
         # per-partition so executors resolve independently)
+        # positional deletes: exact per-file targeting from the delete files'
+        # own __file column (driver-side, memoized) — only named files carry
+        # any resolution work to the executor
+        pos_targets: dict[str, set[str]] = {}
+        for d in self.pos_deletes:
+            for rel in self._t.pos_delete_targets([d]):
+                pos_targets.setdefault(rel, set()).add(self._t.data_path(d.path))
         parts = []
         for e in entries:
             dels = ()
@@ -250,7 +279,13 @@ class IcepackBatchReader(DataSourceReader):
                     and self._t._ranges_overlap(e, d, list(self.eq_cols))
                 )
             parts.append(
-                _FilePart(self._t.data_path(e.path), dels, self.eq_cols)
+                _FilePart(
+                    self._t.data_path(e.path),
+                    dels,
+                    self.eq_cols,
+                    pos_delete_paths=tuple(sorted(pos_targets.get(e.path, ()))),
+                    rel_path=e.path,
+                )
             )
         return parts
 
@@ -309,7 +344,7 @@ class IcepackStreamReader(DataSourceStreamReader):
             added_dels = [
                 e
                 for e in entries
-                if e.path not in prev and e.content == "eq_deletes"
+                if e.path not in prev and e.content != "data"
             ]
             if removed or added_dels or snap.operation not in ("append", "clone"):
                 # a merge/delete/update/overwrite: not an append-only commit

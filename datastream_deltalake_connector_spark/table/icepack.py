@@ -60,6 +60,13 @@ from pyspark.sql import types as T
 
 __all__ = ["IcepackTable", "FileEntry", "Snapshot", "ConflictError", "SchemaEvolutionError"]
 
+# Positional-delete file columns (Iceberg-v2 position deletes, spec §Delete
+# Formats): each row shadows exactly ONE physical row, addressed by the data
+# file's manifest-relative path and its parquet row index (the same ordinal
+# Spark exposes as ``_metadata.row_index``).
+POS_FILE_COL = "__file"
+POS_IDX_COL = "__pos"
+
 
 class ConflictError(RuntimeError):
     """Another writer committed since this writer's snapshot was resolved."""
@@ -196,6 +203,23 @@ def _delete_key_hashes(abs_path: str, key: str) -> "np.ndarray":
     return _hash_values(col.to_numpy(zero_copy_only=False))
 
 
+@_functools.lru_cache(maxsize=64)
+def _pos_delete_refs(abs_path: str) -> tuple[tuple[str, ...], tuple[int, ...]]:
+    """(distinct data-file rel paths, per-path shadowed-row counts) of one
+    positional-delete file, memoized — pos-delete files are immutable and
+    tiny (matched rows only), and both the scan's target-set derivation and
+    the metadata-only count arithmetic re-consult them per query."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    col = pq.ParquetFile(abs_path).read(columns=[POS_FILE_COL]).column(POS_FILE_COL)
+    vc = pc.value_counts(col.combine_chunks())
+    return (
+        tuple(vc.field("values").to_pylist()),
+        tuple(vc.field("counts").to_pylist()),
+    )
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -209,7 +233,11 @@ class FileEntry:
     # Iceberg-v2-style merge-on-read support:
     #   content: "data" (row files) | "eq_deletes" (equality-delete files —
     #            parquet of key tuples that SHADOW every older data row with
-    #            a matching key).
+    #            a matching key) | "pos_deletes" (positional-delete files —
+    #            parquet of (__file, __pos) pairs, each shadowing exactly one
+    #            physical row of the named data file; path-exact, so no seq
+    #            scoping is needed and a file leaving the manifest strands
+    #            its positions harmlessly).
     #   seq:     data sequence number, stamped by commit() with the committing
     #            snapshot version. A delete file applies to a data file iff
     #            delete.seq > data.seq — rows co-committed with their delete
@@ -738,9 +766,7 @@ class IcepackTable:
                 )
             version = self.version_as_of(as_of_timestamp_ms)
         snap = self.snapshot(version)
-        entries = self.files(snap.version)
-        deletes = [e for e in entries if e.content == "eq_deletes"]
-        entries = [e for e in entries if e.content == "data"]
+        entries, deletes, pos_deletes = self._split_deletes(self.files(snap.version))
         if filters:
             from .transforms import partition_may_match, transforms_for_keys
 
@@ -776,6 +802,8 @@ class IcepackTable:
                 schema,
                 snap.summary.get("eq_delete_cols") or [],
             )
+        elif pos_deletes:
+            df = self._scan_with_pos_deletes(entries, pos_deletes, schema)
         else:
             paths = [self.data_path(e.path) for e in entries]
             # Explicit schema: files written before a schema evolution lack the
@@ -968,6 +996,147 @@ class IcepackTable:
             cond = cond & (F.col(c) == F.col(f"__del_{c}"))
         resolved = cand_df.join(F.broadcast(del_df), cond, "left_anti").drop("__ds")
         return df.unionByName(resolved)
+
+    # ------------------------------------------------- positional deletes
+    def pos_delete_targets(self, pos_deletes: list[FileEntry]) -> dict[str, int]:
+        """Exact {data-file rel path: shadowed-row count} named by pending
+        positional-delete files. Driver-side pyarrow read of the tiny
+        ``__file`` column (memoized per immutable file) — the pos analogue
+        of ``delete_hit_candidates``, but EXACT instead of range/bloom
+        conservative, because pos-delete files address files by path."""
+        out: dict[str, int] = {}
+        for d in pos_deletes:
+            paths, counts = _pos_delete_refs(self.data_path(d.path))
+            for p, c in zip(paths, counts):
+                out[p] = out.get(p, 0) + c
+        return out
+
+    def _file_uri(self, rel_or_abs: str) -> str:
+        """The URI ``_metadata.file_path`` reports for a manifest path —
+        what lets a positional delete's rel path meet the scan's metadata
+        column in a join. Verified against Spark's actual rendering once
+        per table root (:meth:`_check_uri_formula`) so drift fails loudly
+        instead of silently resurrecting deleted rows."""
+        return "file:" + os.path.abspath(self.data_path(rel_or_abs))
+
+    _URI_FORMULA_CHECKED: set[str] = set()  # class-level, keyed by root
+
+    def _check_uri_formula(self, entry: FileEntry) -> None:
+        root_key = os.path.abspath(self.root)
+        if root_key in IcepackTable._URI_FORMULA_CHECKED:
+            return
+        from pyspark.sql import functions as F
+
+        got = (
+            self.spark.read.parquet(self.data_path(entry.path))
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .limit(1)
+            .collect()
+        )
+        if not got or got[0].fp != self._file_uri(entry.path):
+            raise RuntimeError(
+                "positional-delete URI mapping failed: Spark reports "
+                f"{got[0].fp if got else '<no rows>'!r} for manifest path "
+                f"{entry.path!r}, expected {self._file_uri(entry.path)!r} — "
+                "refusing to resolve pos-deletes (a silent mismatch would "
+                "resurrect deleted rows)"
+            )
+        IcepackTable._URI_FORMULA_CHECKED.add(root_key)
+
+    def _pos_delete_df(self, pos_deletes: list[FileEntry]) -> DataFrame:
+        """Union of pending pos-delete files as (__dabs, __dpos): rel paths
+        resolved to the URIs the scan's ``_metadata.file_path`` reports.
+        Small by design (matched rows only) — callers broadcast it."""
+        from pyspark.sql import functions as F
+
+        schema = T.StructType(
+            [
+                T.StructField(POS_FILE_COL, T.StringType()),
+                T.StructField(POS_IDX_COL, T.LongType()),
+            ]
+        )
+        del_df = self.spark.read.schema(schema).parquet(
+            *[self.data_path(d.path) for d in pos_deletes]
+        )
+        rels = sorted(self.pos_delete_targets(pos_deletes))
+        mapping = self.spark.createDataFrame(
+            [(r, self._file_uri(r)) for r in rels], "__rel string, __dabs string"
+        )
+        return (
+            del_df.join(
+                F.broadcast(mapping), del_df[POS_FILE_COL] == mapping["__rel"]
+            )
+            .select("__dabs", F.col(POS_IDX_COL).alias("__dpos"))
+        )
+
+    def _scan_with_pos_deletes(
+        self,
+        data: list[FileEntry],
+        pos_deletes: list[FileEntry],
+        schema: T.StructType,
+        candidates: list[FileEntry] | None = None,
+    ) -> DataFrame:
+        """Merge-on-read resolution for positional deletes.
+
+        Plan shape: data files NOT named by any pos-delete file (the exact
+        target set comes from the delete files' own ``__file`` column,
+        driver-side) are read as ONE plain parquet scan with no join. The
+        named files are read once with their ``_metadata`` row ordinals and
+        LEFT-ANTI joined against the (small, broadcast) union of
+        (file URI, position) pairs — pixel bytes cross no exchange, and at
+        100 TB the resolution cost is proportional to the files actually
+        holding deleted rows, never the table."""
+        from pyspark.sql import functions as F
+
+        targets = (
+            set(self.pos_delete_targets(pos_deletes))
+            if candidates is None
+            else {e.path for e in candidates}
+        )
+        hit = [e for e in data if e.path in targets]
+        plain = [e for e in data if e.path not in targets]
+        if plain:
+            paths = [self.data_path(e.path) for e in plain]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        if not hit:
+            return df
+        self._check_uri_formula(hit[0])
+        cand_df = (
+            self.spark.read.schema(schema)
+            .parquet(*[self.data_path(e.path) for e in hit])
+            .withColumn("__abs", F.col("_metadata.file_path"))
+            .withColumn("__idx", F.col("_metadata.row_index"))
+        )
+        del_df = self._pos_delete_df(pos_deletes)
+        cond = (F.col("__abs") == F.col("__dabs")) & (
+            F.col("__idx") == F.col("__dpos")
+        )
+        resolved = (
+            cand_df.join(F.broadcast(del_df), cond, "left_anti")
+            .drop("__abs", "__idx")
+        )
+        return df.unionByName(resolved)
+
+    @staticmethod
+    def _split_deletes(
+        entries: list[FileEntry],
+    ) -> tuple[list[FileEntry], list[FileEntry], list[FileEntry]]:
+        """(data, eq_deletes, pos_deletes) — and enforce the delete-kind
+        homogeneity invariant: writers fold pending deletes of the OTHER
+        kind before committing theirs (operators/mor.py, operators/rowops.py),
+        so a snapshot carrying both is corrupt metadata, not a state any
+        reader is expected to resolve."""
+        data = [e for e in entries if e.content == "data"]
+        eq = [e for e in entries if e.content == "eq_deletes"]
+        pos = [e for e in entries if e.content == "pos_deletes"]
+        if eq and pos:
+            raise ValueError(
+                "snapshot carries BOTH equality- and positional-delete files "
+                "— corrupt metadata (writers fold the other kind first)"
+            )
+        return data, eq, pos
 
     # ---------------------------------------------------------------- write
     def write_data_files(
@@ -1233,9 +1402,9 @@ class IcepackTable:
                         # count_rows() nets them out)
                         "total_rows": sum(e.rows for e in entries if e.content == "data"),
                         "total_bytes": sum(e.bytes for e in entries if e.content == "data"),
-                        "delete_files": sum(1 for e in entries if e.content == "eq_deletes"),
+                        "delete_files": sum(1 for e in entries if e.content != "data"),
                         "delete_rows": sum(
-                            e.rows for e in entries if e.content == "eq_deletes"
+                            e.rows for e in entries if e.content != "data"
                         ),
                     },
                 )
@@ -1372,11 +1541,24 @@ class IcepackTable:
         (shadowed rows still counted), so this falls back to counting the
         resolved scan — still column-pruned to nothing by Catalyst, but a
         data pass. ``operators.mor.apply_deletes`` restores the
-        metadata-only path."""
-        entries = self.files(version)
-        if any(e.content == "eq_deletes" for e in entries):
+        metadata-only path.
+
+        Pending POSITIONAL deletes stay metadata-only: each pos-delete row
+        shadows exactly one physical row of a named file, and writers only
+        ever name still-visible rows (matches are computed against the
+        resolved view), so net = gross - shadowed, with dangling references
+        to since-removed files excluded driver-side."""
+        data, eq, pos = self._split_deletes(self.files(version))
+        if eq:
             return self.scan(version).count()
-        return sum(e.rows for e in entries)
+        gross = sum(e.rows for e in data)
+        if not pos:
+            return gross
+        live = {e.path for e in data}
+        shadowed = sum(
+            c for p, c in self.pos_delete_targets(pos).items() if p in live
+        )
+        return gross - shadowed
 
     def describe(self, version: int | None = None) -> dict:
         """Observability summary of a snapshot: file/row/byte totals and
@@ -1384,7 +1566,7 @@ class IcepackTable:
         snap = self.snapshot(version)
         all_entries = self.files(snap.version)
         entries = [e for e in all_entries if e.content == "data"]
-        dels = [e for e in all_entries if e.content == "eq_deletes"]
+        dels = [e for e in all_entries if e.content != "data"]
         sizes = sorted(e.bytes for e in entries)
 
         def pct(p: float) -> int:
@@ -1641,11 +1823,13 @@ class IcepackTable:
 
         head = self.snapshot()
         entries = self.files(head.version)
-        if any(e.content == "eq_deletes" for e in entries):
+        if any(e.content != "data" for e in entries):
             raise ValueError(
-                "cannot shallow-clone a table with pending equality-delete "
-                "files (their seq scoping would not survive the clone's "
-                "fresh version line); run apply_deletes() first"
+                "cannot shallow-clone a table with pending delete files "
+                "(an equality delete's seq scoping would not survive the "
+                "clone's fresh version line, and a positional delete's "
+                "file refs would not survive a later localizing rewrite); "
+                "run apply_deletes() first"
             )
         summary = head.summary or {}
         t = IcepackTable.create(

@@ -119,7 +119,7 @@ def test_clone_refuses_pending_deletes(spark, tmp_path):
     src = fresh_table(spark, tmp_path)
     merge_into_table_mor(src, cb(spark, 0))
     assert src.snapshot().summary["delete_files"] > 0
-    with pytest.raises(ValueError, match="pending equality-delete"):
+    with pytest.raises(ValueError, match="pending delete files"):
         src.clone(str(tmp_path / "dst"))
     apply_deletes(src)
     src.clone(str(tmp_path / "dst"))  # now fine
