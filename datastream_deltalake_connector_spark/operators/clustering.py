@@ -117,6 +117,10 @@ def cluster(
                 added=staged,
                 removed_paths=rec["files_in"],
                 summary={"curve": curve, "cluster_cols": list(cols), "job_id": job_id, "resumed": True},
+                requirements=[
+                    ("files-live", rec["files_in"]),
+                    ("no-new-deletes", parent),
+                ],
             )
             journal.log_commit(version)
             return version
@@ -163,6 +167,13 @@ def cluster(
         "cluster",
         added=added,
         removed_paths=[e.path for e in entries],
+        # same optimistic-concurrency contract as compact(): rebase over
+        # concurrent appends (they stay unclustered until the next cycle),
+        # refuse if an input was removed or a delete file landed meanwhile
+        requirements=[
+            ("files-live", [e.path for e in entries]),
+            ("no-new-deletes", parent),
+        ],
         summary={
             "curve": curve,
             "cluster_cols": list(cols),

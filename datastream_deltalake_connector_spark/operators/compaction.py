@@ -191,6 +191,16 @@ def compact(
         added=added_all,
         removed_paths=removed,
         summary={"bins": len(bins), "job_id": job_id},
+        # Optimistic concurrency: a long compaction must land beside the
+        # appends that streamed in meanwhile (carry-forward rebases them in),
+        # but NOT beside a writer that removed one of its input files (its
+        # output would duplicate/resurrect that file's old rows) or one that
+        # added delete files (the rebased outputs' fresh seq would lift the
+        # rewritten rows above the delete's seq and un-shadow them).
+        requirements=[
+            ("files-live", removed),
+            ("no-new-deletes", parent),
+        ],
     )
     journal.log_commit(version)
     return version

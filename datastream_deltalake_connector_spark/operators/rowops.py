@@ -199,6 +199,14 @@ def delete_where(
         "delete",
         added=added,
         removed_paths=[e.path for e in droppable] + [e.path for e in rewrite],
+        # snapshot-isolation DML with optimistic concurrency: rebase over
+        # concurrent appends (rows this predicate never saw stay untouched —
+        # Iceberg's snapshot-isolation DELETE), refuse if a candidate file
+        # was removed or a delete file landed since the read (see commit())
+        requirements=[
+            ("files-live", [e.path for e in cand]),
+            ("no-new-deletes", snap.version),
+        ],
         summary={
             "predicate": _describe_pred(filters, residual_sql),
             "files_dropped_metadata_only": len(droppable),
@@ -352,6 +360,14 @@ def delete_where_mor(
         "delete-pos",
         added=added,
         removed_paths=[e.path for e in droppable],
+        # positions address candidate files BY PATH: a concurrent rewrite of
+        # one (compact/cluster/merge) re-files its rows and this delete's
+        # pairs would dangle — the matched rows would silently survive.
+        # A delete file landing meanwhile breaks delete-kind homogeneity.
+        requirements=[
+            ("files-live", [e.path for e in cand]),
+            ("no-new-deletes", snap.version),
+        ],
         summary={
             "predicate": _describe_pred(filters, residual_sql),
             "files_dropped_metadata_only": len(droppable),
@@ -450,6 +466,14 @@ def update_where_mor(
     version = table.commit(
         "update-mor",
         added=added_data + pos_entries,
+        # same contract as delete-pos: path-addressed positions die with a
+        # concurrent rewrite of a candidate file (the update would apply
+        # AND its preimage rows would survive — a duplicate, worse than a
+        # lost write), and a concurrent delete file breaks homogeneity
+        requirements=[
+            ("files-live", [e.path for e in cand]),
+            ("no-new-deletes", snap.version),
+        ],
         summary={
             "predicate": report_base["predicate"],
             "assignments": {k: str(v) for k, v in assignments.items()},
@@ -549,6 +573,13 @@ def update_where(
         "update",
         added=added,
         removed_paths=[e.path for e in cand],
+        # snapshot-isolation UPDATE: rebase over concurrent appends, refuse
+        # if a candidate was removed (rewrite would resurrect its old rows)
+        # or a delete file landed (fresh seq would un-shadow its rows)
+        requirements=[
+            ("files-live", [e.path for e in cand]),
+            ("no-new-deletes", snap.version),
+        ],
         summary={
             "predicate": report_base["predicate"],
             "assignments": {k: str(v) for k, v in assignments.items()},

@@ -1309,6 +1309,52 @@ class IcepackTable:
         )
 
     # --------------------------------------------------------------- commit
+    @staticmethod
+    def _check_requirements(
+        requirements: list[tuple], head_entries: list[FileEntry]
+    ) -> None:
+        """Validate commit preconditions against the head manifest the
+        commit would build on (see :meth:`commit`). Pure manifest-entry
+        arithmetic — no file reads — so validating on every CAS attempt is
+        free even at 10^6-entry manifests."""
+        for req in requirements:
+            kind = req[0]
+            if kind == "files-live":
+                live = {e.path for e in head_entries}
+                missing = sorted(set(req[1]) - live)
+                if missing:
+                    raise ConflictError(
+                        f"commit requirement files-live violated: {len(missing)} "
+                        f"input file(s) left the table since this operation read "
+                        f"them (first: {missing[0]!r}) — recompute from the "
+                        "current head"
+                    )
+            elif kind == "no-new-deletes":
+                base = req[1]
+                bad = [
+                    e for e in head_entries if e.content != "data" and e.seq > base
+                ]
+                if bad:
+                    raise ConflictError(
+                        f"commit requirement no-new-deletes violated: {len(bad)} "
+                        f"delete file(s) committed after base snapshot {base} — "
+                        "a rewrite landing now would re-stamp data above their "
+                        "seq and resurrect shadowed rows; recompute from the "
+                        "current head"
+                    )
+            elif kind == "no-new-data":
+                base = req[1]
+                bad = [
+                    e for e in head_entries if e.content == "data" and e.seq > base
+                ]
+                if bad:
+                    raise ConflictError(
+                        f"commit requirement no-new-data violated: {len(bad)} "
+                        f"data file(s) committed after base snapshot {base}"
+                    )
+            else:
+                raise ValueError(f"unknown commit requirement {kind!r}")
+
     def commit(
         self,
         operation: str,
@@ -1319,6 +1365,7 @@ class IcepackTable:
         summary: dict | None = None,
         max_retries: int = 10,
         entries_override: list[FileEntry] | None = None,
+        requirements: Iterable[tuple] | None = None,
     ) -> int:
         """CAS-commit a new snapshot; retries on benign conflicts only when
         the caller did not pin ``expected_parent``.
@@ -1326,9 +1373,36 @@ class IcepackTable:
         ``entries_override`` replaces the usual carry-forward+added/removed
         entry derivation with an exact entry list, seq numbers INCLUDED —
         the rollback path, where restamping seqs would re-scope pending
-        equality deletes (a delete file shadows only lower-seq data files)."""
+        equality deletes (a delete file shadows only lower-seq data files).
+
+        ``requirements`` are Iceberg-style commit preconditions (the
+        UpdateRequirements of its optimistic-concurrency retry loop),
+        validated under the commit lock against the CURRENT head on every
+        attempt, so an unpinned caller rebases onto concurrent commits only
+        when its work provably still applies — the middle ground between
+        ``expected_parent`` (fail on ANY concurrent commit, the CDC merge's
+        single-writer discipline) and blind carry-forward (which would let
+        an hours-long compaction silently resurrect rows a concurrent MoR
+        merge deleted, or double-write rows a concurrent DELETE rewrote):
+
+        - ``("files-live", paths)`` — every path is still in the head
+          manifest. A rewrite's inputs left the table → its outputs would
+          duplicate/resurrect rows another writer removed or re-filed.
+        - ``("no-new-deletes", base_version)`` — no delete file (equality
+          or positional) entered the manifest after ``base_version``. A
+          rewrite re-stamps data seq ABOVE such a delete's seq (un-shadowing
+          its rows), and a pos delete's (file, pos) refs die with the
+          rewrite.
+        - ``("no-new-data", base_version)`` — no data file entered after
+          ``base_version``; for writers whose computed result depends on
+          the full row set (serializable rather than snapshot isolation).
+
+        Violations raise :class:`ConflictError`; callers that can recompute
+        retry the whole operation from the fresh head
+        (``operators.concurrency.run_with_commit_retries``)."""
         removed = set(removed_paths)
         added = list(added)
+        requirements = list(requirements or ())
         for attempt in range(max_retries):
             parent = self.head_version() if expected_parent is None else expected_parent
             lock_path = os.path.join(self.meta_dir, "COMMIT.lock")
@@ -1347,6 +1421,7 @@ class IcepackTable:
                     continue  # re-resolve under next loop iteration
                 prev = self.snapshot(parent)
                 old_entries = self.files(parent)
+                self._check_requirements(requirements, old_entries)
                 # Versions are allocated GLOBALLY (max existing + 1), not
                 # parent + 1: with branches, two lines committing from
                 # different parents must never collide on snap-N names.
