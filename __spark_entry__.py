@@ -3933,6 +3933,133 @@ FROM range(8) t(i),
 """
 
 
+def _icepack_sql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL control plane end-to-end (new r5, sql.py — the Delta-style
+    statement surface the reference's users reach through Databricks SQL):
+    CREATE TABLE / INSERT INTO ... SELECT / UPDATE with a lifted BETWEEN
+    filter / DELETE with a two-conjunct lifted predicate / OPTIMIZE /
+    DESCRIBE HISTORY / SELECT ... VERSION AS OF — every statement parsed
+    from text and routed to the native operator. The final state must equal
+    the plain-SQL application of the same UPDATE+DELETE to the LWW
+    snapshot; time-travel count, history operations, and the compaction's
+    row-set invariance are folded into the hashed ``op`` column."""
+    from datastream_deltalake_connector_spark.sql import IcepackSQL
+    from datastream_deltalake_connector_spark.table.catalog import Catalog
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    q = IcepackSQL(spark, Catalog(spark, tempfile.mkdtemp(prefix="icepack-sql-")))
+    q.execute(
+        "CREATE TABLE evsql (user_id BIGINT, event_type STRING, "
+        "value DOUBLE, ts TIMESTAMP, seq BIGINT)"
+    )
+    base.select(
+        "user_id", "event_type", "value",
+        F.col(TS_META).alias("ts"), F.col(SEQ_META).alias("seq"),
+    ).createOrReplaceTempView("base_ev")
+    q.execute("INSERT INTO evsql SELECT user_id, event_type, value, ts, seq FROM base_ev")
+    n0 = int(q.execute("SELECT count(*) AS n FROM evsql").collect()[0].n)
+    q.execute("UPDATE evsql SET value = value * 2 WHERE user_id BETWEEN 0 AND 49")
+    q.execute("DELETE FROM evsql WHERE event_type = 'click' AND user_id >= 100")
+    n_after = int(q.execute("SELECT count(*) AS n FROM evsql").collect()[0].n)
+    q.execute("OPTIMIZE evsql")
+    ops = {r.operation for r in q.execute("DESCRIBE HISTORY evsql").collect()}
+    ok = (
+        int(
+            q.execute("SELECT count(*) AS n FROM evsql VERSION AS OF 1")
+            .collect()[0]
+            .n
+        )
+        == n0
+        # compaction must not change the row count the DML left behind
+        and int(q.execute("SELECT count(*) AS n FROM evsql").collect()[0].n)
+        == n_after
+        and {"append", "update", "delete"} <= ops
+    )
+    return q.execute(
+        "SELECT user_id, event_type, value, ts, seq FROM evsql ORDER BY user_id"
+    ).withColumn("op", F.lit("sql" if ok else "broken"))
+
+
+_ICEPACK_SQL_PIPELINE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type,
+       CASE WHEN user_id BETWEEN 0 AND 49 THEN value * 2 ELSE value END AS value,
+       ts, seq, 'sql' AS op
+FROM t0
+WHERE NOT (event_type = 'click' AND user_id >= 100)
+ORDER BY user_id
+"""
+
+
+def _icepack_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-purpose ``MERGE INTO`` parsed from SQL text (new r5,
+    operators/generic_merge.py + sql.py — the ad-hoc ordered-clause MERGE
+    Delta documents as its upsert surface, beyond the fixed CDC 3-clause
+    shape of table_merge.py): delete-if-tombstone first, conditional
+    LWW-guarded update second, tombstone-filtered insert third, driven by
+    the odd-seq change batch against the even-seq snapshot. File-precise
+    CoW underneath: candidates are range-pre-pruned then resolved exactly
+    via a ``_metadata.file_path`` probe join; the commit carries the
+    optimistic-concurrency requirements. Oracled as a three-branch
+    FULL-OUTER reconstruction in plain SQL — clause ordering, the ``>=``
+    guard, and tombstone precedence are all load-bearing in the hash."""
+    from datastream_deltalake_connector_spark.sql import IcepackSQL
+    from datastream_deltalake_connector_spark.table.catalog import Catalog
+
+    base, b1 = _icepack_base_and_batch(spark, sf_dir)
+    q = IcepackSQL(spark, Catalog(spark, tempfile.mkdtemp(prefix="icepack-sqlm-")))
+    q.execute(
+        "CREATE TABLE evm (user_id BIGINT, event_type STRING, "
+        "value DOUBLE, ts TIMESTAMP, seq BIGINT)"
+    )
+    base.select(
+        "user_id", "event_type", "value",
+        F.col(TS_META).alias("ts"), F.col(SEQ_META).alias("seq"),
+    ).createOrReplaceTempView("base_evm")
+    q.execute("INSERT INTO evm SELECT user_id, event_type, value, ts, seq FROM base_evm")
+    latest_by_keys(
+        b1, ["user_id"], ["source_timestamp", "change_seq"]
+    ).createOrReplaceTempView("w1src")
+    rep = q.execute(
+        "MERGE INTO evm t USING w1src s ON t.user_id = s.user_id "
+        "WHEN MATCHED AND s.is_deleted THEN DELETE "
+        "WHEN MATCHED AND s.source_timestamp >= t.ts THEN UPDATE SET "
+        "event_type = s.event_type, value = s.value, "
+        "ts = s.source_timestamp, seq = s.change_seq "
+        "WHEN NOT MATCHED AND NOT s.is_deleted THEN INSERT "
+        "(user_id, event_type, value, ts, seq) VALUES "
+        "(s.user_id, s.event_type, s.value, s.source_timestamp, s.change_seq)"
+    ).collect()[0]
+    t = q.catalog.load_table("evm")
+    ok = t.snapshot().operation == "merge" and rep.version is not None
+    return (
+        t.scan()
+        .select("user_id", "event_type", "value", "ts", "seq")
+        .withColumn("op", F.lit("merge-sql" if ok else "broken"))
+        .orderBy("user_id")
+    )
+
+
+_ICEPACK_SQL_MERGE_ORACLE = f"""
+{_ICEPACK_CTES}
+SELECT user_id, event_type, value, ts, seq, 'merge-sql' AS op FROM (
+  SELECT t0.user_id, t0.event_type, t0.value, t0.ts, t0.seq
+  FROM t0 LEFT JOIN w1 ON t0.user_id = w1.user_id
+  WHERE w1.user_id IS NULL
+     OR (NOT w1.is_deleted AND w1.source_timestamp < t0.ts)
+  UNION ALL
+  SELECT t0.user_id, w1.event_type, w1.value, w1.source_timestamp, w1.change_seq
+  FROM t0 JOIN w1 ON t0.user_id = w1.user_id
+  WHERE NOT w1.is_deleted AND w1.source_timestamp >= t0.ts
+  UNION ALL
+  SELECT w1.user_id, w1.event_type, w1.value, w1.source_timestamp, w1.change_seq
+  FROM w1 LEFT JOIN t0 ON w1.user_id = t0.user_id
+  WHERE t0.user_id IS NULL AND NOT w1.is_deleted
+)
+ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the CDC merge core on sf0.001 events."""
     return _merge_upsert(spark, "/root/testdata/sf0.001")
@@ -4003,6 +4130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
+        # SQL control plane + general MERGE INTO (sql.py,
+        # operators/generic_merge.py); their two slots pushed
+        # cdc_lww_dedup_window and cdc_merge_upsert (green r1-r4; the merge
+        # core also stays pinned by cdc_merge_upsert_mor/_bloom/_composite
+        # in-window and by every bench run) past position 50
+        "icepack_sql_pipeline": _icepack_sql_pipeline,
+        "icepack_sql_merge": _icepack_sql_merge,
         # positional deletes (Iceberg-v2 MoR DML, operators/rowops.py); the
         # two slots they take pushed neardup_clusters_docs and
         # cdc_lww_composite_key (both green r4) out of the 50-row window
@@ -4131,6 +4265,8 @@ def oracle_sql() -> dict[str, str]:
         "icepack_update_where": _ICEPACK_UPDATE_WHERE_ORACLE,
         "icepack_delete_where_pos": _ICEPACK_DELETE_WHERE_POS_ORACLE,
         "icepack_update_where_mor": _ICEPACK_UPDATE_WHERE_MOR_ORACLE,
+        "icepack_sql_pipeline": _ICEPACK_SQL_PIPELINE_ORACLE,
+        "icepack_sql_merge": _ICEPACK_SQL_MERGE_ORACLE,
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,
         "icepack_hidden_partitioning": _ICEPACK_HIDDEN_PART_ORACLE,
         "icepack_datasource_read": _ICEPACK_DATASOURCE_ORACLE,

@@ -34,6 +34,10 @@ matter of the submit command, not the code:
                                                  (mor = positional deletes)
       update   --table PATH --set JSON --where SQL [--filters JSON]
                [--mode cow|mor]                  UPDATE ... SET ... WHERE
+      sql      --warehouse PATH --execute STMT  run one statement of the
+               [--out PARQUET] [--limit N]      Delta-style dialect (sql.py):
+                                                SELECT/DML/MERGE/OPTIMIZE/
+                                                VACUUM/HISTORY/RESTORE/DDL
       orphans  --table PATH [--grace-seconds S] [--dry-run]
       describe --table PATH                      manifest-only snapshot summary
       scan     --table PATH [--out PARQUET]
@@ -214,6 +218,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="TIMESTAMP AS OF: latest snapshot at/before epoch-ms")
     p.add_argument("--ref", default=None,
                    help="read a named branch or tag (VERSION AS OF 'ref')")
+    p = sub.add_parser(
+        "sql",
+        help="run a statement of the Delta-style dialect (sql.py) against "
+        "a warehouse of icepack tables",
+    )
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--execute", required=True, help="the SQL statement text")
+    p.add_argument("--out", default=None, help="write result to parquet")
+    p.add_argument(
+        "--limit", type=int, default=20,
+        help="max result rows echoed as JSON (full result via --out)",
+    )
     p = sub.add_parser("connector")
     p.add_argument("--root", required=True)
     p.add_argument("--warehouse", required=True)
@@ -470,6 +486,22 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "describe":
         t = IcepackTable.load(spark, args.table)
         out.update(t.describe())
+    elif args.cmd == "sql":
+        from .sql import IcepackSQL
+        from .table.catalog import Catalog
+
+        df = IcepackSQL(spark, Catalog(spark, args.warehouse)).execute(args.execute)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+        shown = df.limit(args.limit + 1).collect()
+        out["rows"] = [
+            {
+                k: v if isinstance(v, (int, float, bool, str, type(None))) else str(v)
+                for k, v in r.asDict().items()
+            }
+            for r in shown[: args.limit]
+        ]
+        out["truncated"] = len(shown) > args.limit
     elif args.cmd == "scan":
         t = IcepackTable.load(spark, args.table)
         df = t.scan(

@@ -1,0 +1,687 @@
+"""SQL control plane for icepack tables — the Delta-style statement surface.
+
+The reference connector runs on Databricks, where its users reach the table
+through SQL: ``MERGE INTO`` for upserts, ``OPTIMIZE ... ZORDER BY`` and
+``VACUUM`` for maintenance, ``DELETE``/``UPDATE`` for ad-hoc DML,
+``DESCRIBE HISTORY`` / ``RESTORE`` / ``VERSION AS OF`` for the version
+surface (README.md:103-113 time-travel notes). This module is that surface
+for the native engine: one ``execute()`` entry point that parses a bounded,
+documented dialect and routes each statement to the operator that already
+implements it — parsing here, execution in the operators, never a second
+execution path that could drift.
+
+``SELECT`` is NOT reimplemented: table references (with optional
+``VERSION AS OF`` / ``TIMESTAMP AS OF``) are rewritten to temp views over
+pinned ``scan()`` DataFrames and the text is handed to ``spark.sql`` — the
+full Catalyst SQL engine with manifest pruning underneath, zero new
+semantics.
+
+Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
+
+    SELECT / WITH ...                 any Spark SQL; icepack refs may carry
+                                      VERSION AS OF <n>|'<ref>' or
+                                      TIMESTAMP AS OF '<iso>' (UTC)
+    CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...)
+        [PARTITIONED BY (spec, ...)]  spec: col | day(col) | bucket(n, col)
+                                      | truncate(n, col)
+    DROP TABLE [IF EXISTS] t
+    INSERT INTO t [(cols)] VALUES (...), (...) | SELECT ...
+    INSERT OVERWRITE t SELECT ...
+    DELETE FROM t WHERE pred          prunable conjuncts are lifted to
+    UPDATE t SET c = e, ... WHERE pred    manifest filters automatically
+    MERGE INTO t [AS] a USING (src|(SELECT ...)) [AS] b ON a.k = b.k [AND ..]
+        WHEN MATCHED [AND c] THEN UPDATE SET x = e, ... | UPDATE SET * | DELETE
+        WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)
+                                                | INSERT *
+        WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+    OPTIMIZE t [ZORDER BY (a, b)]     compaction / Hilbert-Z clustering
+    VACUUM t [RETAIN n HOURS] [DRY RUN]
+    DESCRIBE HISTORY t
+    RESTORE TABLE t TO VERSION AS OF n
+    ALTER TABLE t ADD COLUMNS (col TYPE, ...)
+    SHOW TABLES
+
+Anything else raises ``SqlDialectError`` with the supported-form list —
+loud refusal, never silent misinterpretation.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .table.catalog import Catalog
+from .table.icepack import IcepackTable
+
+__all__ = ["IcepackSQL", "SqlDialectError"]
+
+
+class SqlDialectError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# lexical helpers: quote/paren-aware top-level scanning
+# --------------------------------------------------------------------------
+
+def _strip_comments(s: str) -> str:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    break
+                j += 1
+            out.append(s[i : j + 1])
+            i = j + 1
+        elif c == "-" and s[i : i + 2] == "--":
+            while i < n and s[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _top_level_mask(s: str, parens: bool = True) -> list[bool]:
+    """mask[i] True iff position i is outside quotes (and, when ``parens``,
+    outside any parenthesized group)."""
+    mask = [True] * len(s)
+    depth = 0
+    i, n = 0, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if in_str:
+            mask[i] = False
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    mask[i + 1] = False
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+            mask[i] = False
+        elif c == "(" and parens:
+            depth += 1
+            mask[i] = False
+        elif c == ")" and parens:
+            mask[i] = False
+            depth -= 1
+        else:
+            mask[i] = depth == 0
+        i += 1
+    return mask
+
+
+def _match_paren(s: str, start: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``start`` (quote-aware)."""
+    depth = 0
+    in_str = False
+    for i in range(start, len(s)):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise SqlDialectError(f"unbalanced parentheses near: {s[start:start+40]!r}")
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on regex ``sep`` matches that lie fully at top level."""
+    mask = _top_level_mask(s)
+    parts, last = [], 0
+    for m in re.finditer(sep, s, re.IGNORECASE):
+        if all(mask[i] for i in range(m.start(), m.end())):
+            parts.append(s[last : m.start()])
+            last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", tok):
+        return tok[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", tok):
+        return float(tok)
+    if tok.upper() in ("TRUE", "FALSE"):
+        return tok.upper() == "TRUE"
+    return None  # not a literal we can lift
+
+
+def _lift_filters(pred: str) -> tuple[list[tuple], str | None]:
+    """Split a WHERE conjunction into manifest-prunable filters and a
+    residual SQL string. Only top-level ANDs of ``col op literal`` /
+    ``col BETWEEN a AND b`` / ``col IN (lits)`` lift; everything else stays
+    residual (ANDed back row-level, so semantics never change)."""
+    filters: list[tuple] = []
+    residual: list[str] = []
+    # BETWEEN owns an AND — mask those before splitting the conjunction
+    for conj in _split_top(re.sub(
+        r"\bBETWEEN\b(.+?)\bAND\b", lambda m: "BETWEEN" + m.group(1) + "@&@",
+        pred, flags=re.IGNORECASE | re.DOTALL,
+    ), r"\bAND\b"):
+        conj = conj.replace("@&@", "AND").strip()
+        m = re.fullmatch(
+            rf"({_IDENT})\s*(=|<=|>=|<|>)\s*(.+)", conj, re.DOTALL
+        )
+        if m and "." not in m.group(1):
+            v = _parse_literal(m.group(3))
+            if v is not None:
+                filters.append((m.group(1), m.group(2), v))
+                continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+)", conj,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and "." not in m.group(1):
+            lo, hi = _parse_literal(m.group(2)), _parse_literal(m.group(3))
+            if lo is not None and hi is not None:
+                filters.append((m.group(1), "between", (lo, hi)))
+                continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+IN\s*\((.+)\)", conj, re.IGNORECASE | re.DOTALL
+        )
+        if m and "." not in m.group(1):
+            vals = [_parse_literal(x) for x in _split_top(m.group(2), ",")]
+            if all(v is not None for v in vals):
+                filters.append((m.group(1), "in", tuple(vals)))
+                continue
+        residual.append(conj)
+    return filters, (" AND ".join(f"({r})" for r in residual) or None)
+
+
+def _split_assignments(set_clause: str) -> dict[str, str]:
+    out = {}
+    for item in _split_top(set_clause, ","):
+        m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+?)\s*", item, re.DOTALL)
+        if not m:
+            raise SqlDialectError(f"cannot parse assignment: {item.strip()!r}")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+# --------------------------------------------------------------------------
+# the dispatcher
+# --------------------------------------------------------------------------
+
+class IcepackSQL:
+    """Statement router bound to a :class:`Catalog`.
+
+    ``execute`` always returns a DataFrame: query results for reads, a
+    one-row report for DML/DDL/maintenance — uniform for driver scripts
+    and ``foreachBatch`` bodies alike."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self._view_n = 0
+
+    # -------------------------------------------------------------- public
+    def execute(self, stmt: str) -> DataFrame:
+        s = _strip_comments(stmt).strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        two = " ".join(s.upper().split()[:2])
+        if head in ("SELECT", "WITH"):
+            return self.spark.sql(self._rewrite_refs(s))
+        if two == "CREATE TABLE":
+            return self._create_table(s)
+        if two == "DROP TABLE":
+            return self._drop_table(s)
+        if two == "INSERT INTO" or two == "INSERT OVERWRITE":
+            return self._insert(s)
+        if two == "DELETE FROM":
+            return self._delete(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if two == "MERGE INTO":
+            return self._merge(s)
+        if head == "OPTIMIZE":
+            return self._optimize(s)
+        if head == "VACUUM":
+            return self._vacuum(s)
+        if two == "DESCRIBE HISTORY":
+            return self._history(s)
+        if two == "RESTORE TABLE":
+            return self._restore(s)
+        if two == "ALTER TABLE":
+            return self._alter(s)
+        if two == "SHOW TABLES":
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.table_names()], "tableName STRING"
+            )
+        raise SqlDialectError(
+            f"unsupported statement: {s[:60]!r}... — supported forms: "
+            "SELECT/WITH, CREATE/DROP TABLE, INSERT INTO/OVERWRITE, "
+            "DELETE FROM, UPDATE, MERGE INTO, OPTIMIZE, VACUUM, "
+            "DESCRIBE HISTORY, RESTORE TABLE, ALTER TABLE ADD COLUMNS, "
+            "SHOW TABLES"
+        )
+
+    # ------------------------------------------------------------- helpers
+    def _table(self, name: str) -> IcepackTable:
+        if not self.catalog.exists(name):
+            raise SqlDialectError(f"table not found in catalog: {name!r}")
+        return self.catalog.load_table(name)
+
+    def _report(self, **kv) -> DataFrame:
+        """One-row report with an explicit schema (None values — e.g. the
+        no-op ``version`` — would defeat type inference)."""
+        fields, vals = [], []
+        for k, v in kv.items():
+            if isinstance(v, bool):
+                dt = T.BooleanType()
+            elif isinstance(v, int):
+                dt = T.LongType()
+            elif isinstance(v, float):
+                dt = T.DoubleType()
+            elif v is None:
+                dt = T.LongType()  # only version-ish fields are nullable
+            else:
+                dt, v = T.StringType(), str(v)
+            fields.append(T.StructField(k, dt, True))
+            vals.append(v)
+        return self.spark.createDataFrame([tuple(vals)], T.StructType(fields))
+
+    def _register_scan(self, name: str, version=None, ref=None, ts_ms=None) -> str:
+        t = self._table(name)
+        df = t.scan(version=version, ref=ref, as_of_timestamp_ms=ts_ms)
+        self._view_n += 1
+        view = f"__icepack_{re.sub('[^A-Za-z0-9_]', '_', name)}_{self._view_n}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _rewrite_refs(self, s: str) -> str:
+        """Replace catalog table refs (FROM/JOIN position, with optional
+        time-travel suffix) by temp views over pinned scans. Subquery refs
+        rewrite too; only string literals are off-limits."""
+        pat = (
+            rf"\b(FROM|JOIN)\s+({_IDENT})"
+            rf"(\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*')"
+            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)')?"
+        )
+        mask = _top_level_mask(s, parens=False)  # strings only
+        out, last = [], 0
+        for m in re.finditer(pat, s, re.IGNORECASE):
+            if not mask[m.start()]:
+                continue
+            name = m.group(2)
+            if not self.catalog.exists(name):
+                continue
+            version = ref = ts_ms = None
+            if m.group(4):
+                tok = m.group(4)
+                if tok.startswith("'"):
+                    ref = tok[1:-1]
+                else:
+                    version = int(tok)
+            elif m.group(5):
+                dt = datetime.fromisoformat(m.group(5))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
+            view = self._register_scan(name, version, ref, ts_ms)
+            out.append(s[last : m.start(1)])
+            out.append(f"{m.group(1)} {view}")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    # ---------------------------------------------------------------- DDL
+    def _create_table(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*(?=\()",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse CREATE TABLE: {s[:80]!r}")
+        if_not_exists, name = m.group(1), m.group(2)
+        open_i = s.index("(", m.end() - 1)
+        close_i = _match_paren(s, open_i)
+        cols = s[open_i + 1 : close_i]
+        tail = s[close_i + 1 :].strip()
+        spec = None
+        if tail:
+            mt = re.fullmatch(
+                r"PARTITIONED\s+BY\s*\((.*)\)\s*", tail, re.IGNORECASE | re.DOTALL
+            )
+            if not mt:
+                raise SqlDialectError(
+                    f"unexpected CREATE TABLE suffix: {tail[:60]!r}"
+                )
+            spec = mt.group(1)
+        schema = T.StructType.fromDDL(cols)
+        if self.catalog.exists(name):
+            if if_not_exists:
+                return self._report(status="exists", table=name)
+            raise SqlDialectError(f"table exists: {name}")
+        partition_by = (
+            [p.strip() for p in _split_top(spec, ",")] if spec else None
+        )
+        IcepackTable.create(
+            self.spark, self.catalog._path(name), schema,
+            partition_by=partition_by,
+        )
+        return self._report(status="created", table=name)
+
+    def _drop_table(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*", s, re.IGNORECASE
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse DROP TABLE: {s[:80]!r}")
+        if_exists, name = m.groups()
+        if not self.catalog.exists(name):
+            if if_exists:
+                return self._report(status="absent", table=name)
+            raise SqlDialectError(f"table not found: {name}")
+        self.catalog.drop_table(name)
+        return self._report(status="dropped", table=name)
+
+    def _alter(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlDialectError(
+                f"only ALTER TABLE t ADD COLUMNS (...) is supported: {s[:80]!r}"
+            )
+        t = self._table(m.group(1))
+        add = T.StructType.fromDDL(m.group(2))
+        merged = T.StructType(t.snapshot().schema.fields + add.fields)
+        v = t.evolve_schema(merged, strategy="merge")
+        return self._report(
+            status="altered" if v is not None else "no-op",
+            table=m.group(1), version=v,
+        )
+
+    # ---------------------------------------------------------------- DML
+    def _insert(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.*)",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse INSERT: {s[:80]!r}")
+        mode, name, _, collist, body = m.groups()
+        t = self._table(name)
+        tcols = [f.name for f in t.snapshot().schema.fields]
+        cols = (
+            [c.strip() for c in collist.split(",")] if collist else tcols
+        )
+        body = body.strip()
+        if body.upper().startswith("VALUES"):
+            df = self.spark.sql(
+                f"SELECT * FROM {body} AS __v({', '.join(cols)})"
+            )
+        elif body.upper().startswith(("SELECT", "WITH", "(")):
+            # peel ONE balanced outer paren layer if it wraps the whole body
+            while body.startswith("(") and _match_paren(body, 0) == len(body) - 1:
+                body = body[1:-1].strip()
+            df = self.spark.sql(self._rewrite_refs(body))
+            if len(df.columns) != len(cols):
+                raise SqlDialectError(
+                    f"INSERT column count mismatch: {len(cols)} target vs "
+                    f"{len(df.columns)} query columns"
+                )
+            df = df.toDF(*cols)
+        else:
+            raise SqlDialectError(f"INSERT body must be VALUES or SELECT: {body[:60]!r}")
+        from pyspark.sql import functions as F
+
+        fields = {f.name: f.dataType for f in t.snapshot().schema.fields}
+        out = df.select(
+            *[
+                (F.col(c) if c in df.columns else F.lit(None)).cast(fields[c]).alias(c)
+                for c in tcols
+            ]
+        )
+        if mode.upper() == "OVERWRITE":
+            v = t.overwrite_all(out)
+        else:
+            v = t.append(out)
+        return self._report(status="inserted", table=name, version=v, mode=mode.lower())
+
+    def _delete(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)", s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlDialectError(
+                f"cannot parse DELETE (WHERE is required): {s[:80]!r}"
+            )
+        from .operators.rowops import delete_where
+
+        filters, residual = _lift_filters(m.group(2))
+        rep = delete_where(self._table(m.group(1)), filters, residual)
+        return self._report(table=m.group(1), **{k: v for k, v in rep.items() if k != "predicate"})
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)", s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlDialectError(
+                f"cannot parse UPDATE (SET and WHERE required): {s[:80]!r}"
+            )
+        from .operators.rowops import update_where
+
+        assignments = _split_assignments(m.group(2))
+        filters, residual = _lift_filters(m.group(3))
+        rep = update_where(self._table(m.group(1)), assignments, filters, residual)
+        return self._report(table=m.group(1), **{k: v for k, v in rep.items() if k not in ("predicate", "assignments")})
+
+    # -------------------------------------------------------------- MERGE
+    def _merge(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse MERGE INTO: {s[:80]!r}")
+        target_name, t_alias = m.group(1), m.group(2) or m.group(1)
+        rest = s[m.end():]
+        # source: parenthesized subquery or identifier
+        if rest.lstrip().startswith("("):
+            rest = rest.lstrip()
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            src_sql, rest = rest[1:i], rest[i + 1 :]
+            src_df = self.spark.sql(self._rewrite_refs(src_sql))
+        else:
+            ms = re.match(rf"\s*({_IDENT})", rest)
+            if not ms:
+                raise SqlDialectError("cannot parse MERGE USING source")
+            src_name, rest = ms.group(1), rest[ms.end():]
+            if self.catalog.exists(src_name):
+                src_df = self._table(src_name).scan()
+            else:
+                src_df = self.spark.table(src_name)  # temp view
+        ma = re.match(rf"\s*(?:AS\s+)?({_IDENT})?\s*ON\s+", rest, re.IGNORECASE)
+        if not ma:
+            raise SqlDialectError("cannot parse MERGE: expected [AS alias] ON <cond>")
+        s_alias = ma.group(1) or "s"
+        rest = rest[ma.end():]
+        parts = _split_top(rest, r"\bWHEN\b")
+        on_sql, clause_texts = parts[0], parts[1:]
+        if not clause_texts:
+            raise SqlDialectError("MERGE requires at least one WHEN clause")
+
+        def canon(expr: str) -> str:
+            expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr, flags=re.IGNORECASE)
+            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr, flags=re.IGNORECASE)
+
+        on_keys: list[str] = []
+        for conj in _split_top(on_sql, r"\bAND\b"):
+            mk = re.fullmatch(
+                rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*",
+                conj,
+            )
+            if not mk:
+                raise SqlDialectError(
+                    f"MERGE ON must be equi-conjunctions alias.col = alias.col "
+                    f"(got {conj.strip()!r}) — put extra predicates in clause "
+                    "conditions, which also keeps file pruning effective"
+                )
+            a1, c1, a2, c2 = mk.groups()
+            pair = {a1.lower(): c1, a2.lower(): c2}
+            if set(pair) != {t_alias.lower(), s_alias.lower()} or c1 != c2:
+                raise SqlDialectError(
+                    f"MERGE ON keys must pair target and source on the SAME "
+                    f"column name (got {conj.strip()!r})"
+                )
+            on_keys.append(c1)
+
+        matched, not_matched, nms = [], [], []
+        for ct in clause_texts:
+            mc = re.fullmatch(
+                r"\s*(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
+                r"(\s+AND\s+(.*?))?\s+THEN\s+(.*?)\s*",
+                ct, re.IGNORECASE | re.DOTALL,
+            )
+            if not mc:
+                raise SqlDialectError(f"cannot parse WHEN clause: {ct[:80]!r}")
+            kind = re.sub(r"\s+", " ", mc.group(1).upper())
+            cond = canon(mc.group(3)) if mc.group(3) else None
+            action = mc.group(4).strip()
+            au = action.upper()
+            if au == "DELETE":
+                cl = {"action": "delete", "condition": cond}
+                (nms if kind == "NOT MATCHED BY SOURCE" else matched).append(cl)
+            elif au.startswith("UPDATE"):
+                mu = re.fullmatch(r"UPDATE\s+SET\s+(.*)", action, re.IGNORECASE | re.DOTALL)
+                if not mu:
+                    raise SqlDialectError(f"cannot parse UPDATE action: {action[:60]!r}")
+                body = mu.group(1).strip()
+                st = "*" if body == "*" else {
+                    re.sub(r"^t\.", "", canon(k)): canon(v)
+                    for k, v in _split_assignments(body).items()
+                }
+                cl = {"action": "update", "condition": cond, "set": st}
+                (nms if kind == "NOT MATCHED BY SOURCE" else matched).append(cl)
+            elif au.startswith("INSERT"):
+                if kind != "NOT MATCHED":
+                    raise SqlDialectError("INSERT is only valid in WHEN NOT MATCHED")
+                body = action[len("INSERT"):].strip()
+                if body == "*":
+                    vals = "*"
+                else:
+                    mi = re.fullmatch(
+                        r"\(([^)]*)\)\s*VALUES\s*\((.*)\)", body,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if not mi:
+                        raise SqlDialectError(
+                            f"INSERT must be `INSERT *` or `INSERT (cols) VALUES (exprs)`: {body[:60]!r}"
+                        )
+                    cols = [c.strip() for c in mi.group(1).split(",")]
+                    exprs = [canon(e.strip()) for e in _split_top(mi.group(2), ",")]
+                    if len(cols) != len(exprs):
+                        raise SqlDialectError("INSERT column/value count mismatch")
+                    vals = dict(zip(cols, exprs))
+                not_matched.append({"action": "insert", "condition": cond, "values": vals})
+            else:
+                raise SqlDialectError(f"unknown MERGE action: {action[:40]!r}")
+
+        from .operators.generic_merge import merge_into
+
+        rep = merge_into(
+            self._table(target_name), src_df, on_keys,
+            matched=matched, not_matched=not_matched,
+            not_matched_by_source=nms,
+        )
+        return self._report(table=target_name, **rep)
+
+    # -------------------------------------------------------- maintenance
+    def _optimize(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"OPTIMIZE\s+({_IDENT})(\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse OPTIMIZE: {s[:80]!r}")
+        t = self._table(m.group(1))
+        if m.group(3):
+            from .operators.clustering import cluster
+
+            cols = tuple(c.strip() for c in m.group(3).split(","))
+            if len(cols) != 2:
+                raise SqlDialectError(
+                    "ZORDER BY takes exactly two columns (the 2-D "
+                    "Hilbert/Z curve surface)"
+                )
+            v = cluster(t, cols=cols)
+            return self._report(status="clustered", table=m.group(1), version=v, zorder_by=",".join(cols))
+        from .operators.compaction import compact
+
+        v = compact(t)
+        return self._report(
+            status="compacted" if v is not None else "no-op",
+            table=m.group(1), version=v,
+        )
+
+    def _vacuum(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"VACUUM\s+({_IDENT})(\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse VACUUM: {s[:80]!r}")
+        from .operators.expire import remove_orphans
+
+        grace = int(m.group(3)) * 3600 if m.group(3) else 3 * 24 * 3600
+        rep = remove_orphans(
+            self._table(m.group(1)), grace_seconds=grace, dry_run=bool(m.group(4))
+        )
+        return self._report(
+            table=m.group(1), dry_run=bool(m.group(4)),
+            n_orphans=rep["n_orphans"],
+            n_deleted=rep.get("n_deleted", 0),
+        )
+
+    def _history(self, s: str) -> DataFrame:
+        m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*", s, re.IGNORECASE)
+        if not m:
+            raise SqlDialectError(f"cannot parse DESCRIBE HISTORY: {s[:80]!r}")
+        return self._table(m.group(1)).history_df()
+
+    def _restore(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse RESTORE TABLE: {s[:80]!r}")
+        v = self._table(m.group(1)).rollback(int(m.group(2)))
+        return self._report(status="restored", table=m.group(1), version=v, restored_to=int(m.group(2)))

@@ -18,6 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     (
+        "icepack_sql_merge",
+        "Post-MERGE HEAD scan (general MERGE INTO parsed from SQL text). "
+        "The merge itself ran as ONE full-outer join job (clause routing, "
+        "cascades, projections, and observe counts all on it) over only "
+        "the probe-hit files; the returned scan is a plain parquet read "
+        "of the resulting files — no exchanges beyond the final ordering, "
+        "no joins, ReadSchema limited to the 5 output columns.",
+    ),
+    (
+        "icepack_sql_pipeline",
+        "SQL control-plane final SELECT (text-routed CREATE/INSERT/UPDATE/"
+        "DELETE/OPTIMIZE behind it). The SELECT rewrites the table ref to "
+        "a temp view over the pinned scan, so the plan is a plain parquet "
+        "read of the compacted files with column pruning — no joins, no "
+        "exchanges beyond the final ordering.",
+    ),
+    (
         "icepack_datasource_read",
         "Registered-format read (Python DataSource API). Expect: a "
         "BatchScan icepack node (one input partition per surviving file — "

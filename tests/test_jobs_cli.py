@@ -229,3 +229,27 @@ def test_job_branch_wap_and_rowops(spark, tmp_path, capsys):
     assert upd["rows_updated"] == 1
     got = t.scan(filters=[("image_id", "=", ids[1])]).select("caption").collect()
     assert got[0].caption == got[0].caption.upper()
+
+
+def test_job_sql_subcommand(spark, tmp_path, capsys):
+    """The sql subcommand runs dialect statements against a warehouse:
+    DDL + DML + MERGE + SELECT round-trip entirely through text."""
+    wh = str(tmp_path / "wh")
+    run(capsys, "sql", "--warehouse", wh, "--execute",
+        "CREATE TABLE kv (k BIGINT, v STRING)")
+    run(capsys, "sql", "--warehouse", wh, "--execute",
+        "INSERT INTO kv VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    run(capsys, "sql", "--warehouse", wh, "--execute",
+        "UPDATE kv SET v = upper(v) WHERE k >= 2")
+    run(capsys, "sql", "--warehouse", wh, "--execute",
+        "DELETE FROM kv WHERE k = 1")
+    out = run(capsys, "sql", "--warehouse", wh, "--execute",
+              "SELECT k, v FROM kv ORDER BY k")
+    assert out["rows"] == [{"k": 2, "v": "B"}, {"k": 3, "v": "C"}]
+    assert out["truncated"] is False
+    # export path + truncation flag
+    dest = str(tmp_path / "export.parquet")
+    out = run(capsys, "sql", "--warehouse", wh, "--execute",
+              "SELECT k, v FROM kv ORDER BY k", "--out", dest, "--limit", "1")
+    assert out["truncated"] is True and len(out["rows"]) == 1
+    assert spark.read.parquet(dest).count() == 2

@@ -1,0 +1,433 @@
+"""SQL control plane (sql.py) + general MERGE INTO (operators/generic_merge.py).
+
+Parity discipline: every SQL statement must behave exactly like the operator
+it routes to — the suite drives both through the same fixtures and compares.
+MERGE semantics are pinned against hand-computed expected states, including
+clause ordering, conditional cascades, ANSI cardinality, and the
+merge-on-read interaction (pending deletes must not resurrect or match).
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datastream_deltalake_connector_spark.operators.generic_merge import (
+    MergeCardinalityError,
+    merge_into,
+)
+from datastream_deltalake_connector_spark.sql import (
+    IcepackSQL,
+    SqlDialectError,
+    _lift_filters,
+    _match_paren,
+    _split_assignments,
+    _split_top,
+    _strip_comments,
+)
+from datastream_deltalake_connector_spark.table.catalog import Catalog
+from datastream_deltalake_connector_spark.table.icepack import IcepackTable
+
+
+@pytest.fixture()
+def sql(spark, tmp_path):
+    return IcepackSQL(spark, Catalog(spark, str(tmp_path / "wh")))
+
+
+def _mk_users(sql):
+    sql.execute("CREATE TABLE users (id BIGINT, name STRING, score DOUBLE)")
+    sql.execute(
+        "INSERT INTO users VALUES (1, 'ann', 1.5), (2, 'bob', 2.5), (3, 'cat', 3.5)"
+    )
+    return sql.catalog.load_table("users")
+
+
+# ---------------------------------------------------------------- lexer unit
+def test_strip_comments_preserves_strings():
+    assert (
+        _strip_comments("SELECT '--not a comment' -- real\nFROM t")
+        == "SELECT '--not a comment' \nFROM t"
+    )
+
+
+def test_split_top_respects_parens_and_quotes():
+    parts = _split_top("a = f(x, y), b = 'p,q', c = 1", ",")
+    assert [p.strip() for p in parts] == ["a = f(x, y)", "b = 'p,q'", "c = 1"]
+
+
+def test_match_paren_nested_and_quoted():
+    s = "(a(b)'c)')x"
+    assert _match_paren(s, 0) == len(s) - 2
+
+
+def test_lift_filters_mixed():
+    filters, residual = _lift_filters(
+        "id >= 5 AND name = 'x' AND v BETWEEN 1 AND 9 AND k IN (1, 2) "
+        "AND length(name) > 2"
+    )
+    assert ("id", ">=", 5) in filters
+    assert ("name", "=", "x") in filters
+    assert ("v", "between", (1, 9)) in filters
+    assert ("k", "in", (1, 2)) in filters
+    assert residual == "(length(name) > 2)"
+
+
+def test_split_assignments_expr_commas():
+    a = _split_assignments("x = greatest(a, b), y = 'lit,eral'")
+    assert a == {"x": "greatest(a, b)", "y": "'lit,eral'"}
+
+
+def test_dialect_error_on_garbage(sql):
+    with pytest.raises(SqlDialectError):
+        sql.execute("GRANT ALL ON everything")
+
+
+# ------------------------------------------------------------------ DDL/DML
+def test_create_insert_select_roundtrip(sql):
+    _mk_users(sql)
+    got = sql.execute("SELECT id, name FROM users ORDER BY id").collect()
+    assert [(r.id, r.name) for r in got] == [(1, "ann"), (2, "bob"), (3, "cat")]
+    assert sql.execute("SHOW TABLES").collect()[0].tableName == "users"
+
+
+def test_create_partitioned(sql, spark):
+    sql.execute(
+        "CREATE TABLE ev (ts TIMESTAMP, uid BIGINT, v DOUBLE) "
+        "PARTITIONED BY (day(ts), bucket(4, uid))"
+    )
+    t = sql.catalog.load_table("ev")
+    assert t.partition_spec() == ["day(ts)", "bucket(4, uid)"]
+
+
+def test_create_if_not_exists(sql):
+    sql.execute("CREATE TABLE t1 (a INT)")
+    assert sql.execute("CREATE TABLE IF NOT EXISTS t1 (a INT)").collect()[0].status == "exists"
+    with pytest.raises(SqlDialectError):
+        sql.execute("CREATE TABLE t1 (a INT)")
+
+
+def test_insert_select_and_overwrite(sql, spark):
+    _mk_users(sql)
+    sql.execute("CREATE TABLE vip (id BIGINT, name STRING, score DOUBLE)")
+    sql.execute("INSERT INTO vip SELECT * FROM users WHERE score > 2")
+    assert sql.execute("SELECT count(*) AS n FROM vip").collect()[0].n == 2
+    sql.execute("INSERT OVERWRITE vip SELECT * FROM users WHERE id = 1")
+    assert sql.execute("SELECT count(*) AS n FROM vip").collect()[0].n == 1
+
+
+def test_insert_column_list_fills_null(sql):
+    sql.execute("CREATE TABLE p (a BIGINT, b STRING, c DOUBLE)")
+    sql.execute("INSERT INTO p (a, c) VALUES (7, 1.25)")
+    r = sql.execute("SELECT * FROM p").collect()[0]
+    assert (r.a, r.b, r.c) == (7, None, 1.25)
+
+
+def test_delete_update_parity_with_operators(sql, spark, tmp_path):
+    t = _mk_users(sql)
+    # same ops through the direct API on a twin table
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        delete_where,
+        update_where,
+    )
+
+    twin = IcepackTable.create(
+        spark, str(tmp_path / "twin"), t.snapshot().schema
+    )
+    twin.append(t.scan())
+    sql.execute("UPDATE users SET score = score + 1 WHERE id >= 2")
+    update_where(twin, {"score": "score + 1"}, [("id", ">=", 2)])
+    sql.execute("DELETE FROM users WHERE name = 'ann'")
+    delete_where(twin, [("name", "=", "ann")])
+    a = {(r.id, r.name, r.score) for r in t.scan().collect()}
+    b = {(r.id, r.name, r.score) for r in twin.scan().collect()}
+    assert a == b == {(2, "bob", 3.5), (3, "cat", 4.5)}
+
+
+def test_update_lifts_prunable_filters(sql):
+    t = _mk_users(sql)
+    rep = sql.execute(
+        "UPDATE users SET name = upper(name) WHERE id = 2 AND length(name) = 3"
+    ).collect()[0]
+    assert rep.rows_updated == 1
+    names = {r.name for r in t.scan().collect()}
+    assert names == {"ann", "BOB", "cat"}
+
+
+def test_time_travel_select_and_history(sql):
+    t = _mk_users(sql)
+    sql.execute("DELETE FROM users WHERE id = 1")
+    assert sql.execute("SELECT count(*) AS n FROM users").collect()[0].n == 2
+    assert (
+        sql.execute("SELECT count(*) AS n FROM users VERSION AS OF 1").collect()[0].n
+        == 3
+    )
+    ops = [r.operation for r in sql.execute("DESCRIBE HISTORY users").collect()]
+    assert "delete" in ops and "append" in ops
+    # branch ref read
+    t.create_branch("audit", 1)
+    assert (
+        sql.execute("SELECT count(*) AS n FROM users VERSION AS OF 'audit'")
+        .collect()[0]
+        .n
+        == 3
+    )
+
+
+def test_restore_and_optimize_and_vacuum(sql):
+    t = _mk_users(sql)
+    sql.execute("DELETE FROM users WHERE id >= 2")
+    sql.execute("RESTORE TABLE users TO VERSION AS OF 1")
+    assert t.scan().count() == 3
+    rep = sql.execute("OPTIMIZE users").collect()[0]
+    assert rep.status in ("compacted", "no-op")
+    rep = sql.execute("VACUUM users RETAIN 0 HOURS DRY RUN").collect()[0]
+    assert rep.dry_run is True
+
+
+def test_alter_add_columns(sql):
+    t = _mk_users(sql)
+    sql.execute("ALTER TABLE users ADD COLUMNS (age INT, tag STRING)")
+    cols = [f.name for f in t.snapshot().schema.fields]
+    assert cols == ["id", "name", "score", "age", "tag"]
+    r = sql.execute("SELECT age, tag FROM users LIMIT 1").collect()[0]
+    assert (r.age, r.tag) == (None, None)
+
+
+# -------------------------------------------------------------- MERGE INTO
+def _merge_fixture(sql, spark):
+    t = _mk_users(sql)
+    spark.createDataFrame(
+        [(2, "BOB2", 99.0), (9, "zed", 9.0)],
+        "id BIGINT, name STRING, score DOUBLE",
+    ).createOrReplaceTempView("src")
+    return t
+
+
+def test_merge_upsert_star(sql, spark):
+    t = _merge_fixture(sql, spark)
+    rep = sql.execute(
+        "MERGE INTO users AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (rep.rows_updated, rep.rows_inserted, rep.rows_deleted) == (1, 1, 0)
+    got = {(r.id, r.name, r.score) for r in t.scan().collect()}
+    assert got == {(1, "ann", 1.5), (2, "BOB2", 99.0), (3, "cat", 3.5), (9, "zed", 9.0)}
+
+
+def test_merge_clause_order_first_wins(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN MATCHED AND s.score > 1000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET score = t.score + 100 "
+        "WHEN NOT MATCHED AND s.score < 0 THEN INSERT *"
+    )
+    got = {(r.id, r.score) for r in t.scan().collect()}
+    # id=2 matched, first clause cond false, second applies; zed's insert
+    # condition fails so nothing inserts
+    assert got == {(1, 1.5), (2, 102.5), (3, 3.5)}
+
+
+def test_merge_explicit_insert_values(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, concat(s.name, '!'))"
+    )
+    got = {(r.id, r.name, r.score) for r in t.scan().collect()}
+    assert (9, "zed!", None) in got and len(got) == 4
+
+
+def test_merge_insert_only_never_rewrites(sql, spark):
+    t = _merge_fixture(sql, spark)
+    rep = sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert rep.files_rewritten == 0 and rep.rows_inserted == 1
+    assert t.snapshot().operation == "merge"
+    # matched row untouched
+    assert {(r.id, r.name) for r in t.scan().collect()} >= {(2, "bob"), (9, "zed")}
+
+
+def test_merge_not_matched_by_source(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND t.id != 1 THEN DELETE"
+    )
+    got = {(r.id, r.name) for r in t.scan().collect()}
+    assert got == {(1, "ann"), (2, "BOB2")}  # id=3 deleted, id=1 kept by cond
+
+
+def test_merge_cardinality_violation(sql, spark):
+    _merge_fixture(sql, spark)
+    spark.createDataFrame(
+        [(2, "a", 1.0), (2, "b", 2.0)], "id BIGINT, name STRING, score DOUBLE"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(MergeCardinalityError):
+        sql.execute(
+            "MERGE INTO users t USING dup_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_merge_noop_returns_null_version(sql, spark):
+    t = _merge_fixture(sql, spark)
+    v_before = t.head_version()
+    rep = sql.execute(
+        "MERGE INTO users t USING (SELECT * FROM src WHERE id < 0) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE"
+    ).collect()[0]
+    assert rep.version is None
+    assert t.head_version() == v_before
+
+
+def test_merge_prunes_disjoint_files(sql, spark, tmp_path):
+    """Range-disjoint layout: a small-key source must prune the high files
+    driver-side and probe only the overlapping ones."""
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "big"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    for lo in range(0, 400, 100):
+        t.append(
+            spark.range(lo, lo + 100).selectExpr("id", "cast(id as double) as v"),
+            num_files=1,
+        )
+    src = spark.createDataFrame([(5, 0.0), (7, 0.0)], "id BIGINT, v DOUBLE")
+    rep = merge_into(
+        t, src, "id", matched=[{"action": "update", "condition": None, "set": "*"}]
+    )
+    assert rep["files_pruned"] == 3 and rep["files_probed"] == 1
+    assert rep["files_rewritten"] == 1 and rep["rows_updated"] == 2
+    assert t.scan().count() == 400
+
+
+def test_merge_subquery_source_and_using_catalog_table(sql, spark):
+    t = _mk_users(sql)
+    sql.execute("CREATE TABLE stage (id BIGINT, name STRING, score DOUBLE)")
+    sql.execute("INSERT INTO stage VALUES (3, 'CAT', 30.0), (4, 'dog', 4.0)")
+    sql.execute(
+        "MERGE INTO users t USING (SELECT * FROM stage WHERE score > 10) s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {(r.id, r.name) for r in t.scan().collect()}
+    assert (3, "CAT") in got and (4, "dog") not in got
+    sql.execute(
+        "MERGE INTO users t USING stage s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {r.id for r in t.scan().collect()} == {1, 2, 3, 4}
+
+
+def test_merge_over_pending_mor_deletes(sql, spark, tmp_path):
+    """A row shadowed by a pending positional delete must neither resurrect
+    through the CoW rewrite nor count as matched."""
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        delete_where_mor,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "mor"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "id BIGINT, v DOUBLE"
+        ),
+        num_files=1,
+    )
+    delete_where_mor(t, [("id", "=", 2)])
+    assert t.scan().count() == 2
+    src = spark.createDataFrame([(2, 20.0), (3, 30.0)], "id BIGINT, v DOUBLE")
+    rep = merge_into(
+        t,
+        src,
+        "id",
+        matched=[{"action": "update", "condition": None, "set": "*"}],
+        not_matched=[{"action": "insert", "condition": None, "values": "*"}],
+    )
+    got = {(r.id, r.v) for r in t.scan().collect()}
+    # id=2 was logically deleted -> source row INSERTS (fresh row), id=3 updates
+    assert got == {(1, 1.0), (2, 20.0), (3, 30.0)}
+    assert rep["rows_updated"] == 1 and rep["rows_inserted"] == 1
+
+
+def test_merge_requires_when_clause_and_equi_on(sql, spark):
+    _merge_fixture(sql, spark)
+    with pytest.raises(SqlDialectError):
+        sql.execute("MERGE INTO users t USING src s ON t.id = s.id")
+    with pytest.raises(SqlDialectError):
+        sql.execute(
+            "MERGE INTO users t USING src s ON t.id < s.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_concurrent_delete_file_refused(sql, spark, tmp_path):
+    """The merge commit carries no-new-deletes: a positional-delete file
+    landing between read and commit raises ConflictError instead of
+    resurrecting the deleted row via the rewrite's fresh sequence."""
+    from datastream_deltalake_connector_spark.table.icepack import ConflictError
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "conc"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    # ONE file holding all rows: the concurrent delete of id=3 is partial,
+    # so it must land as a delete FILE (not a metadata-only drop)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "id BIGINT, v DOUBLE"
+        ),
+        num_files=1,
+    )
+    src = spark.createDataFrame([(2, 20.0)], "id BIGINT, v DOUBLE")
+    # simulate: take the snapshot the merge would read, then land a delete
+    orig_snapshot = t.snapshot
+    fired = []
+
+    def hooked(*a, **k):
+        snap = orig_snapshot(*a, **k)
+        if not a and not k and not fired:
+            fired.append(1)
+            from datastream_deltalake_connector_spark.operators.rowops import (
+                delete_where_mor,
+            )
+
+            delete_where_mor(t, [("id", "=", 3)])
+        return snap
+
+    t.snapshot = hooked
+    try:
+        with pytest.raises(ConflictError):
+            merge_into(
+                t, src, "id",
+                matched=[{"action": "update", "condition": None, "set": "*"}],
+            )
+    finally:
+        t.snapshot = orig_snapshot
