@@ -1,0 +1,195 @@
+"""``COPY INTO`` — idempotent, retriable batch file loading.
+
+Databricks' ``COPY INTO`` (the batch twin of the reference's streaming file
+source, DatastreamIO.scala:87-101: same "load exactly once per file"
+contract, but scheduler-driven instead of checkpoint-driven): every source
+file is loaded AT MOST ONCE across any number of invocations, so a nightly
+job can re-run after a crash, a partial load, or an over-eager retry and
+the table never sees a duplicate row.
+
+Ledger design (the exactly-once mechanics):
+
+- Each copy commit writes its loaded-file set — ``(path, size, mtime_ns)``
+  identity triples, the same modification-time+size key Databricks uses —
+  to ``metadata/copy/copy-<uuid>.json`` BEFORE the snapshot commit, and the
+  snapshot summary references the ledger id. A ledger is only *counted* if
+  a snapshot references it, so a crash between ledger write and commit
+  leaves harmless debris (the files correctly reload next run) — never the
+  false "already loaded" that would silently drop data.
+- ``expire_snapshots`` folds expiring snapshots' ledger entries into
+  ``metadata/copy-retained.json`` before unlinking them (operators/
+  expire.py), so history retention never resurrects duplicates: the ledger
+  outlives the snapshots that built it.
+- The ledger holds file identities, not bytes: ~100 B per loaded file,
+  driver-side set arithmetic. A million-file load history is a few tens of
+  MB of metadata read once per COPY — negligible against the data volume
+  it guards.
+
+``force=True`` bypasses the ledger (Databricks ``COPY_OPTIONS ('force' =
+'true')``): files load again and duplicates are the caller's intent.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..table.icepack import IcepackTable
+
+__all__ = ["copy_into", "loaded_file_keys"]
+
+_RETAINED = "copy-retained.json"
+
+
+def _key(path: str, st: os.stat_result) -> str:
+    return f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}"
+
+
+def _ledger_dir(table: IcepackTable) -> str:
+    d = os.path.join(table.meta_dir, "copy")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def loaded_file_keys(table: IcepackTable) -> set[str]:
+    """Union of every COMMITTED copy ledger: ledgers referenced by a live
+    snapshot plus the retained fold-in from expired history. Unreferenced
+    ledger files (crash debris of a failed commit) are ignored — counting
+    them would silently drop those files' data forever."""
+    keys: set[str] = set()
+    d = os.path.join(table.meta_dir, "copy")
+    for s in table.snapshots():
+        lid = s.summary.get("copy_ledger")
+        if not lid:
+            continue
+        try:
+            with open(os.path.join(d, f"copy-{lid}.json")) as f:
+                keys.update(json.load(f)["files"])
+        except FileNotFoundError:
+            pass  # ledger folded into the retained file by expiry
+    try:
+        with open(os.path.join(table.meta_dir, _RETAINED)) as f:
+            keys.update(json.load(f)["files"])
+    except FileNotFoundError:
+        pass
+    return keys
+
+
+def retain_ledgers(table: IcepackTable, ledger_ids: list[str]) -> None:
+    """Fold the given ledgers into ``metadata/copy-retained.json`` and
+    delete the per-commit files — called by ``expire_snapshots`` for the
+    snapshots it is about to unlink, so load-exactly-once survives history
+    retention."""
+    if not ledger_ids:
+        return
+    d = os.path.join(table.meta_dir, "copy")
+    keys: set[str] = set()
+    for lid in ledger_ids:
+        try:
+            with open(os.path.join(d, f"copy-{lid}.json")) as f:
+                keys.update(json.load(f)["files"])
+        except FileNotFoundError:
+            continue
+    retained_path = os.path.join(table.meta_dir, _RETAINED)
+    try:
+        with open(retained_path) as f:
+            keys.update(json.load(f)["files"])
+    except FileNotFoundError:
+        pass
+    table._atomic_write(retained_path, json.dumps({"files": sorted(keys)}))
+    for lid in ledger_ids:
+        try:
+            os.unlink(os.path.join(d, f"copy-{lid}.json"))
+        except FileNotFoundError:
+            pass
+
+
+def _discover(src: str, pattern: str | None) -> list[tuple[str, os.stat_result]]:
+    out = []
+    for root, _dirs, names in os.walk(src):
+        for n in sorted(names):
+            if n.startswith((".", "_")):
+                continue  # markers and hidden files, never data
+            p = os.path.join(root, n)
+            if pattern and not fnmatch.fnmatch(os.path.relpath(p, src), pattern):
+                continue
+            out.append((p, os.stat(p)))
+    return out
+
+
+def copy_into(
+    table: IcepackTable,
+    src: str,
+    file_format: str = "parquet",
+    pattern: str | None = None,
+    force: bool = False,
+    num_files: int | None = None,
+) -> dict:
+    """Load all not-yet-loaded files under ``src`` into the table in one
+    atomic commit; returns a report (``version`` None when every file was
+    already loaded).
+
+    Input columns are aligned to the target schema: matching names cast to
+    the declared types, target columns absent from the file null-filled,
+    extra source columns ignored (pass them through a SELECT view + MERGE
+    when they matter)."""
+    fmt = file_format.lower()
+    if fmt not in ("parquet", "json", "csv"):
+        raise ValueError(f"unsupported FILEFORMAT {file_format!r}")
+    files = _discover(src, pattern)
+    already = set() if force else loaded_file_keys(table)
+    todo = [(p, st) for p, st in files if _key(p, st) not in already]
+    report = {
+        "files_found": len(files),
+        "files_skipped_already_loaded": len(files) - len(todo),
+        "files_loaded": len(todo),
+        "force": force,
+    }
+    if not todo:
+        return {"version": None, "rows_loaded": 0, **report}
+
+    schema = table.snapshot().schema
+    paths = [p for p, _ in todo]
+    spark = table.spark
+    if fmt == "parquet":
+        df = spark.read.parquet(*paths)
+    elif fmt == "json":
+        df = spark.read.schema(schema).json(paths)
+    else:
+        df = spark.read.schema(schema).option("header", "true").csv(paths)
+    fields = {f.name: f.dataType for f in schema.fields}
+    df = df.select(
+        *[
+            (F.col(c) if c in df.columns else F.lit(None)).cast(fields[c]).alias(c)
+            for c in fields
+        ]
+    )
+
+    ledger_id = uuid.uuid4().hex[:16]
+    ledger_path = os.path.join(_ledger_dir(table), f"copy-{ledger_id}.json")
+    # ledger BEFORE commit: an unreferenced ledger (commit failed) is inert
+    # debris; the reverse order could mark files loaded that never were
+    table._atomic_write(
+        ledger_path,
+        json.dumps({"files": sorted(_key(p, st) for p, st in todo), "src": src}),
+    )
+    added = table.write_data_files(df, num_files=num_files)
+    version = table.commit(
+        "copy-into",
+        added=added,
+        removed_paths=[],
+        summary={
+            "copy_ledger": ledger_id,
+            "copy_source": os.path.abspath(src),
+            "n_files_copied": len(todo),
+        },
+    )
+    return {
+        "version": version,
+        "rows_loaded": sum(e.rows for e in added),
+        **report,
+    }

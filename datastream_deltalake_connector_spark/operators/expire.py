@@ -112,6 +112,15 @@ def expire_snapshots(
     if dry_run:
         return report
 
+    # COPY INTO exactly-once must survive retention: fold the expiring
+    # snapshots' ledgers into metadata/copy-retained.json BEFORE their
+    # summaries are unlinked (operators/copy_into.py)
+    from .copy_into import retain_ledgers
+
+    retain_ledgers(
+        table,
+        [s.summary["copy_ledger"] for s in expired if s.summary.get("copy_ledger")],
+    )
     n_deleted, failures = _delete_files(table.root, sorted(expired_files))
     for s in expired:
         for name in (f"snap-{s.version}.json", s.manifest):

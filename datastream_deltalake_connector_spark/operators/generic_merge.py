@@ -94,6 +94,7 @@ def merge_into(
     not_matched: Iterable[dict] | None = None,
     not_matched_by_source: Iterable[dict] | None = None,
     num_files: int | None = None,
+    schema_evolution: str = "none",
 ) -> dict:
     """Apply a general MERGE; returns a report dict (``version`` None when
     the merge provably changed nothing).
@@ -102,6 +103,14 @@ def merge_into(
     (Generic non-equi ON conditions defeat file pruning by construction —
     express the extra predicate as clause conditions instead, which is also
     the performant formulation in Delta.)
+
+    ``schema_evolution``: ``"none"`` (default) — the target schema is fixed;
+    ``UPDATE SET *``/``INSERT *`` project the target's columns and an
+    explicit assignment to an unknown column is an error. ``"merge"`` —
+    Delta ``MERGE WITH SCHEMA EVOLUTION`` parity: source columns absent
+    from the target are appended nullable (metadata-only commit) BEFORE the
+    merge executes, so ``SET *``/``INSERT *`` carry them and existing rows
+    read them as NULL.
     """
     on = [on] if isinstance(on, str) else list(on)
     if not on:
@@ -111,6 +120,10 @@ def merge_into(
     nms = _norm_clauses(not_matched_by_source, {"update", "delete"})
     if not (matched or not_matched or nms):
         raise ValueError("MERGE requires at least one WHEN clause")
+    if schema_evolution not in ("none", "merge"):
+        raise ValueError("schema_evolution must be 'none' or 'merge'")
+    if schema_evolution == "merge":
+        table.evolve_schema(source.schema, strategy="merge")
 
     snap = table.snapshot()
     entries = table.files(snap.version)
@@ -121,6 +134,27 @@ def merge_into(
     missing = [k for k in on if k not in fields]
     if missing:
         raise ValueError(f"MERGE key(s) not in target schema: {missing}")
+    # an explicit assignment/values key outside the (possibly just evolved)
+    # target schema would otherwise be silently dropped by the projection —
+    # fail loudly instead (Delta raises the same; evolution is the opt-in)
+    for c in (*matched, *nms):
+        st = c.get("set")
+        if isinstance(st, dict):
+            bad = sorted(set(st) - set(fields))
+            if bad:
+                raise ValueError(
+                    f"UPDATE SET targets unknown column(s) {bad} — pass "
+                    "schema_evolution='merge' to add new columns"
+                )
+    for c in not_matched:
+        vals = c.get("values")
+        if isinstance(vals, dict):
+            bad = sorted(set(vals) - set(fields))
+            if bad:
+                raise ValueError(
+                    f"INSERT names unknown column(s) {bad} — pass "
+                    "schema_evolution='merge' to add new columns"
+                )
 
     skeys = source.select(*on).distinct()
 

@@ -29,11 +29,17 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
     INSERT OVERWRITE t SELECT ...
     DELETE FROM t WHERE pred          prunable conjuncts are lifted to
     UPDATE t SET c = e, ... WHERE pred    manifest filters automatically
-    MERGE INTO t [AS] a USING (src|(SELECT ...)) [AS] b ON a.k = b.k [AND ..]
+    MERGE [WITH SCHEMA EVOLUTION] INTO t [AS] a
+        USING (src|(SELECT ...)) [AS] b ON a.k = b.k [AND ..]
         WHEN MATCHED [AND c] THEN UPDATE SET x = e, ... | UPDATE SET * | DELETE
         WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT (cols) VALUES (exprs)
                                                 | INSERT *
         WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+    COPY INTO t FROM 'path' [FILEFORMAT = PARQUET|JSON|CSV]
+        [PATTERN = 'glob'] [FORCE = TRUE]
+                                      idempotent batch file loading: each
+                                      source file loads AT MOST ONCE across
+                                      reruns (commit-referenced ledger)
     OPTIMIZE t [ZORDER BY (a, b)]     compaction / Hilbert-Z clustering
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     DESCRIBE HISTORY t
@@ -256,8 +262,10 @@ class IcepackSQL:
             return self._delete(s)
         if head == "UPDATE":
             return self._update(s)
-        if two == "MERGE INTO":
+        if head == "MERGE":
             return self._merge(s)
+        if two == "COPY INTO":
+            return self._copy_into(s)
         if head == "OPTIMIZE":
             return self._optimize(s)
         if head == "VACUUM":
@@ -275,7 +283,7 @@ class IcepackSQL:
         raise SqlDialectError(
             f"unsupported statement: {s[:60]!r}... — supported forms: "
             "SELECT/WITH, CREATE/DROP TABLE, INSERT INTO/OVERWRITE, "
-            "DELETE FROM, UPDATE, MERGE INTO, OPTIMIZE, VACUUM, "
+            "DELETE FROM, UPDATE, MERGE INTO, COPY INTO, OPTIMIZE, VACUUM, "
             "DESCRIBE HISTORY, RESTORE TABLE, ALTER TABLE ADD COLUMNS, "
             "SHOW TABLES"
         )
@@ -499,12 +507,14 @@ class IcepackSQL:
     # -------------------------------------------------------------- MERGE
     def _merge(self, s: str) -> DataFrame:
         m = re.match(
-            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+({_IDENT})"
+            rf"(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
             s, re.IGNORECASE,
         )
         if not m:
             raise SqlDialectError(f"cannot parse MERGE INTO: {s[:80]!r}")
-        target_name, t_alias = m.group(1), m.group(2) or m.group(1)
+        evolve = "merge" if m.group(1) else "none"
+        target_name, t_alias = m.group(2), m.group(3) or m.group(2)
         rest = s[m.end():]
         # source: parenthesized subquery or identifier
         if rest.lstrip().startswith("("):
@@ -619,9 +629,34 @@ class IcepackSQL:
         rep = merge_into(
             self._table(target_name), src_df, on_keys,
             matched=matched, not_matched=not_matched,
-            not_matched_by_source=nms,
+            not_matched_by_source=nms, schema_evolution=evolve,
         )
         return self._report(table=target_name, **rep)
+
+    def _copy_into(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+            rf"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
+            rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+            rf"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(
+                "cannot parse COPY INTO — form: COPY INTO t FROM 'path' "
+                "[FILEFORMAT = PARQUET|JSON|CSV] [PATTERN = 'glob'] "
+                f"[FORCE = TRUE]: {s[:80]!r}"
+            )
+        from .operators.copy_into import copy_into
+
+        rep = copy_into(
+            self._table(m.group(1)),
+            m.group(2),
+            file_format=(m.group(3) or "parquet"),
+            pattern=m.group(4),
+            force=bool(m.group(5) and m.group(5).upper() == "TRUE"),
+        )
+        return self._report(table=m.group(1), **rep)
 
     # -------------------------------------------------------- maintenance
     def _optimize(self, s: str) -> DataFrame:

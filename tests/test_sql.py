@@ -431,3 +431,42 @@ def test_merge_concurrent_delete_file_refused(sql, spark, tmp_path):
             )
     finally:
         t.snapshot = orig_snapshot
+
+
+def test_merge_schema_evolution(sql, spark):
+    """MERGE WITH SCHEMA EVOLUTION appends new source columns nullable
+    before executing; INSERT */SET * carry them, existing rows read NULL."""
+    t = _mk_users(sql)
+    spark.createDataFrame(
+        [(2, "BOB2", 99.0, "gold"), (9, "zed", 9.0, "new")],
+        "id BIGINT, name STRING, score DOUBLE, tier STRING",
+    ).createOrReplaceTempView("esrc")
+    sql.execute(
+        "MERGE WITH SCHEMA EVOLUTION INTO users t USING esrc s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    cols = [f.name for f in t.snapshot().schema.fields]
+    assert cols == ["id", "name", "score", "tier"]
+    got = {(r.id, r.tier) for r in t.scan().collect()}
+    assert got == {(1, None), (2, "gold"), (3, None), (9, "new")}
+
+
+def test_merge_unknown_column_without_evolution_raises(sql, spark):
+    t = _mk_users(sql)
+    spark.createDataFrame(
+        [(2, "x")], "id BIGINT, extra STRING"
+    ).createOrReplaceTempView("xsrc")
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_into(
+            t, spark.table("xsrc"), "id",
+            matched=[{"action": "update", "condition": None,
+                      "set": {"extra": "s.extra"}}],
+        )
+    # INSERT * without evolution silently projects target columns only
+    rep = merge_into(
+        t, spark.table("xsrc"), "id",
+        not_matched=[{"action": "insert", "condition": None, "values": "*"}],
+    )
+    assert rep["version"] is None  # id=2 matches, nothing to insert
+    assert [f.name for f in t.snapshot().schema.fields] == ["id", "name", "score"]
