@@ -20,7 +20,11 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
 
     SELECT / WITH ...                 any Spark SQL; icepack refs may carry
                                       VERSION AS OF <n>|'<ref>' or
-                                      TIMESTAMP AS OF '<iso>' (UTC)
+                                      TIMESTAMP AS OF '<iso>' (UTC);
+                                      inspection refs t.history / t.files /
+                                      t.partitions (Iceberg metadata
+                                      tables); table_changes('t', from[,to])
+                                      (Delta CDF table-valued function)
     CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...)
         [PARTITIONED BY (spec, ...)]  spec: col | day(col) | bucket(n, col)
                                       | truncate(n, col)
@@ -43,6 +47,8 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
     OPTIMIZE t [ZORDER BY (a, b)]     compaction / Hilbert-Z clustering
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     DESCRIBE HISTORY t
+    DESCRIBE DETAIL t                 one-row manifest summary (files/bytes/
+                                      rows/partitioning/version)
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t ADD COLUMNS (col TYPE, ...)
     SHOW TABLES
@@ -272,6 +278,8 @@ class IcepackSQL:
             return self._vacuum(s)
         if two == "DESCRIBE HISTORY":
             return self._history(s)
+        if two == "DESCRIBE DETAIL":
+            return self._detail(s)
         if two == "RESTORE TABLE":
             return self._restore(s)
         if two == "ALTER TABLE":
@@ -306,7 +314,10 @@ class IcepackSQL:
             elif isinstance(v, float):
                 dt = T.DoubleType()
             elif v is None:
-                dt = T.LongType()  # only version-ish fields are nullable
+                # a None value carries no type; LONG keeps version-ish
+                # fields (the common case) numeric, and Row access returns
+                # None either way
+                dt = T.LongType()
             else:
                 dt, v = T.StringType(), str(v)
             fields.append(T.StructField(k, dt, True))
@@ -321,10 +332,16 @@ class IcepackSQL:
         df.createOrReplaceTempView(view)
         return view
 
+    _INSPECT = ("history", "files", "partitions")
+
     def _rewrite_refs(self, s: str) -> str:
         """Replace catalog table refs (FROM/JOIN position, with optional
-        time-travel suffix) by temp views over pinned scans. Subquery refs
-        rewrite too; only string literals are off-limits."""
+        time-travel suffix) by temp views over pinned scans; also resolve
+        inspection refs ``t.history``/``t.files``/``t.partitions`` (Iceberg
+        metadata tables) and the ``table_changes('t', from[, to])``
+        table-valued function (Delta CDF). Subquery refs rewrite too; only
+        string literals are off-limits."""
+        s = self._rewrite_tvf(s)
         pat = (
             rf"\b(FROM|JOIN)\s+({_IDENT})"
             rf"(\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*')"
@@ -337,6 +354,20 @@ class IcepackSQL:
                 continue
             name = m.group(2)
             if not self.catalog.exists(name):
+                base, _, suffix = name.rpartition(".")
+                if (
+                    suffix in self._INSPECT
+                    and base
+                    and self.catalog.exists(base)
+                ):
+                    t = self._table(base)
+                    df = getattr(t, f"{suffix}_df")()
+                    self._view_n += 1
+                    view = f"__icepack_meta_{self._view_n}"
+                    df.createOrReplaceTempView(view)
+                    out.append(s[last : m.start(1)])
+                    out.append(f"{m.group(1)} {view}")
+                    last = m.end(2)
                 continue
             version = ref = ts_ms = None
             if m.group(4):
@@ -356,6 +387,36 @@ class IcepackSQL:
             last = m.end()
         out.append(s[last:])
         return "".join(out)
+
+    def _rewrite_tvf(self, s: str) -> str:
+        """``table_changes('t', from[, to][, 'key'])`` → temp view over the
+        row-level change feed (operators/changes.py) — Delta's CDF
+        table-valued function, computed driver-side with full Catalyst
+        underneath. The optional trailing key names the merge column(s)
+        (comma-separated) for commits on tables that never recorded one."""
+        pat = (
+            rf"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)"
+            rf"(?:\s*,\s*(\d+))?(?:\s*,\s*'([^']+)')?\s*\)"
+        )
+        mask = _top_level_mask(s, parens=False)
+
+        def _one(m: re.Match) -> str:
+            if not mask[m.start()]:
+                return m.group(0)
+            from .operators.changes import table_changes
+
+            df = table_changes(
+                self._table(m.group(1)),
+                int(m.group(2)),
+                int(m.group(3)) if m.group(3) else None,
+                key=m.group(4).split(",") if m.group(4) else None,
+            )
+            self._view_n += 1
+            view = f"__icepack_cdf_{self._view_n}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(pat, _one, s, flags=re.IGNORECASE)
 
     # ---------------------------------------------------------------- DDL
     def _create_table(self, s: str) -> DataFrame:
@@ -710,6 +771,25 @@ class IcepackSQL:
         if not m:
             raise SqlDialectError(f"cannot parse DESCRIBE HISTORY: {s[:80]!r}")
         return self._table(m.group(1)).history_df()
+
+    def _detail(self, s: str) -> DataFrame:
+        m = re.fullmatch(rf"DESCRIBE\s+DETAIL\s+({_IDENT})\s*", s, re.IGNORECASE)
+        if not m:
+            raise SqlDialectError(f"cannot parse DESCRIBE DETAIL: {s[:80]!r}")
+        t = self._table(m.group(1))
+        snap = t.snapshot()
+        data = [e for e in t.files() if e.content == "data"]
+        return self._report(
+            format="icepack",
+            location=t.root,
+            version=snap.version,
+            operation=snap.operation,
+            numFiles=len(data),
+            sizeInBytes=sum(e.bytes for e in data),
+            numRows=t.count_rows(),
+            partitionColumns=",".join(t.partition_spec()),
+            numDeleteFiles=len(t.files()) - len(data),
+        )
 
     def _restore(self, s: str) -> DataFrame:
         m = re.fullmatch(

@@ -470,3 +470,49 @@ def test_merge_unknown_column_without_evolution_raises(sql, spark):
     )
     assert rep["version"] is None  # id=2 matches, nothing to insert
     assert [f.name for f in t.snapshot().schema.fields] == ["id", "name", "score"]
+
+
+def test_inspection_refs_and_detail(sql):
+    """t.history / t.files / t.partitions resolve as queryable metadata
+    tables; DESCRIBE DETAIL summarizes the manifest."""
+    t = _mk_users(sql)
+    sql.execute("DELETE FROM users WHERE id = 1")
+    ops = {
+        r.operation
+        for r in sql.execute("SELECT operation FROM users.history").collect()
+    }
+    assert {"create", "append", "delete"} <= ops
+    nf = sql.execute(
+        "SELECT count(*) AS n, sum(rows) AS total FROM users.files"
+    ).collect()[0]
+    assert nf.total == t.count_rows() == 2
+    assert sql.execute("SELECT * FROM users.partitions").collect()
+    d = sql.execute("DESCRIBE DETAIL users").collect()[0]
+    assert d.format == "icepack" and d.numRows == 2 and d.numFiles == nf.n
+    assert d.version == t.head_version()
+
+
+def test_table_changes_tvf(sql, spark):
+    """table_changes('t', from[, to]) — the Delta CDF TVF inside any
+    SELECT, joined and filtered by Catalyst like a normal relation."""
+    t = _mk_users(sql)
+    v0 = t.head_version()
+    sql.execute("DELETE FROM users WHERE id = 2")
+    sql.execute("INSERT INTO users VALUES (7, 'eve', 7.0)")
+    got = {
+        (r._change_type, r.id)
+        for r in sql.execute(
+            f"SELECT _change_type, id FROM table_changes('users', {v0}, "
+            f"{v0 + 2}, 'id') ORDER BY id"
+        ).collect()
+    }
+    assert got == {("delete", 2), ("insert", 7)}
+    # bounded to-version excludes the insert
+    got = {
+        (r._change_type, r.id)
+        for r in sql.execute(
+            f"SELECT _change_type, id FROM "
+            f"table_changes('users', {v0}, {v0 + 1}, 'id')"
+        ).collect()
+    }
+    assert got == {("delete", 2)}
