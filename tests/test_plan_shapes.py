@@ -71,3 +71,65 @@ def test_scan_projection_pruned(noaqe):
     p = plan_text(noaqe, "url_dedup_docs")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_generic_merge_single_join_write_job(noaqe, tmp_path):
+    """The general MERGE writes through ONE join: clause routing, cascades,
+    projections, and observe metrics all ride a single full-outer join over
+    only the probe-hit files — a refactor that adds a second join or an
+    extra exchange pair is a scale regression."""
+    from pyspark.sql import types as T
+
+    from datastream_deltalake_connector_spark.operators import generic_merge as gm
+    from datastream_deltalake_connector_spark.table.icepack import IcepackTable
+
+    t = IcepackTable.create(
+        noaqe,
+        str(tmp_path / "pm"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    for lo in (0, 100):
+        t.append(
+            noaqe.range(lo, lo + 100).selectExpr(
+                "id", "cast(id as double) as v"
+            ),
+            num_files=1,
+        )
+    src = noaqe.createDataFrame([(5, 50.0), (250, 2.5)], "id BIGINT, v DOUBLE")
+    captured = {}
+    orig = IcepackTable.write_data_files
+
+    def spy(self, df, **kw):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        captured["plan"] = buf.getvalue()
+        return orig(self, df, **kw)
+
+    IcepackTable.write_data_files = spy
+    try:
+        rep = gm.merge_into(
+            t,
+            src,
+            "id",
+            matched=[{"action": "update", "condition": None, "set": "*"}],
+            not_matched=[{"action": "insert", "condition": None, "values": "*"}],
+        )
+    finally:
+        IcepackTable.write_data_files = orig
+    p = captured["plan"]
+    joins = re.findall(r"^\(\d+\) (\w*Join\w*)", p, re.M)
+    assert len(joins) == 1, f"expected ONE join, got {joins}:\n{p[:2000]}"
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    assert scans == 1, f"only the probe-hit file may be scanned, got {scans}"
+    # SMJ costs its two exchange+sort pairs and nothing else
+    assert exchanges(p) <= 2, f"unexpected extra exchange:\n{p[:2000]}"
+    # the insert key (250) stretches the source bounds across both files so
+    # range pre-pruning cannot engage — the EXACT file_path probe is what
+    # bounds the rewrite to the single file actually holding a match
+    assert rep["files_rewritten"] == 1 and rep["files_probed"] == 2
