@@ -516,3 +516,52 @@ def test_table_changes_tvf(sql, spark):
         ).collect()
     }
     assert got == {("delete", 2)}
+
+
+def test_lift_filters_property(spark):
+    """Property: for ANY conjunction of liftable and non-liftable conjuncts,
+    (lifted filters) AND (residual) selects exactly the rows the original
+    predicate text selects — lifting may only move work, never change it."""
+    from hypothesis import given, settings, strategies as st
+
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        _pred_column,
+    )
+    from datastream_deltalake_connector_spark.sql import _lift_filters
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 2, f"s{i % 7}") for i in range(40)],
+        "a BIGINT, b DOUBLE, s STRING",
+    ).cache()
+    df.count()
+
+    liftable = st.sampled_from(
+        [
+            "a >= 10",
+            "a < 35",
+            "b = 7.5",
+            "s = 's3'",
+            "a BETWEEN 5 AND 30",
+            "a IN (1, 5, 9, 33)",
+            "b <= 12.5",
+        ]
+    )
+    residual = st.sampled_from(
+        [
+            "length(s) > 1",
+            "a % 3 = 0",
+            "b * 2 > a - 4",
+            "s != 's1'",
+        ]
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.one_of(liftable, residual), min_size=1, max_size=4))
+    def check(conjuncts):
+        pred = " AND ".join(conjuncts)
+        filters, resid = _lift_filters(pred)
+        got = df.where(_pred_column(filters, resid)).count()
+        want = df.where(F.expr(pred)).count()
+        assert got == want, (pred, filters, resid)
+
+    check()
