@@ -156,7 +156,9 @@ def merge_into(
                     "schema_evolution='merge' to add new columns"
                 )
 
-    skeys = source.select(*on).distinct()
+    # raw key projection: min/max and the leftsemi probe are both
+    # duplicate-insensitive, so a distinct here would only add a shuffle
+    skeys = source.select(*on)
 
     # ---- candidate discovery -------------------------------------------
     if nms:
@@ -196,21 +198,24 @@ def merge_into(
         dup_keys = (
             source.groupBy(*on).count().where(F.col("count") > 1).drop("count")
         )
-        paths = [table.data_path(e.path) for e in hit]
-        n_dup = (
-            table.spark.read.schema(snap.schema)
-            .parquet(*paths)
-            .select(*on)
-            .join(dup_keys, on=on, how="leftsemi")
-            .limit(1)
-            .count()
-        )
-        if n_dup:
-            raise MergeCardinalityError(
-                "MERGE cardinality violation: a target row is matched by "
-                "more than one source row and a WHEN MATCHED clause exists — "
-                "dedupe the source (e.g. row_number() = 1) first"
+        # source-only pre-check first: a duplicate-free source (the common
+        # case) must not cost a key-column scan of the hit files
+        if dup_keys.limit(1).count():
+            paths = [table.data_path(e.path) for e in hit]
+            n_dup = (
+                table.spark.read.schema(snap.schema)
+                .parquet(*paths)
+                .select(*on)
+                .join(dup_keys, on=on, how="leftsemi")
+                .limit(1)
+                .count()
             )
+            if n_dup:
+                raise MergeCardinalityError(
+                    "MERGE cardinality violation: a target row is matched by "
+                    "more than one source row and a WHEN MATCHED clause exists — "
+                    "dedupe the source (e.g. row_number() = 1) first"
+                )
 
     rewrite = hit if (matched or nms) else []
 
@@ -246,10 +251,27 @@ def merge_into(
             )
         else:
             # insert-only: target enters the join ONLY to anti-match source
-            # rows; restrict to key columns of files that can hold a match
-            if hit:
-                tdf = table.spark.read.schema(snap.schema).parquet(
-                    *[table.data_path(e.path) for e in hit]
+            # rows. With pending MoR deletes the resolved view decides what
+            # counts as matched (a shadowed row must NOT block an insert);
+            # otherwise read just the key columns (parquet prunes the
+            # payload) and null-fill the rest for the shared projection.
+            if hit and (eq_deletes or pos_deletes):
+                tdf = _read_candidates(
+                    table, hit, eq_deletes, snap.schema, eq_cols,
+                    pos_deletes=pos_deletes,
+                )
+            elif hit:
+                tdf = (
+                    table.spark.read.schema(snap.schema)
+                    .parquet(*[table.data_path(e.path) for e in hit])
+                    .select(
+                        *on,
+                        *[
+                            F.lit(None).cast(fields[c]).alias(c)
+                            for c in tcols
+                            if c not in on
+                        ],
+                    )
                 )
             else:
                 tdf = table.spark.createDataFrame([], snap.schema)

@@ -565,3 +565,39 @@ def test_lift_filters_property(spark):
         assert got == want, (pred, filters, resid)
 
     check()
+
+
+def test_merge_insert_only_over_pending_mor_delete(sql, spark, tmp_path):
+    """Insert-only fast path with pending positional deletes: a source row
+    whose only key match is a SHADOWED row must insert (the resolved view
+    decides matching), and unshadowed matches must still block."""
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        delete_where_mor,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "morins"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "id BIGINT, v DOUBLE"
+        ),
+        num_files=1,
+    )
+    delete_where_mor(t, [("id", "=", 2)])
+    src = spark.createDataFrame([(2, 20.0), (3, 33.0)], "id BIGINT, v DOUBLE")
+    rep = merge_into(
+        t, src, "id",
+        not_matched=[{"action": "insert", "condition": None, "values": "*"}],
+    )
+    assert rep["rows_inserted"] == 1 and rep["files_rewritten"] == 0
+    got = {(r.id, r.v) for r in t.scan().collect()}
+    # id=2 reinserted fresh; id=3 blocked (live match); id=1 untouched
+    assert got == {(1, 1.0), (2, 20.0), (3, 3.0)}
