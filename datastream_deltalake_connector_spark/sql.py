@@ -27,7 +27,9 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
                                       (Delta CDF table-valued function)
     CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...)
         [PARTITIONED BY (spec, ...)]  spec: col | day(col) | bucket(n, col)
-                                      | truncate(n, col)
+        [AS SELECT ...]               | truncate(n, col); CTAS infers the
+                                      schema from the query when the column
+                                      list is omitted
     DROP TABLE [IF EXISTS] t
     INSERT INTO t [(cols)] VALUES (...), (...) | SELECT ...
     INSERT OVERWRITE t SELECT ...
@@ -51,7 +53,14 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
                                       rows/partitioning/version)
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t ADD COLUMNS (col TYPE, ...)
+    ALTER TABLE t CREATE|DROP BRANCH|TAG name [AT VERSION n]
+    PUBLISH TABLE t FROM BRANCH 'b' [TO 'main'] [KEEP BRANCH]
     SHOW TABLES
+
+Write-audit-publish in pure SQL: any DML/maintenance statement accepts a
+branch-qualified target ``t@branch`` (reads too: ``FROM t@branch``), so the
+loop is CREATE BRANCH → DML on ``t@b`` → audit with SELECTs on ``t@b`` →
+PUBLISH TABLE.
 
 Anything else raises ``SqlDialectError`` with the supported-form list —
 loud refusal, never silent misinterpretation.
@@ -63,6 +72,7 @@ import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .table.catalog import Catalog
@@ -168,6 +178,9 @@ def _split_top(s: str, sep: str) -> list[str]:
 
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+# a table reference in statement position: name, optionally branch-qualified
+# (t@branch) — the WAP surface: DML lands on the branch, PUBLISH swaps it in
+_TREF = rf"{_IDENT}(?:@{_IDENT})?"
 
 
 def _parse_literal(tok: str):
@@ -282,6 +295,8 @@ class IcepackSQL:
             return self._detail(s)
         if two == "RESTORE TABLE":
             return self._restore(s)
+        if two == "PUBLISH TABLE":
+            return self._publish(s)
         if two == "ALTER TABLE":
             return self._alter(s)
         if two == "SHOW TABLES":
@@ -298,9 +313,16 @@ class IcepackSQL:
 
     # ------------------------------------------------------------- helpers
     def _table(self, name: str) -> IcepackTable:
-        if not self.catalog.exists(name):
-            raise SqlDialectError(f"table not found in catalog: {name!r}")
-        return self.catalog.load_table(name)
+        base, _, branch = name.partition("@")
+        if not self.catalog.exists(base):
+            raise SqlDialectError(f"table not found in catalog: {base!r}")
+        t = self.catalog.load_table(base)
+        if branch:
+            try:
+                return t.branch(branch)
+            except KeyError as exc:
+                raise SqlDialectError(str(exc)) from exc
+        return t
 
     def _report(self, **kv) -> DataFrame:
         """One-row report with an explicit schema (None values — e.g. the
@@ -343,7 +365,7 @@ class IcepackSQL:
         string literals are off-limits."""
         s = self._rewrite_tvf(s)
         pat = (
-            rf"\b(FROM|JOIN)\s+({_IDENT})"
+            rf"\b(FROM|JOIN)\s+({_TREF})"
             rf"(\s+VERSION\s+AS\s+OF\s+(\d+|'[^']*')"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)')?"
         )
@@ -353,6 +375,20 @@ class IcepackSQL:
             if not mask[m.start()]:
                 continue
             name = m.group(2)
+            if "@" in name:
+                base, _, branch = name.partition("@")
+                if not self.catalog.exists(base):
+                    continue
+                if m.group(3):
+                    raise SqlDialectError(
+                        f"{name}: pass a branch qualifier OR a time-travel "
+                        "clause, not both"
+                    )
+                view = self._register_scan(base, ref=branch)
+                out.append(s[last : m.start(1)])
+                out.append(f"{m.group(1)} {view}")
+                last = m.end()
+                continue
             if not self.catalog.exists(name):
                 base, _, suffix = name.rpartition(".")
                 if (
@@ -421,39 +457,70 @@ class IcepackSQL:
     # ---------------------------------------------------------------- DDL
     def _create_table(self, s: str) -> DataFrame:
         m = re.match(
-            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*(?=\()",
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
             s, re.IGNORECASE,
         )
         if not m:
             raise SqlDialectError(f"cannot parse CREATE TABLE: {s[:80]!r}")
         if_not_exists, name = m.group(1), m.group(2)
-        open_i = s.index("(", m.end() - 1)
-        close_i = _match_paren(s, open_i)
-        cols = s[open_i + 1 : close_i]
-        tail = s[close_i + 1 :].strip()
+        tail = s[m.end():].strip()
+        cols = None
+        if tail.startswith("("):
+            close_i = _match_paren(tail, 0)
+            cols = tail[1:close_i]
+            tail = tail[close_i + 1 :].strip()
         spec = None
+        mp = re.match(
+            r"PARTITIONED\s+BY\s*\(", tail, re.IGNORECASE
+        )
+        if mp:
+            close_i = _match_paren(tail, mp.end() - 1)
+            spec = tail[mp.end() : close_i]
+            tail = tail[close_i + 1 :].strip()
+        select_sql = None
+        ma = re.match(r"AS\s+(SELECT|WITH)\b", tail, re.IGNORECASE)
+        if ma:
+            select_sql = tail[ma.start(1):]
+            tail = ""
         if tail:
-            mt = re.fullmatch(
-                r"PARTITIONED\s+BY\s*\((.*)\)\s*", tail, re.IGNORECASE | re.DOTALL
+            raise SqlDialectError(f"unexpected CREATE TABLE suffix: {tail[:60]!r}")
+        if cols is None and select_sql is None:
+            raise SqlDialectError(
+                "CREATE TABLE needs a column list and/or AS SELECT"
             )
-            if not mt:
-                raise SqlDialectError(
-                    f"unexpected CREATE TABLE suffix: {tail[:60]!r}"
-                )
-            spec = mt.group(1)
-        schema = T.StructType.fromDDL(cols)
         if self.catalog.exists(name):
             if if_not_exists:
                 return self._report(status="exists", table=name)
             raise SqlDialectError(f"table exists: {name}")
+        df = (
+            self.spark.sql(self._rewrite_refs(select_sql))
+            if select_sql is not None
+            else None
+        )
+        schema = T.StructType.fromDDL(cols) if cols is not None else df.schema
         partition_by = (
             [p.strip() for p in _split_top(spec, ",")] if spec else None
         )
-        IcepackTable.create(
+        t = IcepackTable.create(
             self.spark, self.catalog._path(name), schema,
             partition_by=partition_by,
         )
-        return self._report(status="created", table=name)
+        if df is not None:
+            fields = {f.name: f.dataType for f in schema.fields}
+            t.append(
+                df.select(
+                    *[
+                        (F.col(c) if c in df.columns else F.lit(None))
+                        .cast(fields[c])
+                        .alias(c)
+                        for c in fields
+                    ]
+                )
+            )
+        return self._report(
+            status="created", table=name,
+            rows=t.count_rows() if df is not None else 0,
+        )
 
     def _drop_table(self, s: str) -> DataFrame:
         m = re.fullmatch(
@@ -470,13 +537,32 @@ class IcepackSQL:
         return self._report(status="dropped", table=name)
 
     def _alter(self, s: str) -> DataFrame:
+        mb = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+"
+            rf"({_IDENT})(?:\s+AT\s+VERSION\s+(\d+))?\s*",
+            s, re.IGNORECASE,
+        )
+        if mb:
+            t = self._table(mb.group(1))
+            verb, kind, ref = mb.group(2).upper(), mb.group(3).lower(), mb.group(4)
+            if verb == "CREATE":
+                at = int(mb.group(5)) if mb.group(5) else None
+                v = (t.create_branch if kind == "branch" else t.create_tag)(ref, at)
+                return self._report(
+                    status=f"{kind}-created", table=mb.group(1), ref=ref, version=v
+                )
+            (t.drop_branch if kind == "branch" else t.drop_tag)(ref)
+            return self._report(
+                status=f"{kind}-dropped", table=mb.group(1), ref=ref
+            )
         m = re.fullmatch(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*",
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*",
             s, re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise SqlDialectError(
-                f"only ALTER TABLE t ADD COLUMNS (...) is supported: {s[:80]!r}"
+                "only ALTER TABLE t ADD COLUMNS (...) / CREATE|DROP "
+                f"BRANCH|TAG is supported: {s[:80]!r}"
             )
         t = self._table(m.group(1))
         add = T.StructType.fromDDL(m.group(2))
@@ -490,7 +576,7 @@ class IcepackSQL:
     # ---------------------------------------------------------------- DML
     def _insert(self, s: str) -> DataFrame:
         m = re.match(
-            rf"INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.*)",
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_TREF})\s*(\(([^)]*)\))?\s*(.*)",
             s, re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -536,7 +622,7 @@ class IcepackSQL:
 
     def _delete(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)", s,
+            rf"DELETE\s+FROM\s+({_TREF})\s+WHERE\s+(.+)", s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -551,7 +637,7 @@ class IcepackSQL:
 
     def _update(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)", s,
+            rf"UPDATE\s+({_TREF})\s+SET\s+(.+?)\s+WHERE\s+(.+)", s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -568,7 +654,7 @@ class IcepackSQL:
     # -------------------------------------------------------------- MERGE
     def _merge(self, s: str) -> DataFrame:
         m = re.match(
-            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+({_IDENT})"
+            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+({_TREF})"
             rf"(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
             s, re.IGNORECASE,
         )
@@ -696,7 +782,7 @@ class IcepackSQL:
 
     def _copy_into(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+            rf"COPY\s+INTO\s+({_TREF})\s+FROM\s+'([^']+)'"
             rf"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
             rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
             rf"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*",
@@ -722,7 +808,7 @@ class IcepackSQL:
     # -------------------------------------------------------- maintenance
     def _optimize(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"OPTIMIZE\s+({_IDENT})(\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*",
+            rf"OPTIMIZE\s+({_TREF})(\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*",
             s, re.IGNORECASE,
         )
         if not m:
@@ -749,7 +835,7 @@ class IcepackSQL:
 
     def _vacuum(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"VACUUM\s+({_IDENT})(\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*",
+            rf"VACUUM\s+({_TREF})(\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*",
             s, re.IGNORECASE,
         )
         if not m:
@@ -767,13 +853,13 @@ class IcepackSQL:
         )
 
     def _history(self, s: str) -> DataFrame:
-        m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*", s, re.IGNORECASE)
+        m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_TREF})\s*", s, re.IGNORECASE)
         if not m:
             raise SqlDialectError(f"cannot parse DESCRIBE HISTORY: {s[:80]!r}")
         return self._table(m.group(1)).history_df()
 
     def _detail(self, s: str) -> DataFrame:
-        m = re.fullmatch(rf"DESCRIBE\s+DETAIL\s+({_IDENT})\s*", s, re.IGNORECASE)
+        m = re.fullmatch(rf"DESCRIBE\s+DETAIL\s+({_TREF})\s*", s, re.IGNORECASE)
         if not m:
             raise SqlDialectError(f"cannot parse DESCRIBE DETAIL: {s[:80]!r}")
         t = self._table(m.group(1))
@@ -789,6 +875,30 @@ class IcepackSQL:
             numRows=t.count_rows(),
             partitionColumns=",".join(t.partition_spec()),
             numDeleteFiles=len(t.files()) - len(data),
+        )
+
+    def _publish(self, s: str) -> DataFrame:
+        """WAP publish: fast-forward main (or another branch) onto a branch
+        head — the SQL counterpart of the write-audit-publish loop whose
+        writes landed via ``t@branch`` DML."""
+        m = re.fullmatch(
+            rf"PUBLISH\s+TABLE\s+({_IDENT})\s+FROM\s+BRANCH\s+'([^']+)'"
+            rf"(?:\s+TO\s+'([^']+)')?(\s+KEEP\s+BRANCH)?\s*",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(
+                "cannot parse PUBLISH — form: PUBLISH TABLE t FROM BRANCH "
+                f"'b' [TO 'main'] [KEEP BRANCH]: {s[:80]!r}"
+            )
+        t = self._table(m.group(1))
+        v = t.fast_forward(m.group(2), m.group(3) or "main")
+        if not m.group(4):
+            t.drop_branch(m.group(2))
+        return self._report(
+            status="published", table=m.group(1), branch=m.group(2),
+            to=m.group(3) or "main", version=v,
+            branch_kept=bool(m.group(4)),
         )
 
     def _restore(self, s: str) -> DataFrame:

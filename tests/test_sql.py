@@ -601,3 +601,62 @@ def test_merge_insert_only_over_pending_mor_delete(sql, spark, tmp_path):
     got = {(r.id, r.v) for r in t.scan().collect()}
     # id=2 reinserted fresh; id=3 blocked (live match); id=1 untouched
     assert got == {(1, 1.0), (2, 20.0), (3, 3.0)}
+
+
+def test_ctas(sql):
+    """CREATE TABLE AS SELECT: schema inferred from the query, rows loaded
+    in the same statement; explicit column list casts when given."""
+    _mk_users(sql)
+    rep = sql.execute(
+        "CREATE TABLE rich AS SELECT id, score FROM users WHERE score > 2"
+    ).collect()[0]
+    assert rep.status == "created" and rep.rows == 2
+    t = sql.catalog.load_table("rich")
+    assert [f.name for f in t.snapshot().schema.fields] == ["id", "score"]
+    assert {r.id for r in t.scan().collect()} == {2, 3}
+    # CTAS with explicit columns casts into the declared types
+    sql.execute(
+        "CREATE TABLE rich2 (id INT, score STRING) "
+        "AS SELECT id, score FROM users WHERE id = 1"
+    )
+    r = sql.catalog.load_table("rich2").scan().collect()[0]
+    assert (r.id, r.score) == (1, "1.5")
+
+
+def test_sql_wap_loop(sql):
+    """The full write-audit-publish loop in pure SQL: branch DDL, DML on
+    t@branch (main untouched), audit reads on both, publish, branch gone."""
+    t = _mk_users(sql)
+    sql.execute("ALTER TABLE users CREATE BRANCH staging")
+    sql.execute("DELETE FROM users@staging WHERE id = 1")
+    sql.execute("UPDATE users@staging SET score = score * 100 WHERE id = 2")
+    # audit: branch changed, main untouched
+    assert sql.execute("SELECT count(*) AS n FROM users@staging").collect()[0].n == 2
+    assert sql.execute("SELECT count(*) AS n FROM users").collect()[0].n == 3
+    rep = sql.execute(
+        "PUBLISH TABLE users FROM BRANCH 'staging'"
+    ).collect()[0]
+    assert rep.status == "published" and rep.branch_kept is False
+    got = {(r.id, r.score) for r in t.scan().collect()}
+    assert got == {(2, 250.0), (3, 3.5)}
+    assert "staging" not in t.refs()["branches"]
+    # tags via DDL pin retention
+    sql.execute("ALTER TABLE users CREATE TAG prepublish AT VERSION 1")
+    assert t.refs()["tags"]["prepublish"] == 1
+    sql.execute("ALTER TABLE users DROP TAG prepublish")
+    assert "prepublish" not in t.refs()["tags"]
+
+
+def test_branch_qualified_merge_and_detail(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute("ALTER TABLE users CREATE BRANCH exp")
+    sql.execute(
+        "MERGE INTO users@exp t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert sql.execute("SELECT count(*) AS n FROM users@exp").collect()[0].n == 4
+    assert t.scan().count() == 3  # main untouched
+    d = sql.execute("DESCRIBE DETAIL users@exp").collect()[0]
+    assert d.numRows == 4
+    with pytest.raises(SqlDialectError):
+        sql.execute("DELETE FROM users@nope WHERE id = 1")
