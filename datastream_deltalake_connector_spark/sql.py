@@ -53,7 +53,10 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
                                       rows/partitioning/version)
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t ADD COLUMNS (col TYPE, ...)
+    ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name
     ALTER TABLE t CREATE|DROP BRANCH|TAG name [AT VERSION n]
+    TRUNCATE TABLE t                  metadata-only, history intact
+    SHOW CREATE TABLE t
     PUBLISH TABLE t FROM BRANCH 'b' [TO 'main'] [KEEP BRANCH]
     SHOW TABLES
 
@@ -303,6 +306,10 @@ class IcepackSQL:
             return self.spark.createDataFrame(
                 [(n,) for n in self.catalog.table_names()], "tableName STRING"
             )
+        if two == "TRUNCATE TABLE":
+            return self._truncate(s)
+        if s.upper().startswith("SHOW CREATE TABLE"):
+            return self._show_create(s)
         raise SqlDialectError(
             f"unsupported statement: {s[:60]!r}... — supported forms: "
             "SELECT/WITH, CREATE/DROP TABLE, INSERT INTO/OVERWRITE, "
@@ -537,6 +544,29 @@ class IcepackSQL:
         return self._report(status="dropped", table=name)
 
     def _alter(self, s: str) -> DataFrame:
+        mc = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+"
+            rf"CHECK\s*\((.*)\)\s*",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if mc:
+            v = self._table(mc.group(1)).add_check_constraint(
+                mc.group(2), mc.group(3)
+            )
+            return self._report(
+                status="constraint-added", table=mc.group(1),
+                name=mc.group(2), version=v,
+            )
+        md = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+DROP\s+CONSTRAINT\s+({_IDENT})\s*",
+            s, re.IGNORECASE,
+        )
+        if md:
+            v = self._table(md.group(1)).drop_check_constraint(md.group(2))
+            return self._report(
+                status="constraint-dropped", table=md.group(1),
+                name=md.group(2), version=v,
+            )
         mb = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+"
             rf"({_IDENT})(?:\s+AT\s+VERSION\s+(\d+))?\s*",
@@ -561,8 +591,8 @@ class IcepackSQL:
         )
         if not m:
             raise SqlDialectError(
-                "only ALTER TABLE t ADD COLUMNS (...) / CREATE|DROP "
-                f"BRANCH|TAG is supported: {s[:80]!r}"
+                "only ALTER TABLE t ADD COLUMNS (...) / ADD|DROP CONSTRAINT "
+                f"/ CREATE|DROP BRANCH|TAG is supported: {s[:80]!r}"
             )
         t = self._table(m.group(1))
         add = T.StructType.fromDDL(m.group(2))
@@ -876,6 +906,45 @@ class IcepackSQL:
             partitionColumns=",".join(t.partition_spec()),
             numDeleteFiles=len(t.files()) - len(data),
         )
+
+    def _truncate(self, s: str) -> DataFrame:
+        """Metadata-only removal of every data file — history stays intact
+        (time travel to the pre-truncate snapshot still works; VACUUM/expiry
+        reclaims the bytes later), exactly Delta's TRUNCATE."""
+        m = re.fullmatch(rf"TRUNCATE\s+TABLE\s+({_TREF})\s*", s, re.IGNORECASE)
+        if not m:
+            raise SqlDialectError(f"cannot parse TRUNCATE TABLE: {s[:80]!r}")
+        t = self._table(m.group(1))
+        entries = t.files()
+        n = t.count_rows()
+        v = t.commit(
+            "truncate",
+            added=[],
+            removed_paths=[e.path for e in entries],
+            summary={"rows_removed": n},
+        )
+        return self._report(
+            status="truncated", table=m.group(1), version=v, rows_removed=n
+        )
+
+    def _show_create(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*", s, re.IGNORECASE
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse SHOW CREATE TABLE: {s[:80]!r}")
+        t = self._table(m.group(1))
+        schema = t.snapshot().schema
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields
+        )
+        stmt = f"CREATE TABLE {m.group(1)} (\n  {cols}\n)"
+        spec = t.partition_spec()
+        if spec:
+            stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
+        for name, expr in sorted(t.check_constraints().items()):
+            stmt += f"\n-- ALTER TABLE {m.group(1)} ADD CONSTRAINT {name} CHECK ({expr})"
+        return self._report(createtab_stmt=stmt)
 
     def _publish(self, s: str) -> DataFrame:
         """WAP publish: fast-forward main (or another branch) onto a branch

@@ -660,3 +660,35 @@ def test_branch_qualified_merge_and_detail(sql, spark):
     assert d.numRows == 4
     with pytest.raises(SqlDialectError):
         sql.execute("DELETE FROM users@nope WHERE id = 1")
+
+
+def test_truncate_and_show_create(sql):
+    t = _mk_users(sql)
+    v_before = t.head_version()
+    rep = sql.execute("TRUNCATE TABLE users").collect()[0]
+    assert rep.rows_removed == 3
+    assert sql.execute("SELECT count(*) AS n FROM users").collect()[0].n == 0
+    # metadata-only: history intact, time travel still reads the old rows
+    assert (
+        sql.execute(
+            f"SELECT count(*) AS n FROM users VERSION AS OF {v_before}"
+        ).collect()[0].n
+        == 3
+    )
+    stmt = sql.execute("SHOW CREATE TABLE users").collect()[0].createtab_stmt
+    assert "CREATE TABLE users" in stmt and "score DOUBLE" in stmt
+
+
+def test_constraint_ddl(sql):
+    t = _mk_users(sql)
+    sql.execute("ALTER TABLE users ADD CONSTRAINT pos CHECK (score > 0)")
+    assert t.check_constraints() == {"pos": "score > 0"}
+    with pytest.raises(Exception):
+        sql.execute("INSERT INTO users VALUES (9, 'bad', -1.0)")
+    with pytest.raises(Exception):  # existing data violates -> refused
+        sql.execute("ALTER TABLE users ADD CONSTRAINT tiny CHECK (score < 2)")
+    sql.execute("ALTER TABLE users DROP CONSTRAINT pos")
+    assert t.check_constraints() == {}
+    sql.execute("INSERT INTO users VALUES (9, 'ok now', -1.0)")
+    stmt = sql.execute("SHOW CREATE TABLE users").collect()[0].createtab_stmt
+    assert "CONSTRAINT" not in stmt
