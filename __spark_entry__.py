@@ -4179,7 +4179,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           icepack_datasource_write (the registered format's BATCH WRITER:
           append/overwrite/schema-guard through df.write.format) took the
           slot of ann_cosine_topk (green r1-r4, still timed in every
-          bench.py run).
+          bench.py run). Late r5: the SQL control plane's
+          icepack_sql_pipeline + icepack_sql_merge (sql.py,
+          operators/generic_merge.py) and icepack_copy_into
+          (operators/copy_into.py) entered at the head; their three slots
+          pushed cdc_lww_dedup_window, cdc_merge_upsert and hilbert_key
+          (each green in ≥2 driver artifacts incl. r4; the merge core
+          stays pinned in-window by its mor/bloom/composite variants and
+          in every bench run) past position 50.
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---

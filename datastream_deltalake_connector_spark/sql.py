@@ -312,10 +312,12 @@ class IcepackSQL:
             return self._show_create(s)
         raise SqlDialectError(
             f"unsupported statement: {s[:60]!r}... — supported forms: "
-            "SELECT/WITH, CREATE/DROP TABLE, INSERT INTO/OVERWRITE, "
-            "DELETE FROM, UPDATE, MERGE INTO, COPY INTO, OPTIMIZE, VACUUM, "
-            "DESCRIBE HISTORY, RESTORE TABLE, ALTER TABLE ADD COLUMNS, "
-            "SHOW TABLES"
+            "SELECT/WITH, CREATE/DROP/TRUNCATE TABLE, CTAS, "
+            "INSERT INTO/OVERWRITE, DELETE FROM, UPDATE, "
+            "MERGE [WITH SCHEMA EVOLUTION] INTO, COPY INTO, OPTIMIZE, "
+            "VACUUM, DESCRIBE HISTORY/DETAIL, RESTORE TABLE, "
+            "PUBLISH TABLE, ALTER TABLE (ADD COLUMNS / ADD|DROP CONSTRAINT "
+            "/ CREATE|DROP BRANCH|TAG), SHOW TABLES, SHOW CREATE TABLE"
         )
 
     # ------------------------------------------------------------- helpers
