@@ -337,6 +337,12 @@ def query_bench(spark, sf_dir: str, runs_per_query: int = 3) -> tuple[dict, dict
         "url_dedup_docs",
         "events_asof_join",
         "tfidf_top_terms",
+        # r5 SQL control plane: text-parsed general MERGE (ordered clauses,
+        # file-precise CoW) and COPY INTO's exactly-once ledger — each run
+        # builds its icepack table from the events framing, so the number
+        # covers parse + table build + the operator itself
+        "icepack_sql_merge",
+        "icepack_copy_into",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
