@@ -140,56 +140,77 @@ def copy_into(
     fmt = file_format.lower()
     if fmt not in ("parquet", "json", "csv"):
         raise ValueError(f"unsupported FILEFORMAT {file_format!r}")
+    from ..table.icepack import ConflictError
+    from ._align import align_to_schema
+    from .rowops import _reclaim_staged
+
     files = _discover(src, pattern)
-    already = set() if force else loaded_file_keys(table)
-    todo = [(p, st) for p, st in files if _key(p, st) not in already]
-    report = {
-        "files_found": len(files),
-        "files_skipped_already_loaded": len(files) - len(todo),
-        "files_loaded": len(todo),
-        "force": force,
-    }
-    if not todo:
-        return {"version": None, "rows_loaded": 0, **report}
+    last_exc: Exception | None = None
+    for _attempt in range(4):
+        # the base snapshot PINS the ledger read: the commit's
+        # no-new-copy-commits requirement refuses if any other COPY landed
+        # between this read and the commit lock — without it, two
+        # concurrent copies of the same source both see the files as new
+        # and every row loads twice
+        base = table.head_version()
+        already = set() if force else loaded_file_keys(table)
+        todo = [(p, st) for p, st in files if _key(p, st) not in already]
+        report = {
+            "files_found": len(files),
+            "files_skipped_already_loaded": len(files) - len(todo),
+            "files_loaded": len(todo),
+            "force": force,
+        }
+        if not todo:
+            return {"version": None, "rows_loaded": 0, **report}
 
-    schema = table.snapshot().schema
-    paths = [p for p, _ in todo]
-    spark = table.spark
-    if fmt == "parquet":
-        df = spark.read.parquet(*paths)
-    elif fmt == "json":
-        df = spark.read.schema(schema).json(paths)
-    else:
-        df = spark.read.schema(schema).option("header", "true").csv(paths)
-    fields = {f.name: f.dataType for f in schema.fields}
-    df = df.select(
-        *[
-            (F.col(c) if c in df.columns else F.lit(None)).cast(fields[c]).alias(c)
-            for c in fields
-        ]
-    )
+        schema = table.snapshot().schema
+        paths = [p for p, _ in todo]
+        spark = table.spark
+        if fmt == "parquet":
+            df = spark.read.parquet(*paths)
+        elif fmt == "json":
+            df = spark.read.schema(schema).json(paths)
+        else:
+            df = spark.read.schema(schema).option("header", "true").csv(paths)
+        df = align_to_schema(df, schema)
 
-    ledger_id = uuid.uuid4().hex[:16]
-    ledger_path = os.path.join(_ledger_dir(table), f"copy-{ledger_id}.json")
-    # ledger BEFORE commit: an unreferenced ledger (commit failed) is inert
-    # debris; the reverse order could mark files loaded that never were
-    table._atomic_write(
-        ledger_path,
-        json.dumps({"files": sorted(_key(p, st) for p, st in todo), "src": src}),
-    )
-    added = table.write_data_files(df, num_files=num_files)
-    version = table.commit(
-        "copy-into",
-        added=added,
-        removed_paths=[],
-        summary={
-            "copy_ledger": ledger_id,
-            "copy_source": os.path.abspath(src),
-            "n_files_copied": len(todo),
-        },
-    )
-    return {
-        "version": version,
-        "rows_loaded": sum(e.rows for e in added),
-        **report,
-    }
+        ledger_id = uuid.uuid4().hex[:16]
+        ledger_path = os.path.join(_ledger_dir(table), f"copy-{ledger_id}.json")
+        # ledger BEFORE commit: an unreferenced ledger (commit failed) is
+        # inert debris; the reverse order could mark files loaded that
+        # never were
+        table._atomic_write(
+            ledger_path,
+            json.dumps({"files": sorted(_key(p, st) for p, st in todo), "src": src}),
+        )
+        added = table.write_data_files(df, num_files=num_files)
+        try:
+            version = table.commit(
+                "copy-into",
+                added=added,
+                removed_paths=[],
+                requirements=[("no-new-copy-commits", base)],
+                summary={
+                    "copy_ledger": ledger_id,
+                    "copy_source": os.path.abspath(src),
+                    "n_files_copied": len(todo),
+                },
+            )
+        except ConflictError as exc:
+            # another COPY landed mid-flight: discard this attempt entirely
+            # and recompute against its ledger — convergent, since every
+            # retry subtracts the other copy's files from `todo`
+            _reclaim_staged(table, added)
+            try:
+                os.unlink(ledger_path)
+            except FileNotFoundError:
+                pass
+            last_exc = exc
+            continue
+        return {
+            "version": version,
+            "rows_loaded": sum(e.rows for e in added),
+            **report,
+        }
+    raise last_exc

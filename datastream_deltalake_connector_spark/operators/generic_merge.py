@@ -136,25 +136,46 @@ def merge_into(
         raise ValueError(f"MERGE key(s) not in target schema: {missing}")
     # an explicit assignment/values key outside the (possibly just evolved)
     # target schema would otherwise be silently dropped by the projection —
-    # fail loudly instead (Delta raises the same; evolution is the opt-in)
-    for c in (*matched, *nms):
-        st = c.get("set")
-        if isinstance(st, dict):
-            bad = sorted(set(st) - set(fields))
-            if bad:
+    # fail loudly instead (Delta raises the same; evolution is the opt-in).
+    # Resolution is CASE-INSENSITIVE like Spark's own: keys normalize to
+    # the target's canonical spelling, and `SET *` requires the source to
+    # carry every target column (a silent NULL overwrite is data loss).
+    tgt_by_lower = {c.lower(): c for c in fields}
+    src_by_lower: dict[str, str] = {}
+    for c in source.columns:
+        src_by_lower.setdefault(c.lower(), c)
+
+    def _canon_keys(d: dict, what: str) -> dict:
+        out = {}
+        for k, v in d.items():
+            lk = k.lower()
+            if lk not in tgt_by_lower:
                 raise ValueError(
-                    f"UPDATE SET targets unknown column(s) {bad} — pass "
+                    f"{what} targets unknown column(s) [{k!r}] — pass "
                     "schema_evolution='merge' to add new columns"
                 )
+            out[tgt_by_lower[lk]] = v
+        return out
+
+    for c in matched:
+        st = c.get("set")
+        if isinstance(st, dict):
+            c["set"] = _canon_keys(st, "UPDATE SET")
+        elif st == "*":
+            miss = sorted(k for k in fields if k.lower() not in src_by_lower)
+            if miss:
+                raise ValueError(
+                    f"UPDATE SET * requires the source to carry every "
+                    f"target column; missing: {miss}"
+                )
+    for c in nms:
+        st = c.get("set")
+        if isinstance(st, dict):
+            c["set"] = _canon_keys(st, "UPDATE SET")
     for c in not_matched:
         vals = c.get("values")
         if isinstance(vals, dict):
-            bad = sorted(set(vals) - set(fields))
-            if bad:
-                raise ValueError(
-                    f"INSERT names unknown column(s) {bad} — pass "
-                    "schema_evolution='merge' to add new columns"
-                )
+            c["values"] = _canon_keys(vals, "INSERT")
 
     # raw key projection: min/max and the leftsemi probe are both
     # duplicate-insensitive, so a distinct here would only add a shuffle
@@ -201,11 +222,20 @@ def merge_into(
         # source-only pre-check first: a duplicate-free source (the common
         # case) must not cost a key-column scan of the hit files
         if dup_keys.limit(1).count():
-            paths = [table.data_path(e.path) for e in hit]
+            # the probe must see the RESOLVED view when MoR deletes are
+            # pending — a physically-present but shadowed row is not a
+            # match and must not trigger a spurious cardinality error
+            if eq_deletes or pos_deletes:
+                probe_rows = _read_candidates(
+                    table, hit, eq_deletes, snap.schema, eq_cols,
+                    pos_deletes=pos_deletes,
+                )
+            else:
+                probe_rows = table.spark.read.schema(snap.schema).parquet(
+                    *[table.data_path(e.path) for e in hit]
+                )
             n_dup = (
-                table.spark.read.schema(snap.schema)
-                .parquet(*paths)
-                .select(*on)
+                probe_rows.select(*on)
                 .join(dup_keys, on=on, how="leftsemi")
                 .limit(1)
                 .count()
@@ -312,7 +342,12 @@ def merge_into(
             keep = keep & ~t_here
         j = j.where(keep)
 
-        # per-column projection: cascade over clause ids
+        # per-column projection: cascade over clause ids; source columns
+        # resolve case-insensitively (Spark's own identifier semantics)
+        def _scol(col: str):
+            sc = src_by_lower.get(col.lower())
+            return F.col(f"{s_alias}.`{sc}`") if sc else F.lit(None)
+
         def _val(col: str):
             expr = F.col(f"{t_alias}.{col}")  # default: old target value
             for i, c in enumerate(matched):
@@ -320,7 +355,7 @@ def merge_into(
                     continue
                 st = c["set"]
                 if st == "*":
-                    v = F.col(f"{s_alias}.{col}")
+                    v = _scol(col)
                 else:
                     v = F.expr(st[col]) if col in st else F.col(f"{t_alias}.{col}")
                 expr = F.when(F.col("__clause") == i, v).otherwise(expr)
@@ -333,11 +368,7 @@ def merge_into(
             for i, c in enumerate(not_matched):
                 vals = c["values"]
                 if vals == "*":
-                    v = (
-                        F.col(f"{s_alias}.{col}")
-                        if col in source.columns
-                        else F.lit(None)
-                    )
+                    v = _scol(col)
                 else:
                     v = F.expr(vals[col]) if col in vals else F.lit(None)
                 expr = F.when(F.col("__clause") == 200 + i, v).otherwise(expr)

@@ -241,6 +241,9 @@ def _lift_filters(pred: str) -> tuple[list[tuple], str | None]:
     return filters, (" AND ".join(f"({r})" for r in residual) or None)
 
 
+from .operators._align import align_to_schema as _align_to_schema  # noqa: E402
+
+
 def _split_assignments(set_clause: str) -> dict[str, str]:
     out = {}
     for item in _split_top(set_clause, ","):
@@ -379,11 +382,22 @@ class IcepackSQL:
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)')?"
         )
         mask = _top_level_mask(s, parens=False)  # strings only
+        # standard SQL scoping: a CTE name shadows any catalog table of the
+        # same name — collect them first and never rewrite those refs
+        cte_names = {
+            m.group(1).lower()
+            for m in re.finditer(
+                rf"(?:\bWITH\s+|,\s*)({_IDENT})\s+AS\s*\(", s, re.IGNORECASE
+            )
+            if mask[m.start(1)]
+        }
         out, last = [], 0
         for m in re.finditer(pat, s, re.IGNORECASE):
             if not mask[m.start()]:
                 continue
             name = m.group(2)
+            if name.lower() in cte_names:
+                continue
             if "@" in name:
                 base, _, branch = name.partition("@")
                 if not self.catalog.exists(base):
@@ -405,6 +419,11 @@ class IcepackSQL:
                     and base
                     and self.catalog.exists(base)
                 ):
+                    if m.group(3):
+                        raise SqlDialectError(
+                            f"{name}: time travel does not apply to "
+                            "inspection tables"
+                        )
                     t = self._table(base)
                     df = getattr(t, f"{suffix}_df")()
                     self._view_n += 1
@@ -515,17 +534,7 @@ class IcepackSQL:
             partition_by=partition_by,
         )
         if df is not None:
-            fields = {f.name: f.dataType for f in schema.fields}
-            t.append(
-                df.select(
-                    *[
-                        (F.col(c) if c in df.columns else F.lit(None))
-                        .cast(fields[c])
-                        .alias(c)
-                        for c in fields
-                    ]
-                )
-            )
+            t.append(_align_to_schema(df, schema))
         return self._report(
             status="created", table=name,
             rows=t.count_rows() if df is not None else 0,
@@ -607,8 +616,11 @@ class IcepackSQL:
 
     # ---------------------------------------------------------------- DML
     def _insert(self, s: str) -> DataFrame:
+        # the column-list group must NOT swallow a parenthesized query:
+        # `INSERT INTO t (SELECT ...)` has no column list
         m = re.match(
-            rf"INSERT\s+(INTO|OVERWRITE)\s+({_TREF})\s*(\(([^)]*)\))?\s*(.*)",
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_TREF})\s*"
+            rf"(\(\s*(?!SELECT\b|WITH\b)([^)]*)\))?\s*(.*)",
             s, re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -637,15 +649,7 @@ class IcepackSQL:
             df = df.toDF(*cols)
         else:
             raise SqlDialectError(f"INSERT body must be VALUES or SELECT: {body[:60]!r}")
-        from pyspark.sql import functions as F
-
-        fields = {f.name: f.dataType for f in t.snapshot().schema.fields}
-        out = df.select(
-            *[
-                (F.col(c) if c in df.columns else F.lit(None)).cast(fields[c]).alias(c)
-                for c in tcols
-            ]
-        )
+        out = _align_to_schema(df, t.snapshot().schema)
         if mode.upper() == "OVERWRITE":
             v = t.overwrite_all(out)
         else:
@@ -693,19 +697,16 @@ class IcepackSQL:
         if not m:
             raise SqlDialectError(f"cannot parse MERGE INTO: {s[:80]!r}")
         evolve = "merge" if m.group(1) else "none"
-        target_name, t_alias = m.group(2), m.group(3) or m.group(2)
+        # a branch-qualified target's default alias is the BASE name —
+        # `MERGE INTO t@audit ... ON t.k = s.k` must just work
+        target_name = m.group(2)
+        t_alias = m.group(3) or target_name.partition("@")[0]
         rest = s[m.end():]
-        # source: parenthesized subquery or identifier
+        # source: parenthesized subquery or identifier (quote-aware scan —
+        # a ')' inside a string literal must not terminate the subquery)
         if rest.lstrip().startswith("("):
             rest = rest.lstrip()
-            depth, i = 0, 0
-            for i, ch in enumerate(rest):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
+            i = _match_paren(rest, 0)
             src_sql, rest = rest[1:i], rest[i + 1 :]
             src_df = self.spark.sql(self._rewrite_refs(src_sql))
         else:
@@ -721,15 +722,55 @@ class IcepackSQL:
         if not ma:
             raise SqlDialectError("cannot parse MERGE: expected [AS alias] ON <cond>")
         s_alias = ma.group(1) or "s"
+        if t_alias.lower() == s_alias.lower():
+            raise SqlDialectError(
+                f"MERGE target and source aliases must differ (both {t_alias!r})"
+            )
         rest = rest[ma.end():]
-        parts = _split_top(rest, r"\bWHEN\b")
-        on_sql, clause_texts = parts[0], parts[1:]
-        if not clause_texts:
+        # clause boundaries: WHEN [NOT] MATCHED [...] at top level — a bare
+        # \bWHEN\b split would also fire on CASE WHEN inside SET expressions
+        cmask = _top_level_mask(rest)
+        kind_pat = re.compile(
+            r"\bWHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE"
+            r"|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)\b",
+            re.IGNORECASE,
+        )
+        marks = [
+            mm
+            for mm in kind_pat.finditer(rest)
+            if all(cmask[i] for i in range(mm.start(), mm.end()))
+        ]
+        if not marks:
             raise SqlDialectError("MERGE requires at least one WHEN clause")
+        on_sql = rest[: marks[0].start()]
+        clause_parts: list[tuple[str, str]] = []
+        for i, mm in enumerate(marks):
+            end = marks[i + 1].start() if i + 1 < len(marks) else len(rest)
+            kind = re.sub(r"\s+", " ", mm.group(1).upper())
+            if kind == "NOT MATCHED BY TARGET":
+                kind = "NOT MATCHED"
+            clause_parts.append((kind, rest[mm.end() : end]))
 
         def canon(expr: str) -> str:
-            expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr, flags=re.IGNORECASE)
-            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr, flags=re.IGNORECASE)
+            """Alias → canonical t./s. in ONE pass (sequential substitution
+            turns `s`/`t` alias swaps into self-references) and only outside
+            string literals."""
+            emask = _top_level_mask(expr, parens=False)
+            pat = re.compile(
+                rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\.",
+                re.IGNORECASE,
+            )
+            out, last = [], 0
+            for mm in pat.finditer(expr):
+                if not emask[mm.start()]:
+                    continue
+                out.append(expr[last : mm.start()])
+                out.append(
+                    "t." if mm.group(1).lower() == t_alias.lower() else "s."
+                )
+                last = mm.end()
+            out.append(expr[last:])
+            return "".join(out)
 
         on_keys: list[str] = []
         for conj in _split_top(on_sql, r"\bAND\b"):
@@ -745,30 +786,56 @@ class IcepackSQL:
                 )
             a1, c1, a2, c2 = mk.groups()
             pair = {a1.lower(): c1, a2.lower(): c2}
-            if set(pair) != {t_alias.lower(), s_alias.lower()} or c1 != c2:
+            if (
+                set(pair) != {t_alias.lower(), s_alias.lower()}
+                or c1.lower() != c2.lower()  # identifiers are case-insensitive
+            ):
                 raise SqlDialectError(
                     f"MERGE ON keys must pair target and source on the SAME "
                     f"column name (got {conj.strip()!r})"
                 )
-            on_keys.append(c1)
+            on_keys.append(pair[t_alias.lower()])  # target-side spelling
 
         matched, not_matched, nms = [], [], []
-        for ct in clause_texts:
-            mc = re.fullmatch(
-                r"\s*(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)"
-                r"(\s+AND\s+(.*?))?\s+THEN\s+(.*?)\s*",
-                ct, re.IGNORECASE | re.DOTALL,
+        for kind, ct in clause_parts:
+            # split [AND cond] THEN action at the first TOP-LEVEL THEN (a
+            # parenthesized CASE ... THEN in the condition stays intact)
+            tmask = _top_level_mask(ct)
+            mt = next(
+                (
+                    mm
+                    for mm in re.finditer(r"\bTHEN\b", ct, re.IGNORECASE)
+                    if all(tmask[i] for i in range(mm.start(), mm.end()))
+                ),
+                None,
             )
-            if not mc:
-                raise SqlDialectError(f"cannot parse WHEN clause: {ct[:80]!r}")
-            kind = re.sub(r"\s+", " ", mc.group(1).upper())
-            cond = canon(mc.group(3)) if mc.group(3) else None
-            action = mc.group(4).strip()
+            if mt is None:
+                raise SqlDialectError(f"WHEN clause missing THEN: {ct[:80]!r}")
+            cond_txt = ct[: mt.start()].strip()
+            cond = None
+            if cond_txt:
+                mc = re.fullmatch(r"AND\s+(.*)", cond_txt, re.IGNORECASE | re.DOTALL)
+                if not mc:
+                    raise SqlDialectError(
+                        f"WHEN clause condition must start with AND: {cond_txt[:60]!r}"
+                    )
+                cond = canon(mc.group(1).strip())
+            action = ct[mt.end() :].strip()
             au = action.upper()
             if au == "DELETE":
+                if kind == "NOT MATCHED":
+                    raise SqlDialectError(
+                        "WHEN NOT MATCHED allows only INSERT — DELETE on "
+                        "unmatched rows is WHEN NOT MATCHED BY SOURCE"
+                    )
                 cl = {"action": "delete", "condition": cond}
                 (nms if kind == "NOT MATCHED BY SOURCE" else matched).append(cl)
             elif au.startswith("UPDATE"):
+                if kind == "NOT MATCHED":
+                    raise SqlDialectError(
+                        "WHEN NOT MATCHED allows only INSERT — UPDATE of "
+                        "unmatched rows is WHEN NOT MATCHED BY SOURCE"
+                    )
                 mu = re.fullmatch(r"UPDATE\s+SET\s+(.*)", action, re.IGNORECASE | re.DOTALL)
                 if not mu:
                     raise SqlDialectError(f"cannot parse UPDATE action: {action[:60]!r}")
@@ -781,7 +848,9 @@ class IcepackSQL:
                 (nms if kind == "NOT MATCHED BY SOURCE" else matched).append(cl)
             elif au.startswith("INSERT"):
                 if kind != "NOT MATCHED":
-                    raise SqlDialectError("INSERT is only valid in WHEN NOT MATCHED")
+                    raise SqlDialectError(
+                        f"INSERT is only valid in WHEN NOT MATCHED (got WHEN {kind})"
+                    )
                 body = action[len("INSERT"):].strip()
                 if body == "*":
                     vals = "*"

@@ -1309,14 +1309,16 @@ class IcepackTable:
         )
 
     # --------------------------------------------------------------- commit
-    @staticmethod
     def _check_requirements(
-        requirements: list[tuple], head_entries: list[FileEntry]
+        self,
+        requirements: list[tuple],
+        head_entries: list["FileEntry"],
+        parent: int,
     ) -> None:
         """Validate commit preconditions against the head manifest the
-        commit would build on (see :meth:`commit`). Pure manifest-entry
-        arithmetic — no file reads — so validating on every CAS attempt is
-        free even at 10^6-entry manifests."""
+        commit would build on (see :meth:`commit`). Pure manifest-entry /
+        snapshot-metadata arithmetic — no data-file reads — so validating
+        on every CAS attempt is free even at 10^6-entry manifests."""
         for req in requirements:
             kind = req[0]
             if kind == "files-live":
@@ -1351,6 +1353,30 @@ class IcepackTable:
                     raise ConflictError(
                         f"commit requirement no-new-data violated: {len(bad)} "
                         f"data file(s) committed after base snapshot {base}"
+                    )
+            elif kind == "no-new-copy-commits":
+                # COPY INTO exactly-once: two concurrent copies both read
+                # the ledger before either committed — the second to reach
+                # the lock must see the first's copy commit and recompute
+                # its not-yet-loaded set (operators/copy_into.py retries).
+                # Walk the parent chain from the commit's base to `parent`;
+                # a chain that does not pass through the base (rollback /
+                # re-point) is conservatively a conflict too.
+                base = req[1]
+                v: int | None = parent
+                while v is not None and v != base:
+                    snap = self.snapshot(v)
+                    if snap.summary.get("copy_ledger"):
+                        raise ConflictError(
+                            f"commit requirement no-new-copy-commits "
+                            f"violated: snapshot {v} is a COPY INTO commit "
+                            f"after base {base} — recompute the loaded set"
+                        )
+                    v = snap.parent
+                if v != base:
+                    raise ConflictError(
+                        f"commit requirement no-new-copy-commits violated: "
+                        f"base snapshot {base} is not an ancestor of {parent}"
                     )
             else:
                 raise ValueError(f"unknown commit requirement {kind!r}")
@@ -1396,6 +1422,10 @@ class IcepackTable:
         - ``("no-new-data", base_version)`` — no data file entered after
           ``base_version``; for writers whose computed result depends on
           the full row set (serializable rather than snapshot isolation).
+        - ``("no-new-copy-commits", base_version)`` — no COPY INTO commit
+          landed after ``base_version`` (parent-chain walk over snapshot
+          summaries): concurrent copies of the same source would otherwise
+          both pass the ledger check and double-load every file.
 
         Violations raise :class:`ConflictError`; callers that can recompute
         retry the whole operation from the fresh head
@@ -1421,7 +1451,7 @@ class IcepackTable:
                     continue  # re-resolve under next loop iteration
                 prev = self.snapshot(parent)
                 old_entries = self.files(parent)
-                self._check_requirements(requirements, old_entries)
+                self._check_requirements(requirements, old_entries, parent)
                 # Versions are allocated GLOBALLY (max existing + 1), not
                 # parent + 1: with branches, two lines committing from
                 # different parents must never collide on snap-N names.

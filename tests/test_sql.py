@@ -692,3 +692,224 @@ def test_constraint_ddl(sql):
     sql.execute("INSERT INTO users VALUES (9, 'ok now', -1.0)")
     stmt = sql.execute("SHOW CREATE TABLE users").collect()[0].createtab_stmt
     assert "CONSTRAINT" not in stmt
+
+
+# ----------------------------------------------- review-findings regressions
+def test_insert_case_insensitive_columns(sql):
+    """Column resolution is case-insensitive like Spark's own — a case
+    difference must never silently null-fill (that is data loss)."""
+    sql.execute("CREATE TABLE ci (id BIGINT, v DOUBLE)")
+    sql.execute("INSERT INTO ci (ID, V) VALUES (42, 1.5)")
+    r = sql.execute("SELECT * FROM ci").collect()[0]
+    assert (r.id, r.v) == (42, 1.5)
+    sql.execute("CREATE TABLE ci2 (id BIGINT, v DOUBLE)")
+    sql.execute("INSERT INTO ci2 SELECT CAST(7 AS BIGINT) AS ID, 2.5 AS V")
+    r = sql.execute("SELECT * FROM ci2").collect()[0]
+    assert (r.id, r.v) == (7, 2.5)
+
+
+def test_merge_star_case_insensitive_source(sql, spark):
+    t = _mk_users(sql)
+    spark.createDataFrame(
+        [(9, "zed", 9.0)], "ID BIGINT, NAME STRING, SCORE DOUBLE"
+    ).createOrReplaceTempView("upper_src")
+    sql.execute(
+        "MERGE INTO users t USING upper_src s ON t.id = s.ID "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.id, r.name, r.score) for r in t.scan().collect()}
+    assert (9, "zed", 9.0) in got
+
+
+def test_cte_shadows_catalog_table(sql):
+    """Standard SQL scoping: a CTE name shadows a same-named catalog table."""
+    _mk_users(sql)
+    n = sql.execute(
+        "WITH users AS (SELECT 1 AS x) SELECT count(*) AS n FROM users"
+    ).collect()[0].n
+    assert n == 1  # the CTE, not the 3-row table
+
+
+def test_merge_not_matched_delete_refused(sql, spark):
+    _merge_fixture(sql, spark)
+    with pytest.raises(SqlDialectError, match="NOT MATCHED BY SOURCE"):
+        sql.execute(
+            "MERGE INTO users t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN DELETE"
+        )
+    with pytest.raises(SqlDialectError, match="NOT MATCHED BY SOURCE"):
+        sql.execute(
+            "MERGE INTO users t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN UPDATE SET name = 'x'"
+        )
+
+
+def test_merge_not_matched_by_target_insert(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT *"
+    )
+    assert {r.id for r in t.scan().collect()} == {1, 2, 3, 9}
+
+
+def test_merge_swapped_aliases(sql, spark):
+    """Aliases s (target) / t (source): sequential substitution would turn
+    the guard into a self-comparison and silently never update."""
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users AS s USING src AS t ON s.id = t.id "
+        "WHEN MATCHED AND t.score > s.score THEN UPDATE SET score = t.score"
+    )
+    got = {(r.id, r.score) for r in t.scan().collect()}
+    assert (2, 99.0) in got  # 99 > 2.5 -> updated
+
+
+def test_merge_alias_prefix_in_string_literal(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = 's. prefix kept'"
+    )
+    assert (2, "s. prefix kept") in {
+        (r.id, r.name) for r in t.scan().collect()
+    }
+
+
+def test_merge_using_subquery_with_paren_in_string(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING "
+        "(SELECT id, ':-)' AS name, score FROM src) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = s.name"
+    )
+    assert (2, ":-)") in {(r.id, r.name) for r in t.scan().collect()}
+
+
+def test_merge_branch_target_default_alias(sql, spark):
+    t = _merge_fixture(sql, spark)
+    sql.execute("ALTER TABLE users CREATE BRANCH b1")
+    sql.execute(
+        "MERGE INTO users@b1 USING src s ON users.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert sql.execute("SELECT count(*) AS n FROM users@b1").collect()[0].n == 4
+    assert t.scan().count() == 3
+
+
+def test_merge_case_expression_in_set(sql, spark):
+    """CASE WHEN inside a SET expression must not be mistaken for a merge
+    clause boundary; a parenthesized CASE in a condition parses too."""
+    t = _merge_fixture(sql, spark)
+    sql.execute(
+        "MERGE INTO users t USING src s ON t.id = s.id "
+        "WHEN MATCHED AND (CASE WHEN s.score > 50 THEN true ELSE false END) "
+        "THEN UPDATE SET name = CASE WHEN s.score > 90 THEN 'big' ELSE 'mid' END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.id, r.name) for r in t.scan().collect()}
+    assert (2, "big") in got and (9, "zed") in got
+
+
+def test_insert_bare_parenthesized_select(sql):
+    _mk_users(sql)
+    sql.execute("CREATE TABLE cp (id BIGINT, name STRING, score DOUBLE)")
+    sql.execute("INSERT INTO cp (SELECT id, upper(name), score FROM users)")
+    assert sql.execute("SELECT count(*) AS n FROM cp").collect()[0].n == 3
+
+
+def test_cardinality_ignores_shadowed_rows(sql, spark, tmp_path):
+    """Duplicate source keys whose only target match is MoR-shadowed are
+    legal (both insert) — the probe must see the resolved view."""
+    from datastream_deltalake_connector_spark.operators.rowops import (
+        delete_where_mor,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "card"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    t.append(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id BIGINT, v DOUBLE"),
+        num_files=1,
+    )
+    delete_where_mor(t, [("id", "=", 1)])
+    src = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0)], "id BIGINT, v DOUBLE"
+    )
+    rep = merge_into(
+        t, src, "id",
+        matched=[{"action": "update", "condition": None, "set": "*"}],
+        not_matched=[{"action": "insert", "condition": None, "values": "*"}],
+    )
+    assert rep["rows_inserted"] == 2 and rep["rows_updated"] == 0
+
+
+def test_merge_set_star_missing_source_column_raises(sql, spark, tmp_path):
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "ss"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    t.append(spark.createDataFrame([(1, 1.0)], "id BIGINT, v DOUBLE"))
+    src = spark.createDataFrame([(1,)], "id BIGINT")
+    with pytest.raises(ValueError, match="every target column"):
+        merge_into(
+            t, src, "id",
+            matched=[{"action": "update", "condition": None, "set": "*"}],
+        )
+
+
+def test_copy_into_concurrent_copy_refused_then_converges(spark, tmp_path):
+    """Two concurrent COPYs of the same source: the second to commit must
+    see the first's ledger (no-new-copy-commits) and converge to loading
+    nothing — never a double load."""
+    from datastream_deltalake_connector_spark.operators.copy_into import (
+        copy_into,
+    )
+
+    t = IcepackTable.create(
+        spark,
+        str(tmp_path / "race"),
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    src = str(tmp_path / "drop")
+    spark.range(0, 30).selectExpr("id", "cast(id as double) as v").coalesce(
+        1
+    ).write.parquet(os.path.join(src, "a"))
+    orig = IcepackTable.write_data_files
+    fired = []
+
+    def hooked(self, df, **kw):
+        # between the outer copy's ledger read and its commit, a competing
+        # copy of the same source runs to completion
+        if not fired:
+            fired.append(1)
+            copy_into(t, src)
+        return orig(self, df, **kw)
+
+    IcepackTable.write_data_files = hooked
+    try:
+        rep = copy_into(t, src)
+    finally:
+        IcepackTable.write_data_files = orig
+    # outer copy retried, saw the competitor's ledger, loaded nothing
+    assert rep["version"] is None and rep["files_loaded"] == 0
+    assert t.scan().count() == 30
+    assert t.scan().select("id").distinct().count() == 30
