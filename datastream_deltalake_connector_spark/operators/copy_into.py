@@ -34,6 +34,8 @@ from __future__ import annotations
 import fnmatch
 import json
 import os
+import random
+import time
 import uuid
 
 from pyspark.sql import functions as F
@@ -56,21 +58,32 @@ def _ledger_dir(table: IcepackTable) -> str:
 
 
 def loaded_file_keys(table: IcepackTable) -> set[str]:
-    """Union of every COMMITTED copy ledger: ledgers referenced by a live
-    snapshot plus the retained fold-in from expired history. Unreferenced
-    ledger files (crash debris of a failed commit) are ignored — counting
-    them would silently drop those files' data forever."""
+    """Union of every COMMITTED copy ledger on the CURRENT ref's ancestry,
+    plus the retained fold-in from expired history. Ancestry — not every
+    snap file on disk — because a copy that only ever landed on a branch
+    (possibly since dropped, whose orphan snapshots drop_branch leaves
+    behind) must not mark its files 'already loaded' for main: that would
+    silently prevent them from ever loading. Copy commits are identified
+    by OPERATION; unreferenced ledger files (crash debris of a failed
+    commit) are never counted — that would drop those files' data
+    forever."""
     keys: set[str] = set()
     d = os.path.join(table.meta_dir, "copy")
-    for s in table.snapshots():
-        lid = s.summary.get("copy_ledger")
-        if not lid:
-            continue
+    v = table.head_version()
+    while v is not None:
         try:
-            with open(os.path.join(d, f"copy-{lid}.json")) as f:
-                keys.update(json.load(f)["files"])
+            s = table.snapshot(v)
         except FileNotFoundError:
-            pass  # ledger folded into the retained file by expiry
+            break  # expired history — its ledgers live in the retained file
+        if s.operation == "copy-into":
+            lid = s.summary.get("copy_ledger")
+            if lid:
+                try:
+                    with open(os.path.join(d, f"copy-{lid}.json")) as f:
+                        keys.update(json.load(f)["files"])
+                except FileNotFoundError:
+                    pass  # folded into the retained file by expiry
+        v = s.parent
     try:
         with open(os.path.join(table.meta_dir, _RETAINED)) as f:
             keys.update(json.load(f)["files"])
@@ -117,7 +130,10 @@ def _discover(src: str, pattern: str | None) -> list[tuple[str, os.stat_result]]
             p = os.path.join(root, n)
             if pattern and not fnmatch.fnmatch(os.path.relpath(p, src), pattern):
                 continue
-            out.append((p, os.stat(p)))
+            try:
+                out.append((p, os.stat(p)))
+            except FileNotFoundError:
+                continue  # deleted between listing and stat == never listed
     return out
 
 
@@ -200,13 +216,16 @@ def copy_into(
         except ConflictError as exc:
             # another COPY landed mid-flight: discard this attempt entirely
             # and recompute against its ledger — convergent, since every
-            # retry subtracts the other copy's files from `todo`
+            # retry subtracts the other copy's files from `todo`. Jittered
+            # backoff keeps N racing copies from re-colliding in lockstep
+            # (each wasted attempt is a full dataset write).
             _reclaim_staged(table, added)
             try:
                 os.unlink(ledger_path)
             except FileNotFoundError:
                 pass
             last_exc = exc
+            time.sleep(random.uniform(0.05, 0.3 * (_attempt + 1)))
             continue
         return {
             "version": version,

@@ -114,12 +114,30 @@ def expire_snapshots(
 
     # COPY INTO exactly-once must survive retention: fold the expiring
     # snapshots' ledgers into metadata/copy-retained.json BEFORE their
-    # summaries are unlinked (operators/copy_into.py)
+    # summaries are unlinked (operators/copy_into.py). Only ledgers of
+    # copy commits on a LIVE ref's ancestry fold — an orphaned branch's
+    # copy (branch dropped, snapshots left behind) must not become a
+    # permanent false "already loaded" for main.
     from .copy_into import retain_ledgers
 
+    anc: set[int] = set()
+    for root_v in [head, *refs["branches"].values(), *refs["tags"].values()]:
+        v: int | None = root_v
+        while v is not None and v not in anc:
+            anc.add(v)
+            try:
+                v = table.snapshot(v).parent
+            except FileNotFoundError:
+                break
     retain_ledgers(
         table,
-        [s.summary["copy_ledger"] for s in expired if s.summary.get("copy_ledger")],
+        [
+            s.summary["copy_ledger"]
+            for s in expired
+            if s.operation == "copy-into"
+            and s.version in anc
+            and s.summary.get("copy_ledger")
+        ],
     )
     n_deleted, failures = _delete_files(table.root, sorted(expired_files))
     for s in expired:

@@ -176,6 +176,18 @@ def merge_into(
         vals = c.get("values")
         if isinstance(vals, dict):
             c["values"] = _canon_keys(vals, "INSERT")
+        elif vals == "*":
+            # same contract as UPDATE SET *: a source that silently lacks a
+            # target column (e.g. it was renamed upstream) must fail loudly,
+            # not insert a whole batch with that column NULLed. An explicit
+            # (cols) VALUES list is the opt-in for partial inserts.
+            miss = sorted(k for k in fields if k.lower() not in src_by_lower)
+            if miss:
+                raise ValueError(
+                    f"INSERT * requires the source to carry every target "
+                    f"column; missing: {miss} — list columns explicitly "
+                    "(INSERT (cols) VALUES ...) to null-fill the rest"
+                )
 
     # raw key projection: min/max and the leftsemi probe are both
     # duplicate-insensitive, so a distinct here would only add a shuffle

@@ -72,6 +72,7 @@ loud refusal, never silent misinterpretation.
 from __future__ import annotations
 
 import re
+from datetime import date as _date
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -199,24 +200,63 @@ def _parse_literal(tok: str):
     return None  # not a literal we can lift
 
 
-def _lift_filters(pred: str) -> tuple[list[tuple], str | None]:
+_BETWEEN_SENTINEL = "\x00&\x00"
+
+
+def _lift_filters(
+    pred: str, fields: dict[str, T.DataType] | None = None
+) -> tuple[list[tuple], str | None]:
     """Split a WHERE conjunction into manifest-prunable filters and a
     residual SQL string. Only top-level ANDs of ``col op literal`` /
     ``col BETWEEN a AND b`` / ``col IN (lits)`` lift; everything else stays
-    residual (ANDed back row-level, so semantics never change)."""
+    residual (ANDed back row-level, so semantics never change).
+
+    ``fields`` (lower-name → DataType) makes lifting TYPE-AWARE: a string
+    literal against a TIMESTAMP/DATE column coerces to a datetime/date so
+    manifest comparison uses the stats' own canonical form — comparing the
+    raw SQL text (space separator) against stats serialized with a 'T'
+    separator would FALSELY prune files and silently skip matching rows.
+    Uncoercible literals simply stay residual (pruning lost, semantics
+    kept)."""
+    if _BETWEEN_SENTINEL in pred:  # can't mask BETWEEN safely: lift nothing
+        return [], pred
+
+    def _coerce(colname: str, v):
+        if fields is None:
+            return v
+        dt = fields.get(colname.lower())
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            if isinstance(v, str):
+                try:
+                    return datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            return None
+        if isinstance(dt, T.DateType):
+            if isinstance(v, str):
+                try:
+                    return _date.fromisoformat(v)
+                except ValueError:
+                    return None
+            return None
+        return v
+
     filters: list[tuple] = []
     residual: list[str] = []
     # BETWEEN owns an AND — mask those before splitting the conjunction
     for conj in _split_top(re.sub(
-        r"\bBETWEEN\b(.+?)\bAND\b", lambda m: "BETWEEN" + m.group(1) + "@&@",
+        r"\bBETWEEN\b(.+?)\bAND\b",
+        lambda m: "BETWEEN" + m.group(1) + _BETWEEN_SENTINEL,
         pred, flags=re.IGNORECASE | re.DOTALL,
     ), r"\bAND\b"):
-        conj = conj.replace("@&@", "AND").strip()
+        conj = conj.replace(_BETWEEN_SENTINEL, "AND").strip()
         m = re.fullmatch(
             rf"({_IDENT})\s*(=|<=|>=|<|>)\s*(.+)", conj, re.DOTALL
         )
         if m and "." not in m.group(1):
             v = _parse_literal(m.group(3))
+            if v is not None:
+                v = _coerce(m.group(1), v)
             if v is not None:
                 filters.append((m.group(1), m.group(2), v))
                 continue
@@ -227,6 +267,8 @@ def _lift_filters(pred: str) -> tuple[list[tuple], str | None]:
         if m and "." not in m.group(1):
             lo, hi = _parse_literal(m.group(2)), _parse_literal(m.group(3))
             if lo is not None and hi is not None:
+                lo, hi = _coerce(m.group(1), lo), _coerce(m.group(1), hi)
+            if lo is not None and hi is not None:
                 filters.append((m.group(1), "between", (lo, hi)))
                 continue
         m = re.fullmatch(
@@ -234,6 +276,8 @@ def _lift_filters(pred: str) -> tuple[list[tuple], str | None]:
         )
         if m and "." not in m.group(1):
             vals = [_parse_literal(x) for x in _split_top(m.group(2), ",")]
+            if all(v is not None for v in vals):
+                vals = [_coerce(m.group(1), v) for v in vals]
             if all(v is not None for v in vals):
                 filters.append((m.group(1), "in", tuple(vals)))
                 continue
@@ -667,8 +711,10 @@ class IcepackSQL:
             )
         from .operators.rowops import delete_where
 
-        filters, residual = _lift_filters(m.group(2))
-        rep = delete_where(self._table(m.group(1)), filters, residual)
+        t = self._table(m.group(1))
+        fields = {f.name.lower(): f.dataType for f in t.snapshot().schema.fields}
+        filters, residual = _lift_filters(m.group(2), fields)
+        rep = delete_where(t, filters, residual)
         return self._report(table=m.group(1), **{k: v for k, v in rep.items() if k != "predicate"})
 
     def _update(self, s: str) -> DataFrame:
@@ -682,9 +728,11 @@ class IcepackSQL:
             )
         from .operators.rowops import update_where
 
+        t = self._table(m.group(1))
+        fields = {f.name.lower(): f.dataType for f in t.snapshot().schema.fields}
         assignments = _split_assignments(m.group(2))
-        filters, residual = _lift_filters(m.group(3))
-        rep = update_where(self._table(m.group(1)), assignments, filters, residual)
+        filters, residual = _lift_filters(m.group(3), fields)
+        rep = update_where(t, assignments, filters, residual)
         return self._report(table=m.group(1), **{k: v for k, v in rep.items() if k not in ("predicate", "assignments")})
 
     # -------------------------------------------------------------- MERGE

@@ -1361,12 +1361,21 @@ class IcepackTable:
                 # its not-yet-loaded set (operators/copy_into.py retries).
                 # Walk the parent chain from the commit's base to `parent`;
                 # a chain that does not pass through the base (rollback /
-                # re-point) is conservatively a conflict too.
+                # re-point) or that a concurrent expiry punched a hole in
+                # is conservatively a conflict too (retry re-bases near
+                # head). Detection is by OPERATION, never summary keys.
                 base = req[1]
                 v: int | None = parent
                 while v is not None and v != base:
-                    snap = self.snapshot(v)
-                    if snap.summary.get("copy_ledger"):
+                    try:
+                        snap = self.snapshot(v)
+                    except FileNotFoundError as exc:
+                        raise ConflictError(
+                            f"commit requirement no-new-copy-commits: "
+                            f"snapshot {v} expired mid-validation — retry "
+                            "from the current head"
+                        ) from exc
+                    if snap.operation == "copy-into":
                         raise ConflictError(
                             f"commit requirement no-new-copy-commits "
                             f"violated: snapshot {v} is a COPY INTO commit "
@@ -1442,7 +1451,16 @@ class IcepackTable:
                 time.sleep(0.05 * (attempt + 1))
                 continue
             try:
-                current = self.head_version()
+                try:
+                    current = self.head_version()
+                except KeyError as exc:
+                    # branch view whose branch was dropped before we took
+                    # the lock: a concurrency refusal, not a usage error —
+                    # and provably before ANY metadata write (drop_branch
+                    # shares this same lock, so it cannot interleave later)
+                    raise ConflictError(
+                        f"branch {self._ref!r} was dropped before this commit"
+                    ) from exc
                 if current != parent:
                     if expected_parent is not None:
                         raise ConflictError(
@@ -1497,7 +1515,14 @@ class IcepackTable:
                     schema_json=(schema or prev.schema).jsonValue(),
                     manifest=manifest_name,
                     summary={
-                        **(prev.summary or {}),
+                        # copy-commit attribution must NOT inherit: a
+                        # carried copy_ledger would make every later commit
+                        # look like a COPY INTO to the ledger machinery
+                        **{
+                            k: v
+                            for k, v in (prev.summary or {}).items()
+                            if k not in ("copy_ledger", "copy_source", "n_files_copied")
+                        },
                         **(summary or {}),
                         "added_files": len(added),
                         "removed_files": len(removed),

@@ -170,3 +170,103 @@ def test_copy_into_sql_form(spark, tmp_path):
     assert rep.rows_loaded == 20
     with pytest.raises(SqlDialectError):
         sql.execute("COPY INTO loads FROM missing_quotes")
+
+
+def test_branch_copy_does_not_poison_main_ledger(spark, tmp_path):
+    """A COPY that only ever landed on a (since-dropped) branch must not
+    mark its files 'already loaded' for main — ledger reads walk the
+    current ref's ancestry, not every snapshot on disk."""
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    src = str(tmp_path / "drop")
+    _drop_files(spark, src, 0, 25, "a")
+    t.create_branch("audit")
+    bv = t.branch("audit")
+    rep = copy_into(bv, src)
+    assert rep["rows_loaded"] == 25
+    t.drop_branch("audit")  # orphan snapshots stay on disk
+    assert t.scan().count() == 0  # main never saw the rows
+    rep = copy_into(t, src)
+    assert rep["rows_loaded"] == 25  # NOT falsely skipped
+    assert t.scan().count() == 25
+
+
+def test_appends_do_not_false_conflict_copy(spark, tmp_path):
+    """Plain appends landing between the ledger read and the commit must
+    NOT be misclassified as copy commits (summary inheritance) — COPY must
+    rebase over them like any append-only concurrency."""
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    src = str(tmp_path / "drop")
+    _drop_files(spark, src, 0, 10, "a")
+    copy_into(t, src)  # summary now carries copy_ledger at this version
+    _drop_files(spark, src, 10, 20, "b")
+    orig = IcepackTable.write_data_files
+    fired = []
+
+    def hooked(self, df, **kw):
+        if not fired:
+            fired.append(1)
+            # a non-copy commit whose summary INHERITS from the copy commit
+            t.append(
+                spark.createDataFrame([(999, 0.0)], "id BIGINT, v DOUBLE")
+            )
+        return orig(self, df, **kw)
+
+    IcepackTable.write_data_files = hooked
+    try:
+        rep = copy_into(t, src)
+    finally:
+        IcepackTable.write_data_files = orig
+    assert rep["rows_loaded"] == 10  # landed beside the append, no starvation
+    assert t.scan().count() == 21  # 10 copied + 1 appended + 10 copied
+
+
+def test_copy_requirement_missing_snapshot_is_conflict(spark, tmp_path):
+    """A hole punched in the parent chain by concurrent expiry surfaces as
+    a retryable ConflictError, never a raw FileNotFoundError."""
+    from datastream_deltalake_connector_spark.table.icepack import (
+        ConflictError,
+    )
+
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, float(i))], "id BIGINT, v DOUBLE")
+        )
+    os.unlink(os.path.join(t.meta_dir, "snap-2.json"))
+    with pytest.raises(ConflictError, match="expired mid-validation"):
+        t.commit(
+            "copy-into", added=[], removed_paths=[],
+            requirements=[("no-new-copy-commits", 1)],
+        )
+
+
+def test_dropped_branch_commit_leaves_no_orphan_snapshot(spark, tmp_path):
+    """A commit through a branch view whose branch was dropped must refuse
+    BEFORE writing any snapshot metadata."""
+    import glob
+
+    from datastream_deltalake_connector_spark.table.icepack import (
+        ConflictError,
+    )
+
+    t = IcepackTable.create(spark, str(tmp_path / "t"), SCHEMA)
+    t.append(spark.createDataFrame([(1, 1.0)], "id BIGINT, v DOUBLE"))
+    t.create_branch("b")
+    bv = t.branch("b")
+    t.drop_branch("b")
+    n_before = len(glob.glob(os.path.join(t.meta_dir, "snap-*.json")))
+    # the view may refuse at head resolution (KeyError) or, when the drop
+    # lands later, at the commit's pre-write refs check (ConflictError) —
+    # either way ZERO snapshot metadata may be written
+    with pytest.raises((ConflictError, KeyError)):
+        bv.append(spark.createDataFrame([(2, 2.0)], "id BIGINT, v DOUBLE"))
+    assert len(glob.glob(os.path.join(t.meta_dir, "snap-*.json"))) == n_before
+    # and the mid-commit window specifically: drive commit() directly with
+    # a stale branch ref — the pre-write check must refuse cleanly
+    t.create_branch("b2")
+    bv2 = t.branch("b2")
+    parent = bv2.head_version()
+    t.drop_branch("b2")
+    with pytest.raises(ConflictError, match="dropped"):
+        bv2.commit("append", added=[], removed_paths=[], expected_parent=parent)
+    assert len(glob.glob(os.path.join(t.meta_dir, "snap-*.json"))) == n_before

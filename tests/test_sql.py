@@ -463,12 +463,14 @@ def test_merge_unknown_column_without_evolution_raises(sql, spark):
             matched=[{"action": "update", "condition": None,
                       "set": {"extra": "s.extra"}}],
         )
-    # INSERT * without evolution silently projects target columns only
-    rep = merge_into(
-        t, spark.table("xsrc"), "id",
-        not_matched=[{"action": "insert", "condition": None, "values": "*"}],
-    )
-    assert rep["version"] is None  # id=2 matches, nothing to insert
+    # INSERT * with a source missing target columns fails loudly (same
+    # contract as UPDATE SET * — silent NULL fill is data loss); the
+    # explicit (cols) VALUES form is the opt-in for partial inserts
+    with pytest.raises(ValueError, match="every target column"):
+        merge_into(
+            t, spark.table("xsrc"), "id",
+            not_matched=[{"action": "insert", "condition": None, "values": "*"}],
+        )
     assert [f.name for f in t.snapshot().schema.fields] == ["id", "name", "score"]
 
 
@@ -913,3 +915,28 @@ def test_copy_into_concurrent_copy_refused_then_converges(spark, tmp_path):
     assert rep["version"] is None and rep["files_loaded"] == 0
     assert t.scan().count() == 30
     assert t.scan().select("id").distinct().count() == 30
+
+
+def test_delete_timestamp_literal_prunes_correctly(sql, spark):
+    """A TIMESTAMP literal written SQL-style ('2024-01-01 10:00:00') must
+    not be compared as raw text against 'T'-separated stats — that falsely
+    pruned the file and silently skipped the matching rows."""
+    sql.execute("CREATE TABLE tl (ts TIMESTAMP, v BIGINT)")
+    spark.sql(
+        "SELECT timestamp'2024-01-01 10:00:00' AS ts, CAST(1 AS BIGINT) AS v "
+        "UNION ALL SELECT timestamp'2024-01-01 12:00:00', 2"
+    ).createOrReplaceTempView("tl_src")
+    sql.execute("INSERT INTO tl SELECT * FROM tl_src")
+    rep = sql.execute(
+        "DELETE FROM tl WHERE ts = '2024-01-01 10:00:00'"
+    ).collect()[0]
+    assert rep.rows_deleted == 1
+    assert sql.execute("SELECT count(*) AS n FROM tl").collect()[0].n == 1
+
+
+def test_lift_filters_sentinel_literal_survives(sql):
+    sql.execute("CREATE TABLE sen (k BIGINT, name STRING)")
+    sql.execute("INSERT INTO sen VALUES (1, '@&@'), (2, 'AND'), (3, 'x')")
+    sql.execute("DELETE FROM sen WHERE name = '@&@'")
+    got = {r.name for r in sql.execute("SELECT name FROM sen").collect()}
+    assert got == {"AND", "x"}
