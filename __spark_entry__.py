@@ -2792,6 +2792,89 @@ FROM range(48) t(i)
 """
 
 
+def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP + TIFF ingestion (new late-r5), oracled: deterministic
+    fixtures (pixel [y,x,c] = (i*11 + y*5 + x*3 + 7c) % 250, w = 9+i%4,
+    h = 7+i%3) are containerized executor-side cycling i%5 over 24-bit BMP,
+    8-bit palettized BMP (gray rule, so the decoded RGB stack is closed-form
+    too), uncompressed TIFF, PackBits TIFF, and LZW+predictor TIFF
+    (alternating II/MM byte order), then decoded through the shared
+    ``decode_image_np`` magic-sniff dispatch — the same entry real corpus
+    bytes hit. The oracle re-derives (w, h, px_sum) from the rule with a
+    three-range cross join, so a palette, padding, strip, predictor, or
+    LZW-width bug in either codec cannot hide. Spec-fixture parity both
+    directions is pinned in tests/test_bmp_tiff.py. Map-only plan."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.bmp import encode_bmp_np
+    from datastream_deltalake_connector_spark.functions.image import (
+        decode_image_np,
+    )
+    from datastream_deltalake_connector_spark.functions.tiff import encode_tiff_np
+
+    def gen_decode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 9 + i % 4, 7 + i % 3
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 11 + y * 5 + x * 3 + 7 * c) % 250).astype(np.uint8)
+                variant = i % 5
+                bo = "MM" if (i // 5) % 2 else "II"
+                if variant == 0:
+                    data = encode_bmp_np(px)
+                elif variant == 1:  # palettized gray BMP
+                    gray = ((i * 11 + y[:, :, 0] * 5 + x[:, :, 0] * 3) % 250)
+                    data = encode_bmp_np(gray.astype(np.uint8), palettized=True)
+                elif variant == 2:
+                    data = encode_tiff_np(px, compression=1, byte_order=bo)
+                elif variant == 3:
+                    data = encode_tiff_np(
+                        px, compression=32773, byte_order=bo, rows_per_strip=3
+                    )
+                else:
+                    data = encode_tiff_np(
+                        px, compression=5, byte_order=bo, predictor=2
+                    )
+                dec = decode_image_np(data)  # magic-sniff dispatch
+                rows.append(
+                    (
+                        f"img-{i:04d}",
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "px_sum"])
+
+    return spark.range(60, numPartitions=8).mapInPandas(
+        gen_decode, "image_id string, w int, h int, px_sum long"
+    )
+
+
+_IMAGE_BMP_TIFF_INGEST_ORACLE = """
+WITH imgs AS (
+  SELECT i, 9 + i % 4 AS w, 7 + i % 3 AS h FROM range(60) t(i)
+)
+SELECT 'img-' || lpad(CAST(g.i AS VARCHAR), 4, '0') AS image_id,
+       CAST(g.w AS INT) AS w,
+       CAST(g.h AS INT) AS h,
+       CAST(SUM(CASE WHEN g.i % 5 = 1
+                     THEN (g.i * 11 + y.y * 5 + x.x * 3) % 250
+                     ELSE (g.i * 11 + y.y * 5 + x.x * 3 + 7 * c.c) % 250
+                END) AS BIGINT) AS px_sum
+FROM imgs g
+JOIN range(9) y(y) ON y.y < g.h
+JOIN range(12) x(x) ON x.x < g.w
+CROSS JOIN range(3) c(c)
+GROUP BY g.i, g.w, g.h
+"""
+
+
 def _audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WAV ingestion, oracled: deterministic square-wave fixtures
     (amplitude (1 + i%7)/8, so windowed RMS is EXACTLY the amplitude) are
@@ -2841,6 +2924,62 @@ def _audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDIO_WAV_INGEST_ORACLE = """
 SELECT 'aud-' || lpad(CAST(i AS VARCHAR), 4, '0') AS audio_id,
+       CAST(2 + i % 3 AS INT) AS n_windows,
+       true AS rms_ok
+FROM range(40) t(i)
+"""
+
+
+def _audio_g711_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-WAV ingestion (new r5), oracled: square-wave fixtures
+    are companded executor-side to G.711 µ-law (even i, WAV tag 0x0007) or
+    A-law (odd i, 0x0006) — 8 bits/sample on the wire — then expanded by the
+    from-scratch ITU-T G.711 LUT decoder (`functions/audio.py:_g711_tables`,
+    exact vs the CCITT scalar reference in tests/test_gif_wav.py) and
+    windowed through the production ``audio_features`` operator. A square
+    wave's samples all share one magnitude, so each window's RMS equals the
+    dequantized amplitude exactly; companding error is bounded by half the
+    largest segment step (512/32768 ≈ 0.016), so rms_ok at 0.02 tolerance
+    fails on any sign, LUT, or interleave bug while the oracle stays
+    closed-form. Map-only plan: generate → mapInPandas, zero exchanges."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_deltalake_connector_spark.functions.audio import encode_wav_np
+    from datastream_deltalake_connector_spark.functions.multimodal import (
+        audio_features,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                amp = (1 + i % 7) / 8.0
+                n = 256 * (2 + i % 3)
+                sq = np.tile([amp, -amp], n // 2)
+                ch = 1 + (i // 2) % 2
+                x = sq if ch == 1 else np.stack([sq, sq], axis=1)
+                bits = 7 if i % 2 == 0 else 6  # µ-law / A-law WAV tags
+                rows.append((f"tel-{i:04d}", encode_wav_np(x, 8000, bits=bits)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    raw = spark.range(40, numPartitions=8).mapInPandas(
+        gen, "audio_id string, bytes binary"
+    )
+    feats = audio_features(raw, window=256)
+    amp = (1 + F.substring("audio_id", 5, 4).cast("int") % 7) / 8.0
+    return feats.select(
+        "audio_id",
+        "n_windows",
+        F.aggregate(
+            "rms", F.lit(True), lambda ok, v: ok & (F.abs(v - amp) < 0.02)
+        ).alias("rms_ok"),
+    )
+
+
+_AUDIO_G711_INGEST_ORACLE = """
+SELECT 'tel-' || lpad(CAST(i AS VARCHAR), 4, '0') AS audio_id,
        CAST(2 + i % 3 AS INT) AS n_windows,
        true AS rms_ok
 FROM range(40) t(i)
@@ -4221,10 +4360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif": _image_exif,
         # --- oracled queries with driver rows from earlier rounds ---
         "orders_anti_recent": _orders_anti_recent,
-        "customers_semi_urgent": _customers_semi_urgent,
         "events_sessionize": _events_sessionize,
         "rollup_revenue": _rollup_revenue,
-        "cube_revenue": _cube_revenue,
         "daily_distinct_users": _daily_distinct_users,
         "promo_revenue_share": _promo_revenue,
         "value_percentiles": _value_percentiles,
@@ -4246,7 +4383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r4): need their first driver rows ---
         "image_png_ingest": _image_png_ingest,
         "image_jpeg_ingest": _image_jpeg_ingest,
+        # real BMP + baseline-TIFF codecs (new late-r5, needs its first
+        # driver row); its slot pushed cube_revenue (green r4; grouping-sets
+        # family stays pinned in-window by rollup_revenue) past position 50
+        "image_bmp_tiff_ingest": _image_bmp_tiff_ingest,
         "audio_wav_ingest": _audio_wav_ingest,
+        # G.711 µ-law/A-law telephony WAV (new late-r5, needs its first
+        # driver row); its slot pushed customers_semi_urgent (green r4;
+        # the semi-join family stays pinned in-window by orders_anti_recent)
+        # past position 50
+        "audio_g711_ingest": _audio_g711_ingest,
         "video_gif_frames": _video_gif_frames,
         "cdc_merge_upsert_mor": _merge_upsert_mor,
         "cdc_merge_upsert_bloom": _merge_upsert_bloom,
@@ -4260,6 +4406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_docs": _neardup_clusters,
         "cdc_lww_composite_key": _lww_composite,
         # ---------------- position 51+: outside the driver's check window ---
+        "customers_semi_urgent": _customers_semi_urgent,
+        "cube_revenue": _cube_revenue,
         "ann_cosine_topk": _ann_cosine_topk,
         "events_windowed_agg": _windowed_agg,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
@@ -4405,6 +4553,8 @@ def oracle_sql() -> dict[str, str]:
         "image_png_ingest": _IMAGE_PNG_INGEST_ORACLE,
         "image_jpeg_ingest": _IMAGE_JPEG_INGEST_ORACLE,
         "audio_wav_ingest": _AUDIO_WAV_INGEST_ORACLE,
+        "audio_g711_ingest": _AUDIO_G711_INGEST_ORACLE,
+        "image_bmp_tiff_ingest": _IMAGE_BMP_TIFF_INGEST_ORACLE,
         "video_gif_frames": _VIDEO_GIF_FRAMES_ORACLE,
         # r5: planted closed-form fixtures — every registry query now
         # carries a SQL twin (86/86 oracled)

@@ -6,13 +6,17 @@ real audio bytes, not just raw float buffers. This module parses the RIFF
 container from scratch:
 
 - ``decode_wav_np``: chunk walk (handles non-fmt/data chunks like LIST and
-  odd-length padding), PCM integer 8/16/24/32-bit and IEEE float 32/64-bit,
-  any channel count → float64 samples in [-1, 1], shape (n_samples, ch).
+  odd-length padding), PCM integer 8/16/24/32-bit, IEEE float 32/64-bit,
+  and G.711 µ-law / A-law companded 8-bit (ITU-T G.711 tables, vectorized
+  as 256-entry LUTs), any channel count → float64 samples in [-1, 1],
+  shape (n_samples, ch).
 - ``encode_wav_np``: standards-compliant writer for the same sample space
-  (16/24/32-bit PCM or float32), used by tests and synthetic generators.
+  (16/24/32-bit PCM, float32, or G.711 µ-law/A-law via exact
+  nearest-codeword quantization), used by tests and synthetic generators.
 
-Compressed formats (ADPCM, MP3-in-WAV, A-law/µ-law) are honestly gated
-behind ``NotImplementedError`` — the container lacks codec libraries.
+Compressed formats with real bitstream state (ADPCM, MP3-in-WAV) are
+honestly gated behind ``NotImplementedError`` — the container lacks codec
+libraries.
 """
 
 from __future__ import annotations
@@ -25,7 +29,46 @@ __all__ = ["decode_wav_np", "encode_wav_np", "wav_info"]
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_ALAW = 0x0006
+_WAVE_FORMAT_MULAW = 0x0007
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """ITU-T G.711 expansion tables, built once: 256 codewords → 16-bit
+    linear (int32). Vectorized transcription of the CCITT reference
+    ``ulaw2linear``/``alaw2linear`` (Sun g711.c is the canonical public
+    domain source of the same integer arithmetic)."""
+    code = np.arange(256, dtype=np.int32)
+    # µ-law: complement, then t = ((mantissa<<3)+0x84) << exponent, minus bias
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int32)
+    # A-law: XOR 0x55, segment 0/1 special-cased, sign bit set => positive
+    a = code ^ 0x55
+    m = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, m + 8, np.where(seg == 1, m + 0x108, 0))
+    t = np.where(seg >= 2, (m + 0x108) << np.maximum(seg - 1, 0), t)
+    alaw = np.where(a & 0x80, t, -t).astype(np.int32)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_tables()
+
+
+def _g711_encode(x16: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Exact nearest-codeword companding: for each 16-bit sample pick the
+    byte whose G.711 expansion is closest (optimal quantizer; round-trip
+    encode∘decode is idempotent by construction). One searchsorted over
+    the 256 sorted expansions — fully vectorized."""
+    order = np.argsort(lut, kind="stable")
+    vals = lut[order]
+    idx = np.searchsorted(vals, x16)
+    idx = np.clip(idx, 1, len(vals) - 1)
+    left, right = vals[idx - 1], vals[idx]
+    idx = np.where(np.abs(x16 - left) <= np.abs(right - x16), idx - 1, idx)
+    return order[idx].astype(np.uint8)
 
 
 def _parse_chunks(data: bytes) -> dict[bytes, tuple[int, int]]:
@@ -101,10 +144,14 @@ def decode_wav_np(data: bytes) -> tuple[np.ndarray, int]:
             x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
         else:
             raise ValueError(f"IEEE float WAV with bits={bits}")
+    elif fmt_tag in (_WAVE_FORMAT_MULAW, _WAVE_FORMAT_ALAW):
+        lut = _ULAW_LUT if fmt_tag == _WAVE_FORMAT_MULAW else _ALAW_LUT
+        x = lut[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
             f"compressed WAV format tag 0x{fmt_tag:04x} requires a codec "
-            "library not present in this container (PCM and IEEE float decode)"
+            "library not present in this container (PCM, IEEE float, and "
+            "G.711 µ-law/A-law decode)"
         )
     n = len(x) // ch
     return x[: n * ch].reshape(n, ch), info["sample_rate"]
@@ -112,7 +159,8 @@ def decode_wav_np(data: bytes) -> tuple[np.ndarray, int]:
 
 def encode_wav_np(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     """Encode float samples in [-1, 1] (shape (n,) or (n, ch)) as a
-    standards-compliant WAV. ``bits``: 16/24/32 (PCM) or 33 → float32."""
+    standards-compliant WAV. ``bits``: 16/24/32 (PCM), 33 → float32, or the
+    WAV format-tag values 7 → G.711 µ-law / 6 → A-law (8 bits on the wire)."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -144,6 +192,11 @@ def encode_wav_np(samples: np.ndarray, sample_rate: int, bits: int = 16) -> byte
             4,
             32,
         )
+    elif bits in (6, 7):  # G.711 companded; tag value doubles as the code
+        q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int32)
+        lut = _ULAW_LUT if bits == 7 else _ALAW_LUT
+        fmt_tag = _WAVE_FORMAT_MULAW if bits == 7 else _WAVE_FORMAT_ALAW
+        payload, bytes_per, bits = _g711_encode(q.reshape(-1), lut).tobytes(), 1, 8
     else:
         raise ValueError(f"unsupported encode bit depth {bits}")
     block = ch * bytes_per

@@ -317,11 +317,22 @@ def decode_image_np(data: bytes) -> np.ndarray:
         from .gif import decode_gif_np
 
         return decode_gif_np(data)[0][0]
+    if data[:2] == b"BM":  # real-world Windows BMP
+        from .bmp import decode_bmp_np
+
+        return decode_bmp_np(data)
+    if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (
+        b"\x2a\x00",
+        b"\x00\x2a",
+    ):  # real-world baseline TIFF
+        from .tiff import decode_tiff_np
+
+        return decode_tiff_np(data)
     magic, w, h, c = struct.unpack_from(_HEADER_FMT, data)
     if magic not in (MAGIC_PNG, MAGIC_JPG):
         raise NotImplementedError(
-            "unrecognized image byte stream; PNG, baseline JPEG, GIF, FPNG "
-            "and FJPG payloads are decodable"
+            "unrecognized image byte stream; PNG, baseline JPEG, GIF, BMP, "
+            "TIFF, FPNG and FJPG payloads are decodable"
         )
     raw = zlib.decompress(data[_HEADER_SIZE:])
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
@@ -441,6 +452,18 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack_from("<HH", b, 6)
             rows.append((int(w), int(h), 3, 0))
+            continue
+        if b[:2] == b"BM":
+            from .bmp import bmp_info
+
+            info = bmp_info(b)
+            rows.append((info["width"], info["height"], 3, 0))
+            continue
+        if b[:2] in (b"II", b"MM") and b[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+            from .tiff import tiff_info
+
+            info = tiff_info(b)
+            rows.append((info["width"], info["height"], 3, 0))
             continue
         magic, w, h, c = struct.unpack_from(_HEADER_FMT, b)
         rows.append((int(w), int(h), int(c), int(magic == MAGIC_JPG)))
