@@ -117,10 +117,11 @@ def _rle8_decode(raw: bytes, w: int, h: int) -> np.ndarray:
             dx, dy = raw[pos], raw[pos + 1]
             pos += 2
             if dy:
+                old_x = x
                 flush_row()
-                out[y, :w] = row[:w]
                 y += dy
                 row[:] = 0
+                x = old_x  # the cursor moves relative to its old column
             x = min(x + dx, w)
         else:  # absolute run of v literal bytes, word-aligned
             take = raw[pos : pos + v]

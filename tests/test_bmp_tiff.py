@@ -81,6 +81,12 @@ def test_bmp_rle8_runs_absolute_delta_eol():
     assert out.shape == (2, 6, 3)
     assert list(out[1, :, 0]) == [65, 65, 65, 1, 2, 9]  # bottom row first in file
     assert list(out[0, :, 0]) == [7, 7, 0, 0, 0, 0]
+    # delta escape moves the cursor relative to its OLD column across rows
+    raw2 = bytes([2, 5]) + bytes([0, 2, 2, 1]) + bytes([1, 9]) + bytes([0, 1])
+    d2 = _bmp((40, 6, 2, 1, 8, 1, len(raw2), 0, 0, 256, 0), raw2, pal.tobytes())
+    out2 = decode_bmp_np(d2)
+    assert list(out2[1, :, 0]) == [5, 5, 0, 0, 0, 0]
+    assert list(out2[0, :, 0]) == [0, 0, 0, 0, 9, 0]  # x = 2 (old) + 2 (dx)
 
 
 def test_bmp_1bit_4bit_and_honest_gates():
