@@ -203,10 +203,17 @@ def encode_wav_np(samples: np.ndarray, sample_rate: int, bits: int = 16) -> byte
     fmt = struct.pack(
         "<HHIIHH", fmt_tag, ch, sample_rate, sample_rate * block, block, bits
     )
+    fact = b""
+    if fmt_tag != _WAVE_FORMAT_PCM:
+        # spec: non-PCM formats carry cbSize (18-byte fmt) and a fact chunk
+        # with the per-channel sample count
+        fmt += struct.pack("<H", 0)
+        fact = b"fact" + struct.pack("<II", 4, n)
     body = (
         b"fmt "
         + struct.pack("<I", len(fmt))
         + fmt
+        + fact
         + b"data"
         + struct.pack("<I", len(payload))
         + payload

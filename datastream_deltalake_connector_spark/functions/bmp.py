@@ -45,9 +45,10 @@ def _headers(data: bytes) -> dict:
     h = abs(h)
     masks = None
     if comp == _BI_BITFIELDS:
-        # V2+/V4 headers embed the masks in the header; plain
-        # BITMAPINFOHEADER puts three masks directly after the 40 bytes
-        moff = 54 if hdr_size == 40 else 54
+        # masks sit at byte 54 (= 14 + 40) in every supported layout: plain
+        # BITMAPINFOHEADER puts three masks directly after its 40 bytes, and
+        # the V2+/V4/V5 headers embed them at that same position
+        moff = 54
         r, g, b = struct.unpack_from("<III", data, moff)
         a = struct.unpack_from("<I", data, moff + 12)[0] if hdr_size >= 56 else 0
         masks = (r, g, b, a)
@@ -75,12 +76,17 @@ def bmp_info(data: bytes) -> dict:
 
 
 def _palette(data: bytes, hd: dict) -> np.ndarray:
+    """Always 2^bpp rows: real files with biClrUsed < 2^bpp may still carry
+    pixel indices past the stored quads (formally invalid, observed in the
+    wild) — those resolve to black instead of an uncontrolled IndexError."""
     n = hd["colors_used"] or (1 << hd["bpp"])
     off = 14 + hd["hdr_size"]
     if hd["compression"] == _BI_BITFIELDS and hd["hdr_size"] == 40:
         off += 12  # the three masks precede the palette
     quads = np.frombuffer(data, dtype=np.uint8, count=n * 4, offset=off)
-    return quads.reshape(n, 4)[:, [2, 1, 0]].copy()  # BGRA → RGB
+    pal = np.zeros((1 << hd["bpp"], 3), dtype=np.uint8)
+    pal[:n] = quads.reshape(n, 4)[:, [2, 1, 0]]  # BGRA → RGB
+    return pal
 
 
 def _rle8_decode(raw: bytes, w: int, h: int) -> np.ndarray:
@@ -204,6 +210,8 @@ def decode_bmp_np(data: bytes) -> np.ndarray:
             c = (v & m) >> sh
             if width < 8:  # scale to full 8-bit range
                 c = (c * 255) // ((1 << width) - 1)
+            elif width > 8:  # e.g. A2R10G10B10 — keep the high bits
+                c = c >> (width - 8)
             chans.append(c.astype(np.uint8))
         rgb = np.dstack(chans[:3])
         if chans[3] is not None and bool((chans[3] != 0).any()):

@@ -463,7 +463,10 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
             from .tiff import tiff_info
 
             info = tiff_info(b)
-            rows.append((info["width"], info["height"], 3, 0))
+            # decode returns RGBA for 4-sample files and a 3-channel
+            # stack for gray/palette, so the probe mirrors that
+            nc = 4 if info["samples"] >= 4 else 3
+            rows.append((info["width"], info["height"], nc, 0))
             continue
         magic, w, h, c = struct.unpack_from(_HEADER_FMT, b)
         rows.append((int(w), int(h), int(c), int(magic == MAGIC_JPG)))

@@ -175,6 +175,8 @@ def _lzw_decode_tiff(raw: bytes, expect: int) -> bytes:
         if code == EOI:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt TIFF-LZW stream: code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -242,6 +244,19 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
 
 
 # ------------------------------------------------------------------ decode
+def _colormap_lookup(ifd: dict, e: str, idx: np.ndarray) -> np.ndarray:
+    """ColorMap (3 planes of 16-bit values) → RGB; indices past the stored
+    map are rejected as ValueError, not an uncontrolled IndexError."""
+    cm = _uints(ifd.get(_T_COLORMAP), e)
+    n = len(cm) // 3
+    if n == 0:
+        raise ValueError("palette TIFF without usable ColorMap")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError(f"TIFF palette index {int(idx.max())} >= map size {n}")
+    pal = (np.array(cm, dtype=np.uint32).reshape(3, n).T // 257).astype(np.uint8)
+    return pal[idx]
+
+
 def decode_tiff_np(data: bytes) -> np.ndarray:
     """Decode IFD0 → (h, w, 3) uint8 RGB (or (h, w, 4) RGBA when a 4th
     8-bit sample is present)."""
@@ -299,13 +314,22 @@ def decode_tiff_np(data: bytes) -> np.ndarray:
     rows = flat[: row_bytes * h].reshape(h, row_bytes)
 
     if depth < 8:
+        if predictor != 1:
+            raise NotImplementedError(
+                f"TIFF predictor {predictor} on {depth}-bit samples"
+            )
         bits_arr = np.unpackbits(rows, axis=1)
         if depth == 1:
-            px = bits_arr[:, :w].astype(np.uint8) * 255
+            idx = bits_arr[:, :w].astype(np.uint8)
+            full = 255
         else:  # 4-bit
             nib = bits_arr.reshape(h, -1, 4)
             vals = (nib * np.array([8, 4, 2, 1], dtype=np.uint8)).sum(axis=2)
-            px = (vals[:, :w] * 17).astype(np.uint8)  # 0..15 → 0..255
+            idx = vals[:, :w].astype(np.uint8)
+            full = 17  # 0..15 → 0..255
+        if photo == 3:  # palette-color is legal at 1/4-bit too
+            return _colormap_lookup(ifd, e, idx)
+        px = (idx * full).astype(np.uint8)
         if photo == 0:  # WhiteIsZero
             px = 255 - px
         return np.dstack([px, px, px])
@@ -316,14 +340,9 @@ def decode_tiff_np(data: bytes) -> np.ndarray:
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if photo == 3:  # palette-color: ColorMap is 3 planes of 16-bit
-        cm = _uints(ifd.get(_T_COLORMAP), e)
-        n = len(cm) // 3
-        if samples != 1 or n == 0:
-            raise ValueError("palette TIFF without usable ColorMap")
-        pal = (np.array(cm, dtype=np.uint32).reshape(3, n).T // 257).astype(
-            np.uint8
-        )
-        return pal[px[:, :, 0]]
+        if samples != 1:
+            raise ValueError("palette TIFF with multiple samples/pixel")
+        return _colormap_lookup(ifd, e, px[:, :, 0])
     if samples == 1:
         g = 255 - px[:, :, 0] if photo == 0 else px[:, :, 0]
         return np.dstack([g, g, g])

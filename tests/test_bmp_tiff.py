@@ -216,6 +216,71 @@ def test_tiff_honest_gates():
         decode_tiff_np(b"IX\x2a\x00")
 
 
+def test_tiff_4bit_palette_and_corrupt_lzw_first_code():
+    # 4-bit palette-color: indices must go through the ColorMap, not the
+    # grayscale x17 scaling
+    n = 16
+    cmap_off = 8 + 2 + 12 * 8 + 4
+    data_off = cmap_off + 3 * n * 2
+    cmap = np.zeros(3 * n, dtype="<u2")
+    cmap[n : 2 * n] = np.arange(n) * 17 * 257  # green ramp
+    body = b""
+    entries = [
+        (256, 3, [3]), (257, 3, [1]), (258, 3, [4]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, [data_off]), (279, 4, [2]),
+    ]
+    for tag, typ, vals in sorted(entries + [(320, 3, None)]):
+        if tag == 320:
+            body += struct.pack("<HHII", 320, 3, 3 * n, cmap_off)
+            continue
+        fmt = "H" if typ == 3 else "I"
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        body += struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+    d = (
+        struct.pack("<2sHI", b"II", 42, 8)
+        + struct.pack("<H", 8) + body + struct.pack("<I", 0)
+        + cmap.tobytes()
+        + bytes([0x5A, 0xF0])  # pixels 5, 10, 15 (w=3, last nibble pad)
+    )
+    out = decode_tiff_np(d)
+    assert [list(p) for p in out[0]] == [
+        [0, 85, 0], [0, 170, 0], [0, 255, 0]
+    ]
+    # a corrupt LZW stream whose FIRST code is out of range must raise the
+    # documented ValueError, not IndexError
+    from datastream_deltalake_connector_spark.functions.tiff import (
+        _lzw_decode_tiff,
+    )
+
+    bad = bytes([0x96, 0x40])  # 9-bit codes: 300, junk — no leading Clear
+    with pytest.raises(ValueError):
+        _lzw_decode_tiff(bad, 8)
+
+
+def test_bmp_wide_bitfields_and_short_palette():
+    # A2R10G10B10: 10-bit channels must keep their high bits, not wrap mod 256
+    rm, gm, bm = 0x3FF00000, 0x000FFC00, 0x000003FF
+    v = np.array([[512 << 20, 1023 << 10, 256]], dtype="<u4")
+    masks = struct.pack("<III", rm, gm, bm)
+    info = struct.pack("<IiihHIIiiII", 40, 3, -1, 1, 32, 3, 12, 0, 0, 0, 0)
+    off = 14 + 40 + 12
+    d = struct.pack("<2sIHHI", b"BM", off + 12, 0, 0, off) + info + masks + v.tobytes()
+    out = decode_bmp_np(d)
+    assert list(out[0, 0]) == [512 >> 2, 0, 0]  # mid-gray red, not 0
+    assert list(out[0, 1]) == [0, 255, 0]
+    assert list(out[0, 2]) == [0, 0, 64]
+    # biClrUsed smaller than 2^bpp with an out-of-range pixel index → black,
+    # not IndexError
+    pal = bytes([10, 20, 30, 0] * 4)  # only 4 quads stored
+    row = bytes([0, 3, 200, 0])  # index 200 beyond the stored palette
+    info = struct.pack("<IiihHIIiiII", 40, 3, -1, 1, 8, 0, 4, 0, 0, 4, 0)
+    off = 14 + 40 + len(pal)
+    d = struct.pack("<2sIHHI", b"BM", off + 4, 0, 0, off) + info + pal + row
+    out = decode_bmp_np(d)
+    assert list(out[0, 2]) == [0, 0, 0]
+    assert list(out[0, 0]) == [30, 20, 10]
+
+
 # ------------------------------------------------------------ shared dispatch
 def test_bmp_tiff_through_decode_image_dispatch():
     px = RNG.integers(0, 256, size=(12, 15, 3), dtype=np.uint8)

@@ -124,6 +124,14 @@ def test_wav_g711_roundtrip_and_idempotence():
         # sign-correctness: a positive DC block decodes positive
         dc = decode_wav_np(encode_wav_np(np.full(16, 0.5), 8000, bits=bits))[0]
         assert (dc > 0.45).all() and (dc < 0.55).all()
+        # spec container shape for non-PCM: 18-byte fmt (cbSize=0) + a fact
+        # chunk carrying the per-channel sample count
+        fmt_off = data.find(b"fmt ") + 4
+        (fmt_size,) = struct.unpack_from("<I", data, fmt_off)
+        assert fmt_size == 18
+        fact_off = data.find(b"fact")
+        assert fact_off > 0
+        assert struct.unpack_from("<II", data, fact_off + 4) == (4, 800)
 
 
 def test_wav_honest_gates():
