@@ -4130,6 +4130,67 @@ ORDER BY user_id
 """
 
 
+def _icepack_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL views over icepack tables (new late-r5, sql.py + table/catalog.py
+    — CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW VIEWS with stored view
+    TEXT, Delta/HMS semantics): a filtered view and a nested aggregating
+    view are created over the events table, the table is then UPDATEd so
+    the read through the views must see CURRENT state (text, not a frozen
+    materialization), the nested view is re-pointed with OR REPLACE, and
+    the final SELECT joins the view against the base table. SHOW VIEWS
+    membership and DROP semantics are folded into the hashed ``op`` column.
+    The oracle replays view text inline as plain CTEs."""
+    from datastream_deltalake_connector_spark.sql import IcepackSQL
+    from datastream_deltalake_connector_spark.table.catalog import Catalog
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    q = IcepackSQL(spark, Catalog(spark, tempfile.mkdtemp(prefix="icepack-sqlv-")))
+    q.execute(
+        "CREATE TABLE evv (user_id BIGINT, event_type STRING, "
+        "value DOUBLE, ts TIMESTAMP, seq BIGINT)"
+    )
+    base.select(
+        "user_id", "event_type", "value",
+        F.col(TS_META).alias("ts"), F.col(SEQ_META).alias("seq"),
+    ).createOrReplaceTempView("base_evv")
+    q.execute("INSERT INTO evv SELECT user_id, event_type, value, ts, seq FROM base_evv")
+    q.execute("CREATE VIEW clicks AS SELECT user_id, value FROM evv "
+              "WHERE event_type = 'click'")
+    q.execute("CREATE VIEW stats AS SELECT count(*) AS n FROM clicks")
+    # view TEXT semantics: this UPDATE lands AFTER view creation and must
+    # be visible through both views
+    q.execute("UPDATE evv SET value = value + 1000 WHERE user_id < 25")
+    q.execute(
+        "CREATE OR REPLACE VIEW stats AS SELECT user_id % 5 AS bucket, "
+        "count(*) AS n, sum(value) AS sum_value FROM clicks GROUP BY user_id % 5"
+    )
+    names = [r.viewName for r in q.execute("SHOW VIEWS").collect()]
+    # drop + re-create the inner view: stats stores TEXT, so it needs
+    # clicks to exist again at read time — exercises both DDL directions
+    q.execute("DROP VIEW clicks")
+    names_after = [r.viewName for r in q.execute("SHOW VIEWS").collect()]
+    q.execute("CREATE VIEW clicks AS SELECT user_id, value FROM evv "
+              "WHERE event_type = 'click'")
+    ok = names == ["clicks", "stats"] and names_after == ["stats"]
+    return q.execute(
+        "SELECT s.bucket, s.n, s.sum_value FROM stats s ORDER BY s.bucket"
+    ).withColumn("op", F.lit("views" if ok else "broken"))
+
+
+_ICEPACK_SQL_VIEWS_ORACLE = f"""
+{_ICEPACK_CTES},
+evv AS (SELECT user_id, event_type,
+               CASE WHEN user_id < 25 THEN value + 1000 ELSE value END AS value
+        FROM t0),
+clicks AS (SELECT user_id, value FROM evv WHERE event_type = 'click')
+SELECT user_id % 5 AS bucket,
+       count(*) AS n,
+       sum(value) AS sum_value,
+       'views' AS op
+FROM clicks GROUP BY user_id % 5 ORDER BY bucket
+"""
+
+
 def _icepack_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General-purpose ``MERGE INTO`` parsed from SQL text (new r5,
     operators/generic_merge.py + sql.py — the ad-hoc ordered-clause MERGE
@@ -4325,7 +4386,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           pushed cdc_lww_dedup_window, cdc_merge_upsert and hilbert_key
           (each green in ≥2 driver artifacts incl. r4; the merge core
           stays pinned in-window by its mor/bloom/composite variants and
-          in every bench run) past position 50.
+          in every bench run) past position 50. Late r5 (second wave):
+          the new real-codec queries audio_g711_ingest (G.711 µ-law/A-law
+          WAV) and image_bmp_tiff_ingest (BMP + baseline-TIFF through the
+          shared dispatch) and icepack_sql_views (CREATE/DROP VIEW + SHOW
+          VIEWS) took the slots of customers_semi_urgent, cube_revenue
+          and promo_revenue_share (each green r4; the semi-join /
+          grouping-sets / revenue-agg families stay pinned in-window by
+          orders_anti_recent and rollup_revenue).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -4340,6 +4408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pushed hilbert_key (green r4) out of the window — the Hilbert
         # curve stays pinned by zorder-family pytest + bench
         "icepack_copy_into": _icepack_copy_into,
+        # SQL views (new late-r5, needs its first driver row); its slot
+        # pushed promo_revenue_share (green r4) past position 50
+        "icepack_sql_views": _icepack_sql_views,
         # positional deletes (Iceberg-v2 MoR DML, operators/rowops.py); the
         # two slots they take pushed neardup_clusters_docs and
         # cdc_lww_composite_key (both green r4) out of the 50-row window
@@ -4363,7 +4434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "rollup_revenue": _rollup_revenue,
         "daily_distinct_users": _daily_distinct_users,
-        "promo_revenue_share": _promo_revenue,
         "value_percentiles": _value_percentiles,
         "events_user_churn": _user_churn,
         "events_gap_stats": _event_gaps,
@@ -4408,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position 51+: outside the driver's check window ---
         "customers_semi_urgent": _customers_semi_urgent,
         "cube_revenue": _cube_revenue,
+        "promo_revenue_share": _promo_revenue,
         "ann_cosine_topk": _ann_cosine_topk,
         "events_windowed_agg": _windowed_agg,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
@@ -4478,6 +4549,7 @@ def oracle_sql() -> dict[str, str]:
         "icepack_delete_where_pos": _ICEPACK_DELETE_WHERE_POS_ORACLE,
         "icepack_update_where_mor": _ICEPACK_UPDATE_WHERE_MOR_ORACLE,
         "icepack_sql_pipeline": _ICEPACK_SQL_PIPELINE_ORACLE,
+        "icepack_sql_views": _ICEPACK_SQL_VIEWS_ORACLE,
         "icepack_sql_merge": _ICEPACK_SQL_MERGE_ORACLE,
         "icepack_copy_into": _ICEPACK_COPY_INTO_ORACLE,
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,

@@ -313,6 +313,7 @@ class IcepackSQL:
         self.spark = spark
         self.catalog = catalog
         self._view_n = 0
+        self._resolving_views: set[str] = set()
 
     # -------------------------------------------------------------- public
     def execute(self, stmt: str) -> DataFrame:
@@ -357,9 +358,19 @@ class IcepackSQL:
             return self._truncate(s)
         if s.upper().startswith("SHOW CREATE TABLE"):
             return self._show_create(s)
+        if two == "CREATE VIEW" or s.upper().startswith("CREATE OR REPLACE VIEW"):
+            return self._create_view(s)
+        if two == "DROP VIEW":
+            return self._drop_view(s)
+        if two == "SHOW VIEWS":
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.view_names()] or [],
+                "viewName STRING",
+            )
         raise SqlDialectError(
             f"unsupported statement: {s[:60]!r}... — supported forms: "
             "SELECT/WITH, CREATE/DROP/TRUNCATE TABLE, CTAS, "
+            "CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW VIEWS, "
             "INSERT INTO/OVERWRITE, DELETE FROM, UPDATE, "
             "MERGE [WITH SCHEMA EVOLUTION] INTO, COPY INTO, OPTIMIZE, "
             "VACUUM, DESCRIBE HISTORY/DETAIL, RESTORE TABLE, "
@@ -452,6 +463,16 @@ class IcepackSQL:
                         "clause, not both"
                     )
                 view = self._register_scan(base, ref=branch)
+                out.append(s[last : m.start(1)])
+                out.append(f"{m.group(1)} {view}")
+                last = m.end()
+                continue
+            if not self.catalog.exists(name) and self.catalog.view_exists(name):
+                if m.group(3):
+                    raise SqlDialectError(
+                        f"{name}: time travel does not apply to views"
+                    )
+                view = self._resolve_view(name)
                 out.append(s[last : m.start(1)])
                 out.append(f"{m.group(1)} {view}")
                 last = m.end()
@@ -564,6 +585,8 @@ class IcepackSQL:
             if if_not_exists:
                 return self._report(status="exists", table=name)
             raise SqlDialectError(f"table exists: {name}")
+        if self.catalog.view_exists(name):
+            raise SqlDialectError(f"a view named {name!r} already exists")
         df = (
             self.spark.sql(self._rewrite_refs(select_sql))
             if select_sql is not None
@@ -1064,6 +1087,57 @@ class IcepackSQL:
         for name, expr in sorted(t.check_constraints().items()):
             stmt += f"\n-- ALTER TABLE {m.group(1)} ADD CONSTRAINT {name} CHECK ({expr})"
         return self._report(createtab_stmt=stmt)
+
+    # --------------------------------------------------------------- views
+    def _resolve_view(self, name: str) -> str:
+        """Materialize a catalog view as a temp view over its re-planned
+        SELECT (view TEXT semantics, like Delta/HMS: each read sees current
+        table state). Nested views recurse through ``_rewrite_refs``; a
+        cycle fails loudly instead of recursing forever."""
+        if name in self._resolving_views:
+            raise SqlDialectError(f"view cycle detected at {name!r}")
+        self._resolving_views.add(name)
+        try:
+            df = self.spark.sql(self._rewrite_refs(self.catalog.view_sql(name)))
+        finally:
+            self._resolving_views.discard(name)
+        self._view_n += 1
+        view = f"__icepack_view_{re.sub('[^A-Za-z0-9_]', '_', name)}_{self._view_n}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _create_view(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.+)",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlDialectError(
+                f"cannot parse — form: CREATE [OR REPLACE] VIEW v AS "
+                f"SELECT ...: {s[:80]!r}"
+            )
+        or_replace, name, body = bool(m.group(1)), m.group(2), m.group(3).strip()
+        if not body.upper().startswith(("SELECT", "WITH", "(")):
+            raise SqlDialectError("view body must be a SELECT/WITH query")
+        # validate now: the body must plan against the current catalog
+        # (spark.sql is lazy, so this costs analysis only, no execution)
+        self.spark.sql(self._rewrite_refs(body))
+        try:
+            self.catalog.create_view(name, body, or_replace=or_replace)
+        except FileExistsError as exc:
+            raise SqlDialectError(str(exc)) from exc
+        return self._report(status="created", view=name, replaced=or_replace)
+
+    def _drop_view(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*", s, re.IGNORECASE
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse DROP VIEW: {s[:80]!r}")
+        dropped = self.catalog.drop_view(m.group(2))
+        if not dropped and not m.group(1):
+            raise SqlDialectError(f"view not found: {m.group(2)!r}")
+        return self._report(status="dropped", view=m.group(2), existed=dropped)
 
     def _publish(self, s: str) -> DataFrame:
         """WAP publish: fast-forward main (or another branch) onto a branch

@@ -11,6 +11,7 @@ are sanitized the way the reference sanitizes Datastream table names
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -58,6 +59,8 @@ class Catalog:
             if if_not_exists:
                 return self.load_table(name)
             raise FileExistsError(f"table exists: {name}")
+        if self.view_exists(name):
+            raise FileExistsError(f"a view named {name!r} already exists")
         return IcepackTable.create(self.spark, self._path(name), schema, stats_cols)
 
     def load_table(self, name: str) -> IcepackTable:
@@ -68,4 +71,45 @@ class Catalog:
         if not os.path.exists(p):
             return False
         shutil.rmtree(p)
+        return True
+
+    # ------------------------------------------------------------- views
+    # SQL views live beside the tables as one JSON file each (name +
+    # SELECT text), matching Delta/HMS behavior of storing view TEXT, not
+    # a materialization — each read re-plans against current table state.
+    def _view_path(self, name: str) -> str:
+        return os.path.join(
+            self.warehouse, "_views", sanitize_table_name(name) + ".json"
+        )
+
+    def view_names(self) -> list[str]:
+        d = os.path.join(self.warehouse, "_views")
+        if not os.path.isdir(d):
+            return []
+        return sorted(n[:-5] for n in os.listdir(d) if n.endswith(".json"))
+
+    def view_exists(self, name: str) -> bool:
+        return os.path.exists(self._view_path(name))
+
+    def create_view(self, name: str, sql: str, or_replace: bool = False) -> None:
+        if self.exists(name):
+            raise FileExistsError(f"a table named {name!r} already exists")
+        if self.view_exists(name) and not or_replace:
+            raise FileExistsError(f"view exists: {name}")
+        p = self._view_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "sql": sql}, f)
+        os.replace(tmp, p)
+
+    def view_sql(self, name: str) -> str:
+        with open(self._view_path(name)) as f:
+            return json.load(f)["sql"]
+
+    def drop_view(self, name: str) -> bool:
+        p = self._view_path(name)
+        if not os.path.exists(p):
+            return False
+        os.remove(p)
         return True

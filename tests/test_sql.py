@@ -940,3 +940,75 @@ def test_lift_filters_sentinel_literal_survives(sql):
     sql.execute("DELETE FROM sen WHERE name = '@&@'")
     got = {r.name for r in sql.execute("SELECT name FROM sen").collect()}
     assert got == {"AND", "x"}
+
+
+# -------------------------------------------------------------------- views
+def test_view_lifecycle_and_current_state(sql):
+    _mk_users(sql)
+    sql.execute("CREATE VIEW high AS SELECT id, score FROM users WHERE score > 2")
+    assert [r.viewName for r in sql.execute("SHOW VIEWS").collect()] == ["high"]
+    got = {r.id: r.score for r in sql.execute("SELECT * FROM high").collect()}
+    assert got == {2: 2.5, 3: 3.5}
+    # view TEXT semantics: a later insert is visible through the view
+    sql.execute("INSERT INTO users VALUES (4, 'dan', 9.0)")
+    got = {r.id for r in sql.execute("SELECT id FROM high").collect()}
+    assert got == {2, 3, 4}
+    # joins and aggregates through a view ref
+    n = sql.execute(
+        "SELECT count(*) AS n FROM high h JOIN users u ON h.id = u.id"
+    ).collect()[0].n
+    assert n == 3
+    sql.execute("DROP VIEW high")
+    assert sql.execute("SHOW VIEWS").count() == 0
+    with pytest.raises(Exception):  # unresolved ref → Spark analysis error
+        sql.execute("SELECT * FROM high")
+
+
+def test_view_nested_replace_and_guards(sql):
+    _mk_users(sql)
+    sql.execute("CREATE VIEW v1 AS SELECT id, score FROM users")
+    sql.execute("CREATE VIEW v2 AS SELECT id FROM v1 WHERE score > 2")
+    assert sql.execute("SELECT * FROM v2").count() == 2
+    # OR REPLACE re-points; plain CREATE on an existing name fails
+    with pytest.raises(SqlDialectError):
+        sql.execute("CREATE VIEW v2 AS SELECT 1 AS x")
+    sql.execute("CREATE OR REPLACE VIEW v2 AS SELECT id FROM v1 WHERE score > 3")
+    assert sql.execute("SELECT * FROM v2").count() == 1
+    # a view name cannot shadow a table and vice versa
+    with pytest.raises(SqlDialectError):
+        sql.execute("CREATE VIEW users AS SELECT 1 AS x")
+    with pytest.raises(Exception):
+        sql.execute("CREATE TABLE v1 (x BIGINT)")
+    # body must plan NOW against the catalog
+    with pytest.raises(Exception):
+        sql.execute("CREATE VIEW broken AS SELECT nope FROM users")
+    # time travel applies to tables, not view text
+    with pytest.raises(SqlDialectError):
+        sql.execute("SELECT * FROM v2 VERSION AS OF 0")
+    # DROP VIEW IF EXISTS tolerates absence; bare DROP VIEW does not
+    sql.execute("DROP VIEW IF EXISTS ghost")
+    with pytest.raises(SqlDialectError):
+        sql.execute("DROP VIEW ghost")
+
+
+def test_view_cycle_detected(sql):
+    _mk_users(sql)
+    sql.execute("CREATE VIEW a1 AS SELECT id FROM users")
+    sql.execute("CREATE VIEW b1 AS SELECT id FROM a1")
+    # re-point a1 at b1 → cycle must fail loudly, not hang
+    sql.execute("CREATE OR REPLACE VIEW a1 AS SELECT id FROM b1")
+    with pytest.raises(SqlDialectError, match="cycle"):
+        sql.execute("SELECT * FROM a1")
+
+
+def test_view_visible_to_dml_sources(sql, spark):
+    """Views work as MERGE/INSERT sources — the statement surface composes."""
+    _mk_users(sql)
+    sql.execute("CREATE VIEW boost AS SELECT id, score * 10 AS score, "
+                "'x' AS name FROM users WHERE id <= 2")
+    sql.execute(
+        "MERGE INTO users t USING (SELECT * FROM boost) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.score = s.score"
+    )
+    got = {r.id: r.score for r in sql.execute("SELECT id, score FROM users").collect()}
+    assert got == {1: 15.0, 2: 25.0, 3: 3.5}
