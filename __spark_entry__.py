@@ -4191,6 +4191,66 @@ FROM clicks GROUP BY user_id % 5 ORDER BY bucket
 """
 
 
+def _icepack_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE + DESCRIBE STATS (new late-r5, sql.py — Delta's
+    `ANALYZE TABLE ... COMPUTE STATISTICS` parity): exact-NDV column stats
+    over the events LWW snapshot, computed in ONE aggregation job over the
+    resolved scan, persisted as versioned metadata beside the commit chain
+    (re-ANALYZE must NOT create table history — the history count is folded
+    into the hash), then read back through DESCRIBE STATS. Restricted to
+    BIGINT/STRING columns so min/max string renderings are engine-neutral;
+    the oracle recomputes every statistic as plain DuckDB aggregates."""
+    from datastream_deltalake_connector_spark.sql import IcepackSQL
+    from datastream_deltalake_connector_spark.table.catalog import Catalog
+
+    base, _b1 = _icepack_base_and_batch(spark, sf_dir)
+    q = IcepackSQL(spark, Catalog(spark, tempfile.mkdtemp(prefix="icepack-ana-")))
+    q.execute(
+        "CREATE TABLE eva (user_id BIGINT, event_type STRING, "
+        "value DOUBLE, ts TIMESTAMP, seq BIGINT)"
+    )
+    base.select(
+        "user_id", "event_type", "value",
+        F.col(TS_META).alias("ts"), F.col(SEQ_META).alias("seq"),
+    ).createOrReplaceTempView("base_eva")
+    q.execute("INSERT INTO eva SELECT user_id, event_type, value, ts, seq FROM base_eva")
+    hist_before = q.execute("DESCRIBE HISTORY eva").count()
+    q.execute(
+        "ANALYZE TABLE eva COMPUTE STATISTICS FOR COLUMNS "
+        "user_id, event_type, seq WITH EXACT NDV"
+    )
+    ok = q.execute("DESCRIBE HISTORY eva").count() == hist_before
+    return q.execute("DESCRIBE STATS eva").withColumn(
+        "op", F.lit("stats" if ok else "broken")
+    )
+
+
+_ICEPACK_ANALYZE_STATS_ORACLE = f"""
+{_ICEPACK_CTES},
+eva AS (SELECT * FROM t0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS row_count FROM eva)
+SELECT s.column, s.ndv, s.null_count, s.min, s.max,
+       true AS exact_ndv, CAST(1 AS BIGINT) AS stats_version,
+       tot.row_count, 'stats' AS op
+FROM (
+  SELECT 'user_id' AS column, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv,
+         CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS null_count,
+         CAST(min(user_id) AS VARCHAR) AS min, CAST(max(user_id) AS VARCHAR) AS max
+  FROM eva
+  UNION ALL
+  SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT),
+         CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+         CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+  FROM eva
+  UNION ALL
+  SELECT 'seq', CAST(count(DISTINCT seq) AS BIGINT),
+         CAST(count(*) FILTER (seq IS NULL) AS BIGINT),
+         CAST(min(seq) AS VARCHAR), CAST(max(seq) AS VARCHAR)
+  FROM eva
+) s CROSS JOIN tot
+"""
+
+
 def _icepack_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General-purpose ``MERGE INTO`` parsed from SQL text (new r5,
     operators/generic_merge.py + sql.py — the ad-hoc ordered-clause MERGE
@@ -4390,10 +4450,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           the new real-codec queries audio_g711_ingest (G.711 µ-law/A-law
           WAV) and image_bmp_tiff_ingest (BMP + baseline-TIFF through the
           shared dispatch) and icepack_sql_views (CREATE/DROP VIEW + SHOW
-          VIEWS) took the slots of customers_semi_urgent, cube_revenue
-          and promo_revenue_share (each green r4; the semi-join /
-          grouping-sets / revenue-agg families stay pinned in-window by
-          orders_anti_recent and rollup_revenue).
+          VIEWS) and icepack_analyze_stats (ANALYZE TABLE column stats)
+          took the slots of customers_semi_urgent, cube_revenue,
+          promo_revenue_share and events_user_churn (each green r4; the
+          semi-join / grouping-sets / revenue-agg / retention families
+          stay pinned in-window by orders_anti_recent, rollup_revenue and
+          events_gap_stats).
     """
     return {
         # --- newly oracled this round (r5): need their first driver rows ---
@@ -4411,6 +4473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL views (new late-r5, needs its first driver row); its slot
         # pushed promo_revenue_share (green r4) past position 50
         "icepack_sql_views": _icepack_sql_views,
+        # ANALYZE TABLE stats (new late-r5, needs its first driver row);
+        # its slot pushed events_user_churn (green r4) past position 50
+        "icepack_analyze_stats": _icepack_analyze_stats,
         # positional deletes (Iceberg-v2 MoR DML, operators/rowops.py); the
         # two slots they take pushed neardup_clusters_docs and
         # cdc_lww_composite_key (both green r4) out of the 50-row window
@@ -4435,7 +4500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": _rollup_revenue,
         "daily_distinct_users": _daily_distinct_users,
         "value_percentiles": _value_percentiles,
-        "events_user_churn": _user_churn,
         "events_gap_stats": _event_gaps,
         "levenshtein_pairs_docs": _levenshtein_pairs_docs,
         "avro_cdc_ingest": _avro_cdc_ingest,
@@ -4479,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_urgent": _customers_semi_urgent,
         "cube_revenue": _cube_revenue,
         "promo_revenue_share": _promo_revenue,
+        "events_user_churn": _user_churn,
         "ann_cosine_topk": _ann_cosine_topk,
         "events_windowed_agg": _windowed_agg,
         "jaccard_pairs_docs": _jaccard_pairs_docs,
@@ -4550,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "icepack_update_where_mor": _ICEPACK_UPDATE_WHERE_MOR_ORACLE,
         "icepack_sql_pipeline": _ICEPACK_SQL_PIPELINE_ORACLE,
         "icepack_sql_views": _ICEPACK_SQL_VIEWS_ORACLE,
+        "icepack_analyze_stats": _ICEPACK_ANALYZE_STATS_ORACLE,
         "icepack_sql_merge": _ICEPACK_SQL_MERGE_ORACLE,
         "icepack_copy_into": _ICEPACK_COPY_INTO_ORACLE,
         "icepack_wap_publish": _ICEPACK_WAP_ORACLE,

@@ -344,6 +344,10 @@ class IcepackSQL:
             return self._history(s)
         if two == "DESCRIBE DETAIL":
             return self._detail(s)
+        if two == "DESCRIBE STATS":
+            return self._describe_stats(s)
+        if two == "ANALYZE TABLE":
+            return self._analyze(s)
         if two == "RESTORE TABLE":
             return self._restore(s)
         if two == "PUBLISH TABLE":
@@ -373,7 +377,8 @@ class IcepackSQL:
             "CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW VIEWS, "
             "INSERT INTO/OVERWRITE, DELETE FROM, UPDATE, "
             "MERGE [WITH SCHEMA EVOLUTION] INTO, COPY INTO, OPTIMIZE, "
-            "VACUUM, DESCRIBE HISTORY/DETAIL, RESTORE TABLE, "
+            "VACUUM, ANALYZE TABLE / DESCRIBE STATS, "
+            "DESCRIBE HISTORY/DETAIL, RESTORE TABLE, "
             "PUBLISH TABLE, ALTER TABLE (ADD COLUMNS / ADD|DROP CONSTRAINT "
             "/ CREATE|DROP BRANCH|TAG), SHOW TABLES, SHOW CREATE TABLE"
         )
@@ -1047,6 +1052,109 @@ class IcepackSQL:
             numRows=t.count_rows(),
             partitionColumns=",".join(t.partition_spec()),
             numDeleteFiles=len(t.files()) - len(data),
+        )
+
+    _NDV_TYPES = ("binary", "array", "map", "struct")
+
+    def _analyze(self, s: str) -> DataFrame:
+        """``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+        COLUMNS] [WITH EXACT NDV]`` — ONE aggregation job over the resolved
+        scan: row count plus per-column ndv / null_count / min / max,
+        persisted beside the snapshots and stamped with the head version.
+        NDV uses the JVM HyperLogLog++ (``approx_count_distinct``) by
+        default — the only sane choice at 10^12 rows — or exact
+        ``count(DISTINCT)`` under WITH EXACT NDV for small tables and
+        oracle checks. Nested/binary columns get null/ndv only (no
+        min/max ordering)."""
+        m = re.fullmatch(
+            rf"ANALYZE\s+TABLE\s+({_TREF})\s+COMPUTE\s+STATISTICS"
+            rf"(?:\s+FOR\s+COLUMNS\s+([A-Za-z0-9_,\s]+?)|\s+FOR\s+ALL\s+COLUMNS)?"
+            rf"(\s+WITH\s+EXACT\s+NDV)?\s*",
+            s, re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDialectError(
+                "cannot parse — form: ANALYZE TABLE t COMPUTE STATISTICS "
+                f"[FOR COLUMNS a, b | FOR ALL COLUMNS] [WITH EXACT NDV]: {s[:80]!r}"
+            )
+        t = self._table(m.group(1))
+        snap = t.snapshot()
+        schema = snap.schema
+        if m.group(2):
+            want = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            known = {f.name for f in schema.fields}
+            bad = [c for c in want if c not in known]
+            if bad:
+                raise SqlDialectError(f"unknown columns in ANALYZE: {bad}")
+        else:
+            want = [f.name for f in schema.fields]
+        exact = bool(m.group(3))
+        df = t.scan()
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        by_type = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for c in want:
+            ndv = (
+                F.countDistinct(F.col(c)) if exact
+                else F.approx_count_distinct(F.col(c))
+            )
+            aggs.append(ndv.alias(f"__ndv__{c}"))
+            aggs.append(
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls__{c}")
+            )
+            if not by_type[c].startswith(self._NDV_TYPES):
+                aggs.append(F.min(F.col(c)).cast("string").alias(f"__min__{c}"))
+                aggs.append(F.max(F.col(c)).cast("string").alias(f"__max__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        cols = {}
+        for c in want:
+            cols[c] = {
+                "ndv": int(row[f"__ndv__{c}"]),
+                "null_count": int(row[f"__nulls__{c}"]),
+                "min": row.get(f"__min__{c}"),
+                "max": row.get(f"__max__{c}"),
+                "exact_ndv": exact,
+            }
+        t.set_table_stats(
+            {"version": snap.version, "row_count": int(row["__n"]), "columns": cols}
+        )
+        return self._report(
+            status="analyzed", table=m.group(1), version=snap.version,
+            row_count=int(row["__n"]), columns_analyzed=len(want),
+            exact_ndv=exact,
+        )
+
+    def _describe_stats(self, s: str) -> DataFrame:
+        """One row per analyzed column from the stored stats file — stale
+        stats are visible via the recorded version vs the current head."""
+        m = re.fullmatch(
+            rf"DESCRIBE\s+STATS\s+({_TREF})\s*", s, re.IGNORECASE
+        )
+        if not m:
+            raise SqlDialectError(f"cannot parse DESCRIBE STATS: {s[:80]!r}")
+        t = self._table(m.group(1))
+        stats = t.table_stats()
+        if stats is None:
+            raise SqlDialectError(
+                f"no statistics for {m.group(1)!r} — run ANALYZE TABLE first"
+            )
+        rows = [
+            (
+                c,
+                int(v["ndv"]),
+                int(v["null_count"]),
+                v.get("min"),
+                v.get("max"),
+                bool(v.get("exact_ndv")),
+                int(stats["version"]),
+                int(stats["row_count"]),
+            )
+            for c, v in sorted(stats["columns"].items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column STRING, ndv BIGINT, null_count BIGINT, min STRING, "
+            "max STRING, exact_ndv BOOLEAN, stats_version BIGINT, "
+            "row_count BIGINT",
         )
 
     def _truncate(self, s: str) -> DataFrame:

@@ -1726,6 +1726,27 @@ class IcepackTable:
             ),
         }
 
+    # ----------------------------------------------------------- table stats
+    # ANALYZE TABLE output (row count + per-column ndv/nulls/min/max) lives
+    # in ONE JSON file beside the snapshots, stamped with the version it was
+    # computed at — optimizer-style metadata, not part of the commit chain
+    # (recomputing stats must not create table history, matching Delta).
+    def _stats_path(self) -> str:
+        return os.path.join(self.root, "metadata", "stats.json")
+
+    def set_table_stats(self, stats: dict) -> None:
+        tmp = self._stats_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, self._stats_path())
+
+    def table_stats(self) -> dict | None:
+        try:
+            with open(self._stats_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
     # ------------------------------------------------------- common actions
     def set_partition_spec(self, partition_by: list[str] | None) -> int:
         """Partition-spec EVOLUTION (Iceberg ``update_spec`` parity):

@@ -1012,3 +1012,32 @@ def test_view_visible_to_dml_sources(sql, spark):
     )
     got = {r.id: r.score for r in sql.execute("SELECT id, score FROM users").collect()}
     assert got == {1: 15.0, 2: 25.0, 3: 3.5}
+
+
+# ------------------------------------------------------------ ANALYZE TABLE
+def test_analyze_table_stats_exact_and_approx(sql):
+    _mk_users(sql)
+    rep = sql.execute(
+        "ANALYZE TABLE users COMPUTE STATISTICS FOR ALL COLUMNS WITH EXACT NDV"
+    ).collect()[0]
+    assert (rep.status, rep.row_count, rep.columns_analyzed) == ("analyzed", 3, 3)
+    stats = {r.column: r for r in sql.execute("DESCRIBE STATS users").collect()}
+    assert stats["id"].ndv == 3 and stats["id"].null_count == 0
+    assert (stats["id"].min, stats["id"].max) == ("1", "3")
+    assert stats["name"].ndv == 3 and stats["score"].max == "3.5"
+    assert stats["id"].exact_ndv and stats["id"].row_count == 3
+    # approx path runs the HLL sketch and records exact_ndv=false
+    sql.execute("ANALYZE TABLE users COMPUTE STATISTICS FOR COLUMNS id")
+    stats = {r.column: r for r in sql.execute("DESCRIBE STATS users").collect()}
+    assert set(stats) == {"id"} and not stats["id"].exact_ndv
+    assert stats["id"].ndv >= 2  # HLL estimate, small-n is near-exact
+    # stats are versioned metadata, NOT commits: history length unchanged
+    assert sql.execute("DESCRIBE HISTORY users").count() == 2  # create+insert
+    # stale-visibility: stats_version lags after new writes until re-ANALYZE
+    sql.execute("INSERT INTO users VALUES (9, 'zed', 0.5)")
+    r = sql.execute("DESCRIBE STATS users").collect()[0]
+    assert r.stats_version < sql.catalog.load_table("users").head_version()
+    with pytest.raises(SqlDialectError):
+        sql.execute("ANALYZE TABLE users COMPUTE STATISTICS FOR COLUMNS nope")
+    with pytest.raises(SqlDialectError):
+        sql.execute("DESCRIBE STATS ghost")
