@@ -52,7 +52,7 @@ Dialect (case-insensitive keywords; single-quoted strings; ``--`` comments):
     DESCRIBE DETAIL t                 one-row manifest summary (files/bytes/
                                       rows/partitioning/version)
     RESTORE TABLE t TO VERSION AS OF n
-    ALTER TABLE t ADD COLUMNS (col TYPE, ...)
+    ALTER TABLE t ADD COLUMNS (col TYPE, ...) | DROP COLUMN col
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name
     ALTER TABLE t CREATE|DROP BRANCH|TAG name [AT VERSION n]
     TRUNCATE TABLE t                  metadata-only, history intact
@@ -668,13 +668,36 @@ class IcepackSQL:
             return self._report(
                 status=f"{kind}-dropped", table=mb.group(1), ref=ref
             )
+        mdc = re.fullmatch(
+            rf"ALTER\s+TABLE\s+({_TREF})\s+DROP\s+COLUMN\s+({_IDENT})\s*",
+            s, re.IGNORECASE,
+        )
+        if mdc:
+            t = self._table(mdc.group(1))
+            try:
+                v = t.drop_column(mdc.group(2))
+            except (KeyError, ValueError) as exc:
+                raise SqlDialectError(str(exc)) from exc
+            return self._report(
+                status="column-dropped", table=mdc.group(1),
+                column=mdc.group(2), version=v,
+            )
+        if re.match(
+            rf"ALTER\s+TABLE\s+{_TREF}\s+RENAME\s+COLUMN\b", s, re.IGNORECASE
+        ):
+            raise SqlDialectError(
+                "RENAME COLUMN needs physical-name column mapping, which "
+                "this format does not implement — copy into a new column "
+                "and DROP COLUMN the old one instead"
+            )
         m = re.fullmatch(
             rf"ALTER\s+TABLE\s+({_TREF})\s+ADD\s+COLUMNS?\s*\((.*)\)\s*",
             s, re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise SqlDialectError(
-                "only ALTER TABLE t ADD COLUMNS (...) / ADD|DROP CONSTRAINT "
+                "only ALTER TABLE t ADD COLUMNS (...) / DROP COLUMN "
+                "/ ADD|DROP CONSTRAINT "
                 f"/ CREATE|DROP BRANCH|TAG is supported: {s[:80]!r}"
             )
         t = self._table(m.group(1))

@@ -47,6 +47,7 @@ import datetime as _dt
 import functools as _functools
 import json
 import os
+import re
 import time
 import uuid
 
@@ -2005,6 +2006,52 @@ class IcepackTable:
             entries_override=cloned,
         )
         return t
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN (Iceberg drop-column parity; Delta
+        needs column mapping for this — here explicit read schemas already
+        make extra file columns invisible, so no byte is rewritten and time
+        travel before the drop still sees the column). Columns that other
+        table machinery depends on are refused loudly: partition-transform
+        sources, CHECK-constraint references, configured stats/bloom
+        columns, and the engine's merge-metadata columns."""
+        current = self.schema()
+        if name not in {f.name for f in current.fields}:
+            raise KeyError(f"no such column: {name!r}")
+        if len(current.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        if name.startswith("datastream_metadata_"):
+            raise ValueError(f"{name!r} is an engine merge-metadata column")
+        word = re.compile(rf"\b{re.escape(name)}\b")
+        for spec in self.partition_spec():
+            if word.search(spec):
+                raise ValueError(
+                    f"column {name!r} drives partition transform {spec!r} — "
+                    "change the partition spec first"
+                )
+        for cname, expr in self.check_constraints().items():
+            if word.search(expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} — drop the constraint first"
+                )
+        summary_patch = {}
+        for key in ("stats_cols", "bloom_cols"):
+            cols = self.snapshot().summary.get(key) or []
+            if name in cols:
+                if key == "bloom_cols":
+                    raise ValueError(
+                        f"column {name!r} carries the table's Bloom index — "
+                        "recreate without bloom_cols first"
+                    )
+                summary_patch[key] = [c for c in cols if c != name]
+        new_schema = T.StructType(
+            [f for f in current.fields if f.name != name]
+        )
+        return self.commit(
+            "evolve-schema", schema=new_schema,
+            summary={"dropped_column": name, **summary_patch},
+        )
 
     def evolve_schema(
         self, batch_schema: T.StructType, strategy: str = "merge"

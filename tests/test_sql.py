@@ -1041,3 +1041,45 @@ def test_analyze_table_stats_exact_and_approx(sql):
         sql.execute("ANALYZE TABLE users COMPUTE STATISTICS FOR COLUMNS nope")
     with pytest.raises(SqlDialectError):
         sql.execute("DESCRIBE STATS ghost")
+
+
+# -------------------------------------------------------------- DROP COLUMN
+def test_drop_column_metadata_only_and_guards(sql, spark):
+    t = _mk_users(sql)
+    files_before = {e.path for e in t.files()}
+    rep = sql.execute("ALTER TABLE users DROP COLUMN name").collect()[0]
+    assert rep.status == "column-dropped"
+    # zero rewrite: the data files are byte-identical
+    assert {e.path for e in t.files()} == files_before
+    t = sql.catalog.load_table("users")
+    assert [f.name for f in t.snapshot().schema.fields] == ["id", "score"]
+    rows = {(r.id, r.score) for r in sql.execute("SELECT * FROM users").collect()}
+    assert rows == {(1, 1.5), (2, 2.5), (3, 3.5)}
+    # time travel BEFORE the drop still sees the column
+    r = sql.execute("SELECT name FROM users VERSION AS OF 1 ORDER BY name")
+    assert [x.name for x in r.collect()] == ["ann", "bob", "cat"]
+    # appends after the drop align to the narrowed schema
+    sql.execute("INSERT INTO users VALUES (4, 9.0)")
+    assert sql.execute("SELECT count(*) AS n FROM users").collect()[0].n == 4
+    # guards: unknown column, constraint refs, partition sources, last column
+    with pytest.raises(SqlDialectError):
+        sql.execute("ALTER TABLE users DROP COLUMN ghost")
+    sql.execute("ALTER TABLE users ADD CONSTRAINT pos CHECK (score >= 0)")
+    with pytest.raises(SqlDialectError, match="constraint"):
+        sql.execute("ALTER TABLE users DROP COLUMN score")
+    sql.execute("ALTER TABLE users DROP CONSTRAINT pos")
+    sql.execute("ALTER TABLE users DROP COLUMN score")
+    with pytest.raises(SqlDialectError, match="only column"):
+        sql.execute("ALTER TABLE users DROP COLUMN id")
+    with pytest.raises(SqlDialectError, match="RENAME COLUMN"):
+        sql.execute("ALTER TABLE users RENAME COLUMN id TO uid")
+
+
+def test_drop_column_partition_source_refused(sql):
+    sql.execute(
+        "CREATE TABLE pev (ts TIMESTAMP, uid BIGINT, v DOUBLE) "
+        "PARTITIONED BY (day(ts))"
+    )
+    with pytest.raises(SqlDialectError, match="partition"):
+        sql.execute("ALTER TABLE pev DROP COLUMN ts")
+    sql.execute("ALTER TABLE pev DROP COLUMN v")  # non-source drops fine
