@@ -2793,23 +2793,27 @@ FROM range(48) t(i)
 
 
 def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BMP + TIFF ingestion (new late-r5), oracled: deterministic
-    fixtures (pixel [y,x,c] = (i*11 + y*5 + x*3 + 7c) % 250, w = 9+i%4,
-    h = 7+i%3) are containerized executor-side cycling i%5 over 24-bit BMP,
-    8-bit palettized BMP (gray rule, so the decoded RGB stack is closed-form
-    too), uncompressed TIFF, PackBits TIFF, and LZW+predictor TIFF
-    (alternating II/MM byte order), then decoded through the shared
-    ``decode_image_np`` magic-sniff dispatch — the same entry real corpus
-    bytes hit. The oracle re-derives (w, h, px_sum) from the rule with a
-    three-range cross join, so a palette, padding, strip, predictor, or
-    LZW-width bug in either codec cannot hide. Spec-fixture parity both
-    directions is pinned in tests/test_bmp_tiff.py. Map-only plan."""
+    """REAL BMP + TIFF + Netpbm ingestion (new late-r5), oracled:
+    deterministic fixtures (pixel [y,x,c] = (i*11 + y*5 + x*3 + 7c) % 250,
+    w = 9+i%4, h = 7+i%3) are containerized executor-side cycling i%7 over
+    24-bit BMP, 8-bit palettized BMP (gray rule, so the decoded RGB stack
+    is closed-form too), uncompressed TIFF, PackBits TIFF, LZW+predictor
+    TIFF (alternating II/MM byte order), raw PPM (P6), and ASCII PGM (P2,
+    gray rule), then decoded through the shared ``decode_image_np``
+    magic-sniff dispatch — the same entry real corpus bytes hit. The
+    oracle re-derives (w, h, px_sum) from the rule with a three-range
+    cross join, so a palette, padding, strip, predictor, LZW-width, or
+    header-tokenizer bug in any codec cannot hide. Spec-fixture parity
+    both directions is pinned in tests/test_bmp_tiff.py. Map-only plan."""
     import numpy as np
     import pandas as pd
 
     from datastream_deltalake_connector_spark.functions.bmp import encode_bmp_np
     from datastream_deltalake_connector_spark.functions.image import (
         decode_image_np,
+    )
+    from datastream_deltalake_connector_spark.functions.netpbm import (
+        encode_netpbm_np,
     )
     from datastream_deltalake_connector_spark.functions.tiff import encode_tiff_np
 
@@ -2823,23 +2827,29 @@ def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 px = ((i * 11 + y * 5 + x * 3 + 7 * c) % 250).astype(np.uint8)
-                variant = i % 5
-                bo = "MM" if (i // 5) % 2 else "II"
+                gray = (
+                    (i * 11 + y[:, :, 0] * 5 + x[:, :, 0] * 3) % 250
+                ).astype(np.uint8)
+                variant = i % 7
+                bo = "MM" if (i // 7) % 2 else "II"
                 if variant == 0:
                     data = encode_bmp_np(px)
                 elif variant == 1:  # palettized gray BMP
-                    gray = ((i * 11 + y[:, :, 0] * 5 + x[:, :, 0] * 3) % 250)
-                    data = encode_bmp_np(gray.astype(np.uint8), palettized=True)
+                    data = encode_bmp_np(gray, palettized=True)
                 elif variant == 2:
                     data = encode_tiff_np(px, compression=1, byte_order=bo)
                 elif variant == 3:
                     data = encode_tiff_np(
                         px, compression=32773, byte_order=bo, rows_per_strip=3
                     )
-                else:
+                elif variant == 4:
                     data = encode_tiff_np(
                         px, compression=5, byte_order=bo, predictor=2
                     )
+                elif variant == 5:  # raw PPM
+                    data = encode_netpbm_np(px)
+                else:  # ASCII PGM over the gray rule
+                    data = encode_netpbm_np(gray, ascii_mode=True)
                 dec = decode_image_np(data)  # magic-sniff dispatch
                 rows.append(
                     (
@@ -2863,7 +2873,7 @@ WITH imgs AS (
 SELECT 'img-' || lpad(CAST(g.i AS VARCHAR), 4, '0') AS image_id,
        CAST(g.w AS INT) AS w,
        CAST(g.h AS INT) AS h,
-       CAST(SUM(CASE WHEN g.i % 5 = 1
+       CAST(SUM(CASE WHEN g.i % 7 IN (1, 6)
                      THEN (g.i * 11 + y.y * 5 + x.x * 3) % 250
                      ELSE (g.i * 11 + y.y * 5 + x.x * 3 + 7 * c.c) % 250
                 END) AS BIGINT) AS px_sum

@@ -321,6 +321,10 @@ def decode_image_np(data: bytes) -> np.ndarray:
         from .bmp import decode_bmp_np
 
         return decode_bmp_np(data)
+    if data[:1] == b"P" and data[1:2] in b"2356":  # real-world Netpbm
+        from .netpbm import decode_netpbm_np
+
+        return decode_netpbm_np(data)
     if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (
         b"\x2a\x00",
         b"\x00\x2a",
@@ -457,6 +461,12 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
             from .bmp import bmp_info
 
             info = bmp_info(b)
+            rows.append((info["width"], info["height"], 3, 0))
+            continue
+        if b[:1] == b"P" and b[1:2] in b"2356":
+            from .netpbm import netpbm_info
+
+            info = netpbm_info(b)
             rows.append((info["width"], info["height"], 3, 0))
             continue
         if b[:2] in (b"II", b"MM") and b[2:4] in (b"\x2a\x00", b"\x00\x2a"):

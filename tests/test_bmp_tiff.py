@@ -308,3 +308,39 @@ def test_bmp_tiff_dims_probe(spark):
     out = df.select(decode_dims_udf("bytes").alias("d")).select("d.*").collect()
     for r in out:
         assert (r.w, r.h, r.channels, r.lossy) == (9, 7, 3, 0)
+
+
+# ---------------------------------------------------------------- Netpbm
+def test_netpbm_roundtrip_and_spec_bytes():
+    from datastream_deltalake_connector_spark.functions.netpbm import (
+        decode_netpbm_np,
+        encode_netpbm_np,
+        netpbm_info,
+    )
+
+    rgb = RNG.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    gray = RNG.integers(0, 256, (7, 11), dtype=np.uint8)
+    for ascii_mode in (False, True):
+        d = encode_netpbm_np(rgb, ascii_mode=ascii_mode)
+        assert np.array_equal(decode_netpbm_np(d), rgb)
+        d2 = encode_netpbm_np(gray, ascii_mode=ascii_mode)
+        assert np.array_equal(decode_netpbm_np(d2), np.dstack([gray] * 3))
+    # hand-built spec bytes: comments anywhere in the header, non-255
+    # maxval scaling, 16-bit big-endian raw samples
+    out = decode_netpbm_np(b"P2 # c\n#another\n 3 1 \n# x\n15\n0 7 15\n")
+    assert list(out[0, :, 0]) == [0, 119, 255]
+    v = np.array([[0, 32768, 65535]], dtype=">u2")
+    out = decode_netpbm_np(b"P5\n3 1\n65535\n" + v.tobytes())
+    assert list(out[0, :, 0]) == [0, 128, 255]
+    # the single header-terminating whitespace rule: a first raw sample
+    # that happens to BE a whitespace byte must survive
+    assert decode_netpbm_np(b"P5\n1 1\n255\n" + bytes([0x0A]))[0, 0, 0] == 0x0A
+    assert netpbm_info(encode_netpbm_np(rgb))["raw"] is True
+    with pytest.raises(NotImplementedError):
+        decode_netpbm_np(b"P4\n1 1\n\x80")
+    with pytest.raises(ValueError):
+        decode_netpbm_np(b"Px")
+    with pytest.raises(ValueError):  # ASCII sample above maxval
+        decode_netpbm_np(b"P2\n1 1\n10\n11\n")
+    # dims probe + shared dispatch
+    assert np.array_equal(decode_image_np(encode_netpbm_np(rgb)), rgb)
