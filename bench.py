@@ -373,6 +373,9 @@ def real_codec_bench(spark, n_images: int = 1024, px: int = 192) -> dict:
         def run(batches):
             import numpy as np
 
+            from datastream_deltalake_connector_spark.functions.bmp import (
+                encode_bmp_np,
+            )
             from datastream_deltalake_connector_spark.functions.gif import (
                 encode_gif_np,
             )
@@ -381,6 +384,12 @@ def real_codec_bench(spark, n_images: int = 1024, px: int = 192) -> dict:
             )
             from datastream_deltalake_connector_spark.functions.jpeg import (
                 encode_jpeg_np,
+            )
+            from datastream_deltalake_connector_spark.functions.netpbm import (
+                encode_netpbm_np,
+            )
+            from datastream_deltalake_connector_spark.functions.tiff import (
+                encode_tiff_np,
             )
 
             for b in batches:
@@ -402,6 +411,12 @@ def real_codec_bench(spark, n_images: int = 1024, px: int = 192) -> dict:
                         data = encode_jpeg_np(
                             img, quality=85, subsample=True, progressive=True
                         )
+                    elif codec == "bmp":
+                        data = encode_bmp_np(img)
+                    elif codec == "tiff_lzw":
+                        data = encode_tiff_np(img, compression=5, predictor=2)
+                    elif codec == "ppm":
+                        data = encode_netpbm_np(img)
                     else:  # gif (exact palette: quantize to 6 levels/channel)
                         data = encode_gif_np(img // 43 * 43)
                     rows.append((f"i{int(i)}", data))
@@ -424,7 +439,9 @@ def real_codec_bench(spark, n_images: int = 1024, px: int = 192) -> dict:
         return df.mapInPandas(run, "s long")
 
     out = {}
-    for codec in ("png", "jpeg", "jpeg_progressive", "gif"):
+    for codec in (
+        "png", "jpeg", "jpeg_progressive", "gif", "bmp", "tiff_lzw", "ppm"
+    ):
         df = (
             spark.range(n_images, numPartitions=spark.sparkContext.defaultParallelism)
             .mapInPandas(gen(codec), "image_id string, bytes binary")
