@@ -62,18 +62,19 @@ def netpbm_info(data: bytes) -> dict:
     if magic not in _MAGICS:
         raise ValueError("not a Netpbm stream")
     kind, raw = _MAGICS[magic]
-    (w, h, maxval), _ = _header_tokens(data, 3)
+    (w, h, maxval), pos = _header_tokens(data, 3)
     return {"width": w, "height": h, "maxval": maxval,
-            "channels": 3 if kind == "rgb" else 1, "raw": raw}
+            "channels": 3 if kind == "rgb" else 1, "raw": raw,
+            "sample_offset": pos}
 
 
 def decode_netpbm_np(data: bytes) -> np.ndarray:
-    info = netpbm_info(data)
+    info = netpbm_info(data)  # one header pass; offset rides along
     w, h, maxval = info["width"], info["height"], info["maxval"]
     ch = info["channels"]
     if not (0 < maxval < 65536):
         raise ValueError(f"Netpbm maxval {maxval}")
-    _, pos = _header_tokens(data, 3)
+    pos = info["sample_offset"]
     n = w * h * ch
     if info["raw"]:
         if maxval > 255:  # 16-bit raw samples are big-endian

@@ -1100,6 +1100,11 @@ class IcepackSQL:
                 "cannot parse — form: ANALYZE TABLE t COMPUTE STATISTICS "
                 f"[FOR COLUMNS a, b | FOR ALL COLUMNS] [WITH EXACT NDV]: {s[:80]!r}"
             )
+        if "@" in m.group(1):
+            raise SqlDialectError(
+                "ANALYZE on a branch ref is not supported — statistics are "
+                "stored per table and would shadow the main table's"
+            )
         t = self._table(m.group(1))
         snap = t.snapshot()
         schema = snap.schema
@@ -1154,6 +1159,11 @@ class IcepackSQL:
         )
         if not m:
             raise SqlDialectError(f"cannot parse DESCRIBE STATS: {s[:80]!r}")
+        if "@" in m.group(1):
+            raise SqlDialectError(
+                "DESCRIBE STATS on a branch ref is not supported — "
+                "statistics are stored per table"
+            )
         t = self._table(m.group(1))
         stats = t.table_stats()
         if stats is None:

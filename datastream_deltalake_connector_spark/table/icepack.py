@@ -1471,6 +1471,26 @@ class IcepackTable:
                 prev = self.snapshot(parent)
                 old_entries = self.files(parent)
                 self._check_requirements(requirements, old_entries, parent)
+                if schema is not None and operation != "rollback":
+                    # a retired (dropped) column's physical values still
+                    # live in old files; re-introducing the NAME would
+                    # resurrect them at read time (columns resolve by name,
+                    # not field id). Rollback is exempt: it restores the
+                    # whole pre-drop state, marker included.
+                    retired = set(prev.summary.get("retired_columns") or [])
+                    prev_names = {f.name for f in prev.schema.fields}
+                    revived = [
+                        f.name
+                        for f in schema.fields
+                        if f.name in retired and f.name not in prev_names
+                    ]
+                    if revived:
+                        raise ValueError(
+                            f"column name(s) {revived} were dropped from this "
+                            "table; old data files still carry their values, "
+                            "so re-adding the name would resurrect deleted "
+                            "data — use a new column name"
+                        )
                 # Versions are allocated GLOBALLY (max existing + 1), not
                 # parent + 1: with branches, two lines committing from
                 # different parents must never collide on snap-N names.
@@ -1522,7 +1542,13 @@ class IcepackTable:
                         **{
                             k: v
                             for k, v in (prev.summary or {}).items()
-                            if k not in ("copy_ledger", "copy_source", "n_files_copied")
+                            # one-shot per-operation attribution keys must
+                            # not inherit (retired_columns DOES — it is the
+                            # standing guard, not attribution)
+                            if k not in (
+                                "copy_ledger", "copy_source",
+                                "n_files_copied", "dropped_column",
+                            )
                         },
                         **(summary or {}),
                         "added_files": len(added),
@@ -2015,29 +2041,36 @@ class IcepackTable:
         table machinery depends on are refused loudly: partition-transform
         sources, CHECK-constraint references, configured stats/bloom
         columns, and the engine's merge-metadata columns."""
-        current = self.schema()
+        from .transforms import parse_spec
+
+        snap = self.snapshot()
+        current = snap.schema
         if name not in {f.name for f in current.fields}:
             raise KeyError(f"no such column: {name!r}")
         if len(current.fields) == 1:
             raise ValueError("cannot drop the only column")
         if name.startswith("datastream_metadata_"):
             raise ValueError(f"{name!r} is an engine merge-metadata column")
-        word = re.compile(rf"\b{re.escape(name)}\b")
-        for spec in self.partition_spec():
-            if word.search(spec):
+        # exact transform-source comparison, not a text search (a column
+        # named like a transform keyword must not be falsely refused)
+        for t in parse_spec(self.partition_spec()):
+            if t.col == name:
                 raise ValueError(
-                    f"column {name!r} drives partition transform {spec!r} — "
+                    f"column {name!r} drives a partition transform — "
                     "change the partition spec first"
                 )
+        word = re.compile(rf"\b{re.escape(name)}\b")
         for cname, expr in self.check_constraints().items():
-            if word.search(expr):
+            # mask string literals so a constraint comparing against the
+            # literal text of the name does not block the drop
+            if word.search(re.sub(r"'[^']*'", " ", expr)):
                 raise ValueError(
                     f"column {name!r} is referenced by CHECK constraint "
                     f"{cname!r} — drop the constraint first"
                 )
         summary_patch = {}
         for key in ("stats_cols", "bloom_cols"):
-            cols = self.snapshot().summary.get(key) or []
+            cols = snap.summary.get(key) or []
             if name in cols:
                 if key == "bloom_cols":
                     raise ValueError(
@@ -2048,9 +2081,24 @@ class IcepackTable:
         new_schema = T.StructType(
             [f for f in current.fields if f.name != name]
         )
+        # retired_columns inherits forward (unlike the one-shot
+        # dropped_column attribution): old files still carry the physical
+        # column, so re-adding the NAME would resurrect deleted values —
+        # commit() refuses that for as long as the marker lives
+        retired = list(snap.summary.get("retired_columns") or [])
+        if name not in retired:
+            retired.append(name)
+        # expected_parent pins the schema read: a concurrent ADD COLUMNS
+        # must fail this commit (retry re-reads) rather than be silently
+        # erased by rebasing a stale precomputed schema
         return self.commit(
             "evolve-schema", schema=new_schema,
-            summary={"dropped_column": name, **summary_patch},
+            expected_parent=snap.version,
+            summary={
+                "dropped_column": name,
+                "retired_columns": retired,
+                **summary_patch,
+            },
         )
 
     def evolve_schema(

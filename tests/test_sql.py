@@ -1083,3 +1083,60 @@ def test_drop_column_partition_source_refused(sql):
     with pytest.raises(SqlDialectError, match="partition"):
         sql.execute("ALTER TABLE pev DROP COLUMN ts")
     sql.execute("ALTER TABLE pev DROP COLUMN v")  # non-source drops fine
+
+
+def test_drop_column_readd_refused_and_attribution_not_inherited(sql):
+    t = _mk_users(sql)
+    sql.execute("ALTER TABLE users DROP COLUMN name")
+    # re-adding the dropped NAME would resurrect old file values — refused
+    with pytest.raises(Exception, match="resurrect"):
+        sql.execute("ALTER TABLE users ADD COLUMNS (name STRING)")
+    # a FRESH name is fine
+    sql.execute("ALTER TABLE users ADD COLUMNS (display_name STRING)")
+    t = sql.catalog.load_table("users")
+    assert [f.name for f in t.snapshot().schema.fields] == [
+        "id", "score", "display_name"
+    ]
+    # one-shot attribution does not inherit; the standing guard does
+    sql.execute("INSERT INTO users VALUES (5, 6.5, 'eve')")
+    summ = t.snapshot().summary
+    assert "dropped_column" not in summ
+    assert summ.get("retired_columns") == ["name"]
+    # rollback to the pre-drop snapshot restores the column wholesale
+    sql.execute("RESTORE TABLE users TO VERSION AS OF 1")
+    t = sql.catalog.load_table("users")
+    assert "name" in [f.name for f in t.snapshot().schema.fields]
+    assert {r.name for r in t.scan().collect()} == {"ann", "bob", "cat"}
+
+
+def test_drop_column_guards_are_not_text_searches(sql):
+    # a column NAMED like a transform keyword must not be falsely refused
+    sql.execute(
+        "CREATE TABLE kw (day STRING, ts TIMESTAMP, v DOUBLE) "
+        "PARTITIONED BY (day(ts))"
+    )
+    sql.execute("ALTER TABLE kw DROP COLUMN day")
+    t = sql.catalog.load_table("kw")
+    assert [f.name for f in t.snapshot().schema.fields] == ["ts", "v"]
+    with pytest.raises(SqlDialectError, match="partition"):
+        sql.execute("ALTER TABLE kw DROP COLUMN ts")
+    # a constraint mentioning the name only inside a string literal
+    sql.execute("CREATE TABLE lit (status STRING, score DOUBLE)")
+    sql.execute("INSERT INTO lit VALUES ('ok', 1.0)")
+    sql.execute("ALTER TABLE lit ADD CONSTRAINT k CHECK (status != 'score')")
+    sql.execute("ALTER TABLE lit DROP COLUMN score")  # must not be blocked
+    assert [f.name for f in sql.catalog.load_table("lit").snapshot().schema.fields] == ["status"]
+
+
+def test_analyze_branch_ref_refused(sql):
+    t = _mk_users(sql)
+    t.create_branch("audit")
+    sql.execute("INSERT INTO users@audit VALUES (7, 'gus', 7.0)")
+    with pytest.raises(SqlDialectError, match="branch"):
+        sql.execute("ANALYZE TABLE users@audit COMPUTE STATISTICS")
+    with pytest.raises(SqlDialectError, match="branch"):
+        sql.execute("DESCRIBE STATS users@audit")
+    # main-table stats remain main-table-derived
+    sql.execute("ANALYZE TABLE users COMPUTE STATISTICS FOR COLUMNS id WITH EXACT NDV")
+    r = sql.execute("DESCRIBE STATS users").collect()[0]
+    assert r.row_count == 3 and r.ndv == 3
