@@ -168,6 +168,9 @@ def _lzw_decode_tiff(raw: bytes, expect: int) -> bytes:
             break
         code = (acc >> (bits - width)) & ((1 << width) - 1)
         bits -= width
+        # drop consumed high bits: without this the accumulator grows into
+        # a strip-sized bignum and every shift turns O(len) — quadratic
+        acc &= (1 << bits) - 1
         if code == CLEAR:
             table, width = fresh()
             prev = None
