@@ -325,6 +325,10 @@ def decode_image_np(data: bytes) -> np.ndarray:
         from .netpbm import decode_netpbm_np
 
         return decode_netpbm_np(data)
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):  # ICO/CUR
+        from .ico import decode_ico_np
+
+        return decode_ico_np(data)
     if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (
         b"\x2a\x00",
         b"\x00\x2a",
@@ -467,6 +471,12 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
             from .netpbm import netpbm_info
 
             info = netpbm_info(b)
+            rows.append((info["width"], info["height"], 3, 0))
+            continue
+        if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            from .ico import ico_info
+
+            info = ico_info(b)
             rows.append((info["width"], info["height"], 3, 0))
             continue
         if b[:2] in (b"II", b"MM") and b[2:4] in (b"\x2a\x00", b"\x00\x2a"):

@@ -344,3 +344,39 @@ def test_netpbm_roundtrip_and_spec_bytes():
         decode_netpbm_np(b"P2\n1 1\n10\n11\n")
     # dims probe + shared dispatch
     assert np.array_equal(decode_image_np(encode_netpbm_np(rgb)), rgb)
+
+
+# ------------------------------------------------------------------- ICO
+def test_ico_png_entry_dib_entry_and_mask():
+    from datastream_deltalake_connector_spark.functions.ico import (
+        decode_ico_np,
+        encode_ico_np,
+        ico_info,
+    )
+
+    px = RNG.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    d = encode_ico_np(px)
+    assert ico_info(d) == {"n_images": 1, "width": 32, "height": 32}
+    assert np.array_equal(decode_ico_np(d), px)
+    assert np.array_equal(decode_image_np(d), px)  # shared dispatch
+    # hand-built classic DIB entry: doubled height, bottom-up BGR XOR rows,
+    # then a 1-bit AND mask marking the top-left pixel transparent
+    h, w = 2, 4
+    xpx = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    xor_rows = np.zeros((h, ((w * 24 + 31) // 32) * 4), np.uint8)
+    xor_rows[:, : w * 3] = xpx[::-1][:, :, ::-1].reshape(h, w * 3)
+    and_rows = np.zeros((h, 4), np.uint8)
+    and_rows[h - 1, 0] = 0b10000000
+    dib = struct.pack("<IiihHIIiiII", 40, w, h * 2, 1, 24, 0, 0, 0, 0, 0, 0)
+    blob = dib + xor_rows.tobytes() + and_rows.tobytes()
+    entry = struct.pack("<BBBBHHII", w, h, 0, 0, 1, 24, len(blob), 22)
+    d2 = struct.pack("<HHH", 0, 1, 1) + entry + blob
+    out = decode_ico_np(d2)
+    assert out.shape == (h, w, 4)
+    assert np.array_equal(out[:, :, :3], xpx)
+    assert (out[0, 0, 3], out[0, 1, 3], out[1, 0, 3]) == (0, 255, 255)
+    # 256 encodes as the 0 size byte; garbage is refused
+    big = RNG.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    assert ico_info(encode_ico_np(big))["width"] == 256
+    with pytest.raises(ValueError):
+        decode_ico_np(b"\x00\x00\x03\x00xxxx")
