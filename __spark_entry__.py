@@ -2798,8 +2798,9 @@ def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = 9+i%4, h = 7+i%3) are containerized executor-side cycling i%7 over
     24-bit BMP, 8-bit palettized BMP (gray rule, so the decoded RGB stack
     is closed-form too), uncompressed TIFF, PackBits TIFF, LZW+predictor
-    TIFF (alternating II/MM byte order), raw PPM (P6), and ASCII PGM (P2,
-    gray rule), then decoded through the shared ``decode_image_np``
+    TIFF (alternating II/MM byte order), raw PPM (P6), ASCII PGM (P2,
+    gray rule), and PNG-entry ICO, then decoded through the shared
+    ``decode_image_np``
     magic-sniff dispatch — the same entry real corpus bytes hit. The
     oracle re-derives (w, h, px_sum) from the rule with a three-range
     cross join, so a palette, padding, strip, predictor, LZW-width, or
@@ -2809,6 +2810,7 @@ def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from datastream_deltalake_connector_spark.functions.bmp import encode_bmp_np
+    from datastream_deltalake_connector_spark.functions.ico import encode_ico_np
     from datastream_deltalake_connector_spark.functions.image import (
         decode_image_np,
     )
@@ -2830,8 +2832,8 @@ def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gray = (
                     (i * 11 + y[:, :, 0] * 5 + x[:, :, 0] * 3) % 250
                 ).astype(np.uint8)
-                variant = i % 7
-                bo = "MM" if (i // 7) % 2 else "II"
+                variant = i % 8
+                bo = "MM" if (i // 8) % 2 else "II"
                 if variant == 0:
                     data = encode_bmp_np(px)
                 elif variant == 1:  # palettized gray BMP
@@ -2848,8 +2850,10 @@ def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif variant == 5:  # raw PPM
                     data = encode_netpbm_np(px)
-                else:  # ASCII PGM over the gray rule
+                elif variant == 6:  # ASCII PGM over the gray rule
                     data = encode_netpbm_np(gray, ascii_mode=True)
+                else:  # PNG-entry ICO container
+                    data = encode_ico_np(px)
                 dec = decode_image_np(data)  # magic-sniff dispatch
                 rows.append(
                     (
@@ -2873,7 +2877,7 @@ WITH imgs AS (
 SELECT 'img-' || lpad(CAST(g.i AS VARCHAR), 4, '0') AS image_id,
        CAST(g.w AS INT) AS w,
        CAST(g.h AS INT) AS h,
-       CAST(SUM(CASE WHEN g.i % 7 IN (1, 6)
+       CAST(SUM(CASE WHEN g.i % 8 IN (1, 6)
                      THEN (g.i * 11 + y.y * 5 + x.x * 3) % 250
                      ELSE (g.i * 11 + y.y * 5 + x.x * 3 + 7 * c.c) % 250
                 END) AS BIGINT) AS px_sum
