@@ -2795,7 +2795,7 @@ FROM range(48) t(i)
 def _image_bmp_tiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP + TIFF + Netpbm ingestion (new late-r5), oracled:
     deterministic fixtures (pixel [y,x,c] = (i*11 + y*5 + x*3 + 7c) % 250,
-    w = 9+i%4, h = 7+i%3) are containerized executor-side cycling i%7 over
+    w = 9+i%4, h = 7+i%3) are containerized executor-side cycling i%8 over
     24-bit BMP, 8-bit palettized BMP (gray rule, so the decoded RGB stack
     is closed-form too), uncompressed TIFF, PackBits TIFF, LZW+predictor
     TIFF (alternating II/MM byte order), raw PPM (P6), ASCII PGM (P2,

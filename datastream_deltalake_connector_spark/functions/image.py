@@ -321,7 +321,7 @@ def decode_image_np(data: bytes) -> np.ndarray:
         from .bmp import decode_bmp_np
 
         return decode_bmp_np(data)
-    if data[:1] == b"P" and data[1:2] in b"2356":  # real-world Netpbm
+    if data[:1] == b"P" and data[1:2] in (b"2", b"3", b"5", b"6"):  # Netpbm
         from .netpbm import decode_netpbm_np
 
         return decode_netpbm_np(data)
@@ -467,7 +467,7 @@ def decode_dims_udf(data: pd.Series) -> pd.DataFrame:
             info = bmp_info(b)
             rows.append((info["width"], info["height"], 3, 0))
             continue
-        if b[:1] == b"P" and b[1:2] in b"2356":
+        if b[:1] == b"P" and b[1:2] in (b"2", b"3", b"5", b"6"):
             from .netpbm import netpbm_info
 
             info = netpbm_info(b)

@@ -362,7 +362,7 @@ class IcepackSQL:
             return self._truncate(s)
         if s.upper().startswith("SHOW CREATE TABLE"):
             return self._show_create(s)
-        if two == "CREATE VIEW" or s.upper().startswith("CREATE OR REPLACE VIEW"):
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", s, re.IGNORECASE):
             return self._create_view(s)
         if two == "DROP VIEW":
             return self._drop_view(s)
@@ -592,6 +592,10 @@ class IcepackSQL:
             raise SqlDialectError(f"table exists: {name}")
         if self.catalog.view_exists(name):
             raise SqlDialectError(f"a view named {name!r} already exists")
+        try:
+            self.catalog._check_reserved(name)
+        except ValueError as exc:
+            raise SqlDialectError(str(exc)) from exc
         df = (
             self.spark.sql(self._rewrite_refs(select_sql))
             if select_sql is not None

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -47,6 +48,14 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._path(name), "metadata", "HEAD"))
 
+    _RESERVED = ("_views",)
+
+    def _check_reserved(self, name: str) -> None:
+        if sanitize_table_name(name) in self._RESERVED:
+            raise ValueError(
+                f"{name!r} is a reserved catalog name (view store directory)"
+            )
+
     def create_table(
         self,
         name: str,
@@ -55,6 +64,7 @@ class Catalog:
         if_not_exists: bool = True,
     ) -> IcepackTable:
         """CREATE TABLE [IF NOT EXISTS] semantics (D1 analogue)."""
+        self._check_reserved(name)
         if self.exists(name):
             if if_not_exists:
                 return self.load_table(name)
@@ -67,6 +77,7 @@ class Catalog:
         return IcepackTable.load(self.spark, self._path(name))
 
     def drop_table(self, name: str) -> bool:
+        self._check_reserved(name)
         p = self._path(name)
         if not os.path.exists(p):
             return False
@@ -86,7 +97,14 @@ class Catalog:
         d = os.path.join(self.warehouse, "_views")
         if not os.path.isdir(d):
             return []
-        return sorted(n[:-5] for n in os.listdir(d) if n.endswith(".json"))
+        out = []
+        for n in sorted(os.listdir(d)):
+            if not n.endswith(".json"):
+                continue
+            # report the name the user created, not the sanitized filename
+            with open(os.path.join(d, n)) as f:
+                out.append(json.load(f)["name"])
+        return sorted(out)
 
     def view_exists(self, name: str) -> bool:
         return os.path.exists(self._view_path(name))
@@ -98,9 +116,13 @@ class Catalog:
             raise FileExistsError(f"view exists: {name}")
         p = self._view_path(name)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
+        # unique tmp + fsync: concurrent CREATE OR REPLACE must never
+        # interleave truncated writes or race each other's os.replace
+        tmp = f"{p}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump({"name": name, "sql": sql}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, p)
 
     def view_sql(self, name: str) -> str:

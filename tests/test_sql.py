@@ -1140,3 +1140,21 @@ def test_analyze_branch_ref_refused(sql):
     sql.execute("ANALYZE TABLE users COMPUTE STATISTICS FOR COLUMNS id WITH EXACT NDV")
     r = sql.execute("DESCRIBE STATS users").collect()[0]
     assert r.row_count == 3 and r.ndv == 3
+
+
+def test_view_store_name_reserved_and_multiline_create(sql):
+    _mk_users(sql)
+    sql.execute("CREATE VIEW keepme AS SELECT id FROM users")
+    # the view-store directory name cannot be claimed or dropped as a table
+    with pytest.raises(SqlDialectError, match="reserved"):
+        sql.execute("CREATE TABLE _views (x BIGINT)")
+    with pytest.raises(Exception, match="reserved"):
+        sql.catalog.drop_table("_views")
+    assert [r.viewName for r in sql.execute("SHOW VIEWS").collect()] == ["keepme"]
+    # multi-line / multi-space keyword routing
+    sql.execute("CREATE OR REPLACE\nVIEW keepme AS\nSELECT id, score FROM users")
+    assert sql.execute("SELECT * FROM keepme").columns == ["id", "score"]
+    # dotted view names round-trip through SHOW VIEWS as typed
+    sql.execute("CREATE VIEW a.b AS SELECT id FROM users")
+    assert "a.b" in [r.viewName for r in sql.execute("SHOW VIEWS").collect()]
+    assert sql.execute("SELECT count(*) AS n FROM a.b").collect()[0].n == 3
