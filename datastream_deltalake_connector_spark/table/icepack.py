@@ -1762,10 +1762,7 @@ class IcepackTable:
         return os.path.join(self.root, "metadata", "stats.json")
 
     def set_table_stats(self, stats: dict) -> None:
-        tmp = self._stats_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, self._stats_path())
+        self._write_json(self._stats_path(), stats)
 
     def table_stats(self) -> dict | None:
         try:
